@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- Exact dedup is a hash-groupBy (one shuffle on the hash key; map-side
+  combine makes it bandwidth-bound, not memory-bound).
+- Near-dup never materializes the O(n²) pair space: candidate pairs come
+  from equi-joins on shingles (Jaccard) or LSH band buckets (MinHash),
+  i.e. only pairs that share a key ever meet in a shuffle.
+- All hashing is Spark-side (`xxhash64`/`hash`) — JVM, codegen'd,
+  deterministic across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, *, key_cols: list[str], id_col: str, canonical: str = "min"
+) -> DataFrame:
+    """Exact dedup: group rows by ``key_cols``, keep the canonical id per
+    group plus the duplicate count. groupBy(hash) not dropDuplicates so
+    the dup-count survives (dropDuplicates discards it)."""
+    agg = F.min(id_col) if canonical == "min" else F.max(id_col)
+    return df.groupBy(*key_cols).agg(
+        agg.alias(f"canonical_{id_col}"), F.count("*").alias("n_copies")
+    )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-gram shingles as an array column (distinct not applied).
+    Empty array for texts shorter than n words (guards the descending
+    `sequence` Spark would otherwise produce)."""
+    ws = F.split(F.trim(text), r"\s+")
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles as an array column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))),
+        lambda i: F.substring(text, 1, 1 << 30).substr(i, F.lit(k)),
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Plan: explode distinct shingles → self equi-join on shingle (only
+    co-shingled pairs shuffle) → per-pair intersection count → join the
+    per-doc distinct-shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: for hash function i, min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy — the standard
+    shuffle-light formulation (signature never holds the shingle set).
+
+    Output: (id, sig: array<long> of length num_hashes).
+    """
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    mins = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values, bucket-join on (band, band-hash). A pair is
+    a candidate iff it collides in ≥1 band. Output: (id_a, id_b,
+    n_bands_matched). Estimated Jaccard can then be computed by comparing
+    full signatures (`minhash_estimate`)."""
+    b = signatures.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[i * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+    left = b.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    right = b.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    return (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def minhash_estimate(
+    candidates: DataFrame, signatures: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach the signature-agreement Jaccard estimate to candidate pairs."""
+    sa = signatures.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    sb = signatures.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.size(F.col("_sa")), 6))
+        .drop("_sa", "_sb")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash: sign-sum of per-token hash bits → one 64-bit fingerprint
+    per document. Near-dups are pairs within small Hamming distance.
+
+    Pure column algebra: explode tokens → per-bit ±1 votes via bit
+    extraction of xxhash64(token) → sum per (id, bit) is avoided by
+    summing vote arrays with `aggregate` at the id level.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    )
+    h = F.xxhash64(F.col("_tok"))
+    votes = F.array(
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(bits)
+        ]
+    )
+    summed = (
+        toks.withColumn("_v", votes)
+        .groupBy("_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("_v"),
+                F.array_repeat(F.lit(0).cast("long"), bits),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("_sums")
+        )
+    )
+    # bit i of the fingerprint = sign of sums[i]; powers precomputed as
+    # literals (shiftleft needs a static shift; bit 63 is the sign bit)
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            F.col("_sums"),
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return summed.select(F.col("_id").alias(id_col), fingerprint.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount of XOR
+    via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Candidate pairs within ``max_hamming`` bits, using the pigeonhole
+    block trick: split 64 bits into (max_hamming+1) blocks — near pairs
+    must agree exactly on ≥1 block, so an equi-join on (block idx, block
+    value) finds all of them without O(n²)."""
+    # Partition ALL 64 bits into (max_hamming+1) blocks (uneven widths ok):
+    # if ≤ max_hamming bits differ, pigeonhole forces ≥1 identical block.
+    nblocks = max_hamming + 1
+    base, extra = divmod(64, nblocks)
+    widths = [base + (1 if i < extra else 0) for i in range(nblocks)]
+    offsets = [sum(widths[:i]) for i in range(nblocks)]
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1).cast("long")
+            )
+            for i in range(nblocks)
+        ]
+    )
+    e = fingerprints.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(blocks).alias("_blk", "_bv"),
+    )
+    left = e.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"), "_blk", "_bv")
+    right = e.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"), "_blk", "_bv")
+    return (
+        left.join(right, ["_blk", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("_fa"), F.col("_fb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+against a full scan of the corpus; JVM-side `zip_with`/`aggregate` dot
+products, no Python. Scale path: LSH bucketing (random-hyperplane signs
+with deterministic integer planes) so candidate generation is an
+equi-join on bucket signature instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    The query side is broadcast (it is the small side by construction);
+    ranking is a window per query with a deterministic (sim desc, id asc)
+    order. Output: (query_id, neighbor_id, cosine_sim, rank).
+    """
+    # cast float→double up front: float products carry ~1e-7 relative
+    # error, which breaks 6-decimal agreement with the oracle
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _det_plane_component(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random plane component in [-6, 6] from pure
+    integer arithmetic — identical in any engine, no RNG state."""
+    return ((plane * 97 + dim * 31 + (plane * dim) % 17) % 13) - 6
+
+
+def hyperplane_signature(vec: Column, *, n_planes: int, dim: int) -> Column:
+    """Sign pattern of the vector against ``n_planes`` deterministic
+    integer hyperplanes, packed as a long bitmask."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        coeffs = [_det_plane_component(p, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in coeffs]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with ``n_tables``
+    independent sign-signatures; candidates = corpus vectors sharing a
+    (table, signature) bucket with the query, then exact cosine rerank
+    within candidates. The candidate join is an equi-join on the bucket —
+    no cross product, which is the 100 TB survival property."""
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        # independent tables = disjoint plane index ranges
+        cols = []
+        for tbl in range(n_tables):
+            sig = F.lit(0).cast("long")
+            for p in range(n_planes):
+                plane = tbl * n_planes + p
+                coeffs = [_det_plane_component(plane, d) for d in range(dim)]
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(c)) for c in coeffs]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                sig = sig.bitwiseOR(
+                    F.when(
+                        proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            cols.append(sig)
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"_{idc}_v"),
+            F.posexplode(F.array(*cols)).alias("_tbl", "_sig"),
+        )
+
+    cb = with_buckets(corpus, "neighbor_id")
+    qb = with_buckets(queries, "query_id")
+    cand = (
+        cb.join(qb, ["_tbl", "_sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6
+            ).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

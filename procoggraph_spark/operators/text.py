@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines: tokenization
+stats, quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (JVM-side) — no Python in the hot path, so
+these run at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Deterministic and replicable in plain SQL for the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "los", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+    "zh": ("de", "le", "shi", "bu", "wo", "zai"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """A BPE-ish regex pre-tokenization: letter runs, digit runs, and each
+    punctuation mark become separate tokens (approximates the GPT-2-style
+    pre-tokenizer split classes)."""
+    spaced = F.regexp_replace(text, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", " $1 ")
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    )
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    ws = tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return n_stop / F.greatest(F.size(ws), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    ws = tokens(text)
+    total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(ws), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation,
+    some stopwords, sane mean token length. Mirrors the shape of common
+    C4/Gopher-style document filters (public heuristics), kept simple and
+    SQL-replicable."""
+    len_ok = F.when(F.length(text) >= 100, 1.0).otherwise(F.length(text) / 100.0)
+    punct_ok = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    mtl = mean_token_len(text)
+    mtl_ok = F.when((mtl >= 3.0) & (mtl <= 12.0), 1.0).otherwise(0.5)
+    return F.round((len_ok + punct_ok + stop_ok + mtl_ok) / 4.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-word hit counts."""
+    ws = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax language by marker-word hits; deterministic tiebreak on
+    language code ascending; 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # tiebreak: first lang in asc order wins
+    best = scores[langs[0]]
+    for lg in langs[1:]:
+        best = F.greatest(best, scores[lg])
+    pred = F.lit("und")
+    # build reverse so earlier langs take precedence on ties
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, lg).otherwise(pred)
+    return F.when(best > 0, pred).otherwise("und")
+
+
+def positional_fingerprint(text: Column, max_chars: int = 64) -> Column:
+    """Deterministic positional fingerprint: sum_i ascii(text[i]) * i over
+    the first ``max_chars`` chars, mod 2^31-1. Integer-exact and
+    SQL-replicable; used as a cheap shard/dedup key."""
+    n = F.least(F.length(text), F.lit(max_chars))
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.ascii(F.substring(text, 1, max_chars).substr(i, F.lit(1))) * i,
+    )
+    return (F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % 2147483647).alias(
+        "fingerprint"
+    )
+
+
+def rolling_hash_fingerprint(text: Column, max_chars: int = 64, base: int = 31) -> Column:
+    """Polynomial rolling hash h = (h*base + ascii(c)) mod 2^31-1 over the
+    first ``max_chars`` chars — an order-sensitive document fingerprint
+    (the classic Rabin-Karp/Karp-Rabin construction)."""
+    n = F.least(F.length(text), F.lit(max_chars))
+    chars = F.split(F.substring(text, 1, max_chars), "")
+    return F.aggregate(
+        F.slice(chars, 1, n),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % 2147483647,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats column family to a documents frame."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(text))
+        .withColumn("punct_ratio", F.round(punct_ratio(text), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(text), 6))
+        .withColumn("mean_token_len", F.round(mean_token_len(text), 6))
+        .withColumn("quality", quality_score(text))
+        .withColumn("pred_lang", predict_lang(text))
+        .withColumn("fingerprint", positional_fingerprint(text))
+    )

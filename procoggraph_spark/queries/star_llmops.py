@@ -1,0 +1,277 @@
+"""Training-data-pipeline operator coverage over `documents` and
+`embeddings`: dedup, similarity search, text analysis. DuckDB oracles
+where the logic is SQL-replicable; MinHash/SimHash/LSH (engine-hash-
+dependent) are registered oracle-less and verified by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import dedup as D
+from procoggraph_spark.operators import similarity as S
+from procoggraph_spark.operators import text as X
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- exact dedup (hash-groupBy; A4 + dedup family) ------------------------
+
+@q(
+    "dedup_exact",
+    """
+    SELECT substr(text, 1, 40) AS key_prefix,
+           MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY substr(text, 1, 40)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn(
+        "key_prefix", F.substring("text", 1, 40)
+    )
+    return D.exact_dedup(d, key_cols=["key_prefix"], id_col="doc_id")
+
+
+# --- n-gram Jaccard near-dup (explode + equi-join; no cross product) ------
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents WHERE doc_id < 150
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM ws,
+        LATERAL unnest(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS u(s)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.2
+    )
+
+
+# --- MinHash + LSH near-dup (oracle-less: xxhash64 is Spark-specific) -----
+
+@q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sigs = D.minhash_signatures(d, id_col="doc_id", text_col="text", n=2, num_hashes=64)
+    cand = D.minhash_lsh_candidates(sigs, id_col="doc_id", bands=16, rows_per_band=4)
+    est = D.minhash_estimate(cand, sigs, id_col="doc_id")
+    return est.filter(F.col("est_jaccard") >= 0.2).select(
+        "id_a", "id_b", "n_bands_matched", "est_jaccard"
+    )
+
+
+# --- SimHash near-dup (oracle-less) ---------------------------------------
+
+@q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    fp = D.simhash(d, id_col="doc_id", text_col="text")
+    return D.simhash_near_pairs(fp, id_col="doc_id", max_hamming=16)
+
+
+# --- text analysis --------------------------------------------------------
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           ROUND(len(list_filter(string_split(trim(text), ' '),
+                     w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
+                 * 1.0 / greatest(len(string_split(trim(text), ' ')), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_actual"),
+        F.round(X.stopword_ratio(text), 6).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "text_quality_score",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             string_split(trim(text), ' ') AS ws,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS np
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN n >= 100 THEN 1.0 ELSE n / 100.0 END AS len_ok,
+             1.0 - least(np * 1.0 / greatest(n, 1) * 5.0, 1.0) AS punct_ok,
+             least(len(list_filter(ws, w -> list_contains(
+                 ['the','a','an','of','and','or','to','in','is','it'], w)))
+                 * 1.0 / greatest(len(ws), 1) * 5.0, 1.0) AS stop_ok,
+             CASE WHEN (list_sum(list_transform(ws, w -> length(w)))
+                        * 1.0 / greatest(len(ws), 1)) BETWEEN 3.0 AND 12.0
+                  THEN 1.0 ELSE 0.5 END AS mtl_ok
+      FROM s
+    )
+    SELECT doc_id, ROUND((len_ok + punct_ok + stop_ok + mtl_ok) / 4.0, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "text_langid",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM sc
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.predict_lang(F.col("text")).alias("pred_lang"))
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(1, least(length(text), 64)),
+                i -> ascii(substr(text, i, 1)) * i)) % 2147483647 AS BIGINT)
+               AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.positional_fingerprint(F.col("text")).cast("long").alias("fingerprint")
+    )
+
+
+@q("text_rolling_hash")
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint (oracle-less; verified by a
+    pytest golden test against a pure-Python reimplementation)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.rolling_hash_fingerprint(F.col("text")).cast("long").alias("rhash"),
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+@q(
+    "sim_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+      FROM q, c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@q("sim_lsh_ann")
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (oracle-less; pytest
+    checks recall ≥ 0.5 vs brute force on the same data)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(
+        e, queries, id_col="vec_id", vec_col="embedding", dim=64, n_planes=8,
+        n_tables=4, k=10,
+    )
+
+
+# --- embedding column stats (F12 array_min/array_max family) --------------
+
+@q(
+    "emb_array_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(list_min(embedding)), 6) AS avg_min,
+           ROUND(AVG(list_max(embedding)), 6) AS avg_max
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.array_min("embedding")), 6).alias("avg_min"),
+        F.round(F.avg(F.array_max("embedding")), 6).alias("avg_max"),
+    )

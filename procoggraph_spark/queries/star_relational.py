@@ -1,0 +1,906 @@
+"""Relational operator coverage (SURVEY §2.2-§2.7, §2.9) expressed over the
+driver's star schema, each with a DuckDB oracle.
+
+Naming: ``<family>_<what>`` where family is the SURVEY §2 id the query
+exercises (a=aggregation, j=join, p=predicate/projection, q=dashboard query
+shape, t=sort/set-op, w=window, f=scalar function).
+
+Every query is a plain declarative DataFrame plan — Catalyst handles
+pushdown/pruning/join-strategy; dimension tables are explicitly
+``broadcast()`` where the reference's annotation joins are (SURVEY J7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.ownership import assign_ownership
+from procoggraph_spark.queries.common import dec2, dsum2, dsum4, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- A1/A2/F15: grouped multi-aggregate (TPC-H Q1 shape; SURVEY A1) -------
+
+@q(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum2(F.col("l_quantity")).alias("sum_qty"),
+        dsum2(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+        (dsum2(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+    )
+
+
+# --- J7: star join with broadcast dimensions (SURVEY J7, Q5 shape) --------
+
+@q(
+    "j7_star_join_rollup",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --- Q1: global summary counts via union of labeled aggregates ------------
+
+@q(
+    "q1_global_summary_counts",
+    """
+    SELECT 'customer' AS entity, COUNT(DISTINCT c_custkey) AS n FROM customer
+    UNION ALL SELECT 'supplier', COUNT(DISTINCT s_suppkey) FROM supplier
+    UNION ALL SELECT 'part',     COUNT(DISTINCT p_partkey) FROM part
+    UNION ALL SELECT 'order',    COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL SELECT 'nation',   COUNT(DISTINCT n_nationkey) FROM nation
+    """,
+)
+def q1_global_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(table: str, key: str, label: str) -> DataFrame:
+        return t(spark, sf_dir, table).agg(
+            F.lit(label).alias("entity"), F.countDistinct(key).alias("n")
+        ).select("entity", "n")
+
+    parts = [
+        one("customer", "c_custkey", "customer"),
+        one("supplier", "s_suppkey", "supplier"),
+        one("part", "p_partkey", "part"),
+        one("orders", "o_orderkey", "order"),
+        one("nation", "n_nationkey", "nation"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- Q2: threshold filter + "exactly one" semantics -----------------------
+# Mirrors the reference's "unambiguous cognate = exactly 1 match" count
+# (neodash_queries.yaml:23-36): customers with exactly one big order.
+
+@q(
+    "q2_unambiguous_counts",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_single_big_order_customers
+    FROM customer
+    JOIN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        GROUP BY o_custkey HAVING COUNT(*) = 1
+    ) s ON c_custkey = s.o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q2_unambiguous_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    singles = o.groupBy("o_custkey").count().filter(F.col("count") == 1)
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(singles, c.c_custkey == singles.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_single_big_order_customers"))
+    )
+
+
+# --- Q3: substring search, case-insensitive, ordered by length, LIMIT -----
+# (dashboard autocomplete shape, neodash_queries.yaml:40-52)
+
+@q(
+    "q3_substring_search",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE upper(p_name) LIKE '%RED%'
+    ORDER BY length(p_name), p_name, p_partkey
+    LIMIT 5
+    """,
+)
+def q3_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.upper(F.col("p_name")).contains("RED"))
+        .orderBy(F.length("p_name"), "p_name", "p_partkey")
+        .limit(5)
+        .select("p_partkey", "p_name")
+    )
+
+
+# --- Q4: report card — joins + countDistinct×n + sorted collect_set -------
+# (the PDB report card shape, dashboard.json:453: anchor entity + optional
+# matches + per-anchor distinct counts + markdown-joined list)
+
+@q(
+    "q4_report_card",
+    """
+    SELECT o_orderkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           CAST(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 0)
+                AS DOUBLE) AS revenue,
+           COALESCE(string_agg(DISTINCT p_brand, '|' ORDER BY p_brand), '') AS brands
+    FROM orders
+    LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    LEFT JOIN part ON l_partkey = p_partkey
+    GROUP BY o_orderkey
+    """,
+)
+def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .join(p, l.l_partkey == p.p_partkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.coalesce(
+                dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)
+            ).alias("revenue"),
+            F.array_join(F.array_sort(F.collect_set("p_brand")), "|").alias("brands"),
+        )
+    )
+
+
+# --- Q6: Best / Any / All tri-state plan branching ------------------------
+# The reference's $neodash_max_cognate parameter changes join type and
+# predicate (dashboard.json:823; README.md:159-171). Here: per order, its
+# qualifying lineitems; Best = only the max-price line(s), Any = all above
+# cutoff (inner), All = keep orders with no qualifying line (left).
+
+def _best_any_all(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 50000)
+    if mode == "best":
+        w = Window.partitionBy("l_orderkey")
+        l = l.withColumn("max_price", F.max("l_extendedprice").over(w)).filter(
+            F.col("l_extendedprice") == F.col("max_price")
+        )
+    join_type = "left" if mode == "all" else "inner"
+    j = o.join(l, o.o_orderkey == l.l_orderkey, join_type)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("l_orderkey").alias("n_lines"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+_BAA_SQL = {
+    "best": """
+    SELECT o_orderpriority, COUNT(l_orderkey) AS n_lines,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM orders JOIN (
+      SELECT * FROM (
+        SELECT *, MAX(l_extendedprice) OVER (PARTITION BY l_orderkey) AS mp
+        FROM lineitem WHERE l_extendedprice > 50000
+      ) WHERE l_extendedprice = mp
+    ) l ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "any": """
+    SELECT o_orderpriority, COUNT(l_orderkey) AS n_lines,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM orders JOIN (SELECT * FROM lineitem WHERE l_extendedprice > 50000) l
+      ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "all": """
+    SELECT o_orderpriority, COUNT(l_orderkey) AS n_lines,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_extendedprice > 50000) l
+      ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+}
+
+for _mode in ("best", "any", "all"):
+    QUERIES[f"q6_{_mode}_mode"] = (
+        lambda spark, sf_dir, _m=_mode: _best_any_all(spark, sf_dir, _m)
+    )
+    ORACLES[f"q6_{_mode}_mode"] = _BAA_SQL[_mode]
+
+
+# --- Q7: parameterized group rollup template ------------------------------
+# The reference's 7-way apoc.case over domain DBs is one parameterized
+# template (SURVEY Q7). Same here: rollup keyed by a chosen dimension.
+
+def _group_rollup(spark: SparkSession, sf_dir: str, dim: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(dim)
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum2(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+for _dim in ("p_brand", "p_type"):
+    QUERIES[f"q7_rollup_by_{_dim}"] = (
+        lambda spark, sf_dir, _d=_dim: _group_rollup(spark, sf_dir, _d)
+    )
+    ORACLES[f"q7_rollup_by_{_dim}"] = f"""
+    SELECT {_dim}, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY {_dim}
+    """
+
+
+# --- Q8: "% of group with property" — two grouped counts + ratio ----------
+
+@q(
+    "q8_group_ratio",
+    """
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN c_custkey END)
+               AS n_with_open_order,
+           ROUND(COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN c_custkey END)
+                 * 100.0 / COUNT(DISTINCT c_custkey), 4) AS pct_open
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY n_name
+    """,
+)
+def q8_group_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    open_cust = F.when(F.col("o_orderstatus") == "O", F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct(open_cust).alias("n_with_open_order"),
+            F.round(
+                F.countDistinct(open_cust) * 100.0 / F.countDistinct("c_custkey"), 4
+            ).alias("pct_open"),
+        )
+    )
+
+
+# --- Q9: group-by-collected-array (combinatorial interactions shape) ------
+# Per order: the sorted distinct set of flag:status combos (excluding the
+# "minor"-analog 'N:O'), then group orders by that combination key.
+
+@q(
+    "q9_group_by_array",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             string_agg(DISTINCT l_returnflag || ':' || l_linestatus, '|'
+                        ORDER BY l_returnflag || ':' || l_linestatus) AS combo
+      FROM lineitem
+      WHERE l_returnflag || ':' || l_linestatus <> 'N:O'
+      GROUP BY l_orderkey
+    )
+    SELECT combo, COUNT(*) AS n_orders
+    FROM per_order GROUP BY combo
+    """,
+)
+def q9_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    combo = F.concat_ws(":", "l_returnflag", "l_linestatus")
+    per_order = (
+        l.withColumn("fs", combo)
+        .filter(F.col("fs") != "N:O")
+        .groupBy("l_orderkey")
+        .agg(F.array_join(F.array_sort(F.collect_set("fs")), "|").alias("combo"))
+    )
+    return per_order.groupBy("combo").agg(F.count("*").alias("n_orders"))
+
+
+# --- Q10: semi-join anchor then rollup ------------------------------------
+
+@q(
+    "q10_semi_join_rollup",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q10_semi_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    return (
+        o.join(asia_cust, o.o_custkey == asia_cust.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- Q11: hierarchy walk (EC class→subclass→leaf analog) ------------------
+
+@q(
+    "q11_hierarchy_walk",
+    """
+    SELECT r_name, COUNT(DISTINCT n_nationkey) AS n_nations,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+)
+def q11_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --- Q12/P4: membership predicate over an array column --------------------
+# ecList-membership shape ($ec IN pc.ecList, dashboard.json:1833).
+
+@q(
+    "q12_array_membership",
+    """
+    SELECT p_type, COUNT(*) AS n_parts
+    FROM part
+    WHERE list_contains(string_split(p_name, ' '), 'red')
+    GROUP BY p_type
+    """,
+)
+def q12_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return (
+        p.withColumn("words", F.split(F.col("p_name"), " "))
+        .filter(F.array_contains(F.col("words"), "red"))
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# --- Q13/T5/T6: set intersection / difference of two groups' collections --
+# (Compare Domains page: shared/unique cognate-ligand sets.)
+
+@q(
+    "q13_compare_groups",
+    """
+    WITH a AS (SELECT DISTINCT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_brand = 'Brand#1'),
+         b AS (SELECT DISTINCT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_brand = 'Brand#2')
+    SELECT (SELECT COUNT(*) FROM a WHERE l_suppkey IN (SELECT l_suppkey FROM b)) AS n_shared,
+           (SELECT COUNT(*) FROM a WHERE l_suppkey NOT IN (SELECT l_suppkey FROM b)) AS n_only_a,
+           (SELECT COUNT(*) FROM b WHERE l_suppkey NOT IN (SELECT l_suppkey FROM a)) AS n_only_b
+    """,
+)
+def q13_compare_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+
+    def suppliers_of(brand: str):
+        return (
+            j.filter(F.col("p_brand") == brand)
+            .agg(F.collect_set("l_suppkey").alias("s"))
+            .select(F.col("s"))
+        )
+
+    a = suppliers_of("Brand#1").withColumnRenamed("s", "a")
+    b = suppliers_of("Brand#2").withColumnRenamed("s", "b")
+    return a.crossJoin(b).select(
+        F.size(F.array_intersect("a", "b")).cast("long").alias("n_shared"),
+        F.size(F.array_except("a", "b")).cast("long").alias("n_only_a"),
+        F.size(F.array_except("b", "a")).cast("long").alias("n_only_b"),
+    )
+
+
+# --- Q14: top-k by count with deterministic tiebreak ----------------------
+
+@q(
+    "q14_topk_by_count",
+    """
+    SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY n_orders DESC, l_partkey LIMIT 10
+    """,
+)
+def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "l_partkey")
+        .limit(10)
+    )
+
+
+# --- Q15: 2-hop neighborhood subgraph export (graph-view shape) -----------
+
+@q(
+    "q15_subgraph_export",
+    """
+    SELECT 'customer' AS src_type, CAST(o_custkey AS VARCHAR) AS src,
+           'order' AS dst_type, CAST(o_orderkey AS VARCHAR) AS dst, 'PLACED' AS rel
+    FROM orders WHERE o_custkey = 7
+    UNION ALL
+    SELECT 'order', CAST(l_orderkey AS VARCHAR), 'part', CAST(l_partkey AS VARCHAR), 'CONTAINS'
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 7)
+    """,
+)
+def q15_subgraph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+    l = t(spark, sf_dir, "lineitem")
+    hop1 = o.select(
+        F.lit("customer").alias("src_type"),
+        F.col("o_custkey").cast("string").alias("src"),
+        F.lit("order").alias("dst_type"),
+        F.col("o_orderkey").cast("string").alias("dst"),
+        F.lit("PLACED").alias("rel"),
+    )
+    oo = o.select("o_orderkey")
+    hop2 = (
+        l.join(oo, l.l_orderkey == oo.o_orderkey, "left_semi")
+        .select(
+            F.lit("order").alias("src_type"),
+            F.col("l_orderkey").cast("string").alias("src"),
+            F.lit("part").alias("dst_type"),
+            F.col("l_partkey").cast("string").alias("dst"),
+            F.lit("CONTAINS").alias("rel"),
+        )
+    )
+    return hop1.unionByName(hop2)
+
+
+# --- Q16/F13: JSON payload projection -------------------------------------
+
+@q(
+    "q16_json_payload",
+    """
+    SELECT o_orderkey,
+           '{"order":' || CAST(o_orderkey AS VARCHAR)
+             || ',"priority":"' || o_orderpriority
+             || '","lines":' || CAST(n AS VARCHAR) || '}' AS payload
+    FROM (
+      SELECT o_orderkey, o_orderpriority, COUNT(l_orderkey) AS n
+      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey < 200
+      GROUP BY o_orderkey, o_orderpriority
+    )
+    """,
+)
+def q16_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    l = t(spark, sf_dir, "lineitem")
+    agg = (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count("l_orderkey").alias("n"))
+    )
+    return agg.select(
+        "o_orderkey",
+        F.concat(
+            F.lit('{"order":'),
+            F.col("o_orderkey").cast("string"),
+            F.lit(',"priority":"'),
+            F.col("o_orderpriority"),
+            F.lit('","lines":'),
+            F.col("n").cast("string"),
+            F.lit("}"),
+        ).alias("payload"),
+    )
+
+
+# --- W1: per-group sum broadcast back to rows (total_contact_counts) ------
+
+@q(
+    "w1_group_share",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_quantity * 100.0 /
+                 SUM(l_quantity) OVER (PARTITION BY l_orderkey), 4) AS qty_pct
+    FROM lineitem
+    """,
+)
+def w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100.0 / F.sum("l_quantity").over(w), 4).alias("qty_pct"),
+    )
+
+
+# --- W2: best-per-group with tie keeping (bestCognate semantics) ----------
+
+@q(
+    "w2_best_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders
+    ) WHERE o_totalprice = mx
+    """,
+)
+def w2_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("mx", F.max("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("mx"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --- W3: deterministic dense ids (ngroup replacement) ---------------------
+
+@q(
+    "w3_dense_ids",
+    """
+    SELECT DISTINCT p_brand, DENSE_RANK() OVER (ORDER BY p_brand) AS brand_id
+    FROM part
+    """,
+)
+def w3_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_brand").distinct()
+    return p.withColumn("brand_id", F.dense_rank().over(Window.orderBy("p_brand")))
+
+
+# --- W5: top-k per group via row_number -----------------------------------
+
+@q(
+    "w5_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --- A5: exact quantile ---------------------------------------------------
+
+@q(
+    "a5_quantile",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.8), 4) AS p80_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a5_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.8)"), 4).alias("p80_totalprice")
+    )
+
+
+# --- A7: run-length range compression (find_ec_ranges) --------------------
+# Gaps-and-islands: compress each order's distinct linenumbers to "1-4,6"
+# (the reference's EC-range compressor, process_all_pdb_contacts.py:76-101).
+
+@q(
+    "a7_range_compress",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+    grp AS (
+      SELECT l_orderkey, l_linenumber,
+             l_linenumber - ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                               ORDER BY l_linenumber) AS g
+      FROM d
+    ),
+    seg AS (
+      SELECT l_orderkey, MIN(l_linenumber) AS lo, MAX(l_linenumber) AS hi
+      FROM grp GROUP BY l_orderkey, g
+    )
+    SELECT l_orderkey,
+           string_agg(CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+                           ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR) END,
+                      ',' ORDER BY lo) AS ranges
+    FROM seg GROUP BY l_orderkey
+    """,
+)
+def a7_range_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.operators.ranges import compress_int_ranges
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber").distinct()
+    return compress_int_ranges(l, key="l_orderkey", value="l_linenumber", out="ranges")
+
+
+# --- A8: numeric-with-inscode sort (sort_numeric_with_inscode) ------------
+# Tokens like "12_A" sort by (numeric, inscode); reference
+# process_pdb_contacts.py:40-44. Tokens synthesized from lineitem.
+
+@q(
+    "a8_inscode_sort",
+    """
+    WITH tok AS (
+      SELECT l_orderkey, l_linenumber AS num,
+             CASE WHEN l_returnflag = 'R' THEN 'A' ELSE '' END AS ins,
+             CAST(l_linenumber AS VARCHAR) ||
+             CASE WHEN l_returnflag = 'R' THEN '_A' ELSE '' END AS token
+      FROM lineitem WHERE l_orderkey < 500
+    )
+    SELECT l_orderkey, string_agg(token, '|' ORDER BY num, ins) AS residues
+    FROM tok GROUP BY l_orderkey
+    """,
+)
+def a8_inscode_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.functions.strings import sort_tokens_numeric_inscode
+
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    tok = l.select(
+        "l_orderkey",
+        F.concat(
+            F.col("l_linenumber").cast("string"),
+            F.when(F.col("l_returnflag") == "R", "_A").otherwise(""),
+        ).alias("token"),
+    )
+    agg = tok.groupBy("l_orderkey").agg(F.collect_list("token").alias("tokens"))
+    return agg.select(
+        "l_orderkey", sort_tokens_numeric_inscode(F.col("tokens")).alias("residues")
+    )
+
+
+# --- P6/W4/A10: the ownership classifier on star data ---------------------
+# Reference semantics verbatim (process_pdb_contacts.py:45-78): order =
+# bound entity, linenumber = domain, quantity = contact count.
+
+@q(
+    "p6_ownership_classify",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS total,
+             l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS perc
+      FROM lineitem
+    ),
+    cls AS (
+      SELECT *,
+             SUM(CASE WHEN perc > 0.1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_orderkey) AS non_minor
+      FROM base
+    )
+    SELECT CASE
+             WHEN perc = 1.0 THEN 'exclusive'
+             WHEN perc >= 0.9 THEN 'dominant'
+             WHEN perc >= 0.5 AND perc < 0.9 AND non_minor = 1 THEN 'major'
+             WHEN perc >= 0.5 AND perc < 0.9 AND non_minor > 1 THEN 'major_partner'
+             WHEN perc > 0.1 AND perc < 0.5 AND non_minor > 1 THEN 'partner'
+             WHEN perc <= 0.1 THEN 'minor'
+           END AS domain_ownership,
+           COUNT(*) AS n
+    FROM cls GROUP BY 1
+    """,
+)
+def p6_ownership_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("uniqueID"),
+        F.col("l_linenumber").alias("domain_accession"),
+        F.col("l_quantity").alias("domain_contact_counts"),
+        F.lit(0.0).alias("domain_hbond_counts"),
+        F.lit(0.0).alias("domain_covalent_counts"),
+    )
+    owned = assign_ownership(l, unique_id="uniqueID", database_type=None)
+    return owned.groupBy("domain_ownership").agg(F.count("*").alias("n"))
+
+
+# --- F1-F7/F11: scalar string-function kitchen ----------------------------
+
+@q(
+    "f_string_kitchen",
+    """
+    SELECT p_partkey,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           upper(p_brand) AS brand_upper,
+           regexp_replace(p_brand, '^Brand#', '') AS brand_num,
+           p_brand || ':' || p_type AS brand_type,
+           length(p_name) AS name_len
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def f_string_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1).alias("last_word"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.regexp_replace(F.col("p_brand"), "^Brand#", "").alias("brand_num"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+# --- F8: numeric range expansion (pattern_to_range) -----------------------
+
+@q(
+    "f8_sequence_explode",
+    """
+    SELECT p_brand, CAST(SUM(g) AS BIGINT) AS sum_series, COUNT(*) AS n_rows
+    FROM part, LATERAL unnest(generate_series(1, p_size)) AS u(g)
+    WHERE p_size <= 10
+    GROUP BY p_brand
+    """,
+)
+def f8_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        p.select("p_brand", F.explode(F.sequence(F.lit(1), F.col("p_size"))).alias("g"))
+        .groupBy("p_brand")
+        .agg(F.sum("g").cast("long").alias("sum_series"), F.count("*").alias("n_rows"))
+    )
+
+
+# --- F14: JSON/map extraction from the events props column ----------------
+
+@q(
+    "f14_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+# --- T4: heterogeneous union (unionByName allowMissingColumns) ------------
+
+@q(
+    "t4_union_hetero",
+    """
+    WITH party AS (
+      SELECT c_custkey AS pkey, c_name AS pname, c_acctbal AS bal,
+             c_mktsegment AS segment, 'customer' AS kind
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey, s_name, s_acctbal, NULL, 'supplier' FROM supplier
+    )
+    SELECT kind, COUNT(*) AS n, COUNT(segment) AS n_with_segment,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM party GROUP BY kind
+    """,
+)
+def t4_union_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pkey"),
+        F.col("c_name").alias("pname"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("pkey"),
+        F.col("s_name").alias("pname"),
+        F.col("s_acctbal").alias("bal"),
+        F.lit("supplier").alias("kind"),
+    )
+    party = c.unionByName(s, allowMissingColumns=True)
+    return party.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.count("segment").alias("n_with_segment"),
+        F.sum(dec2(F.col("bal"))).cast("double").alias("total_bal"),
+    )

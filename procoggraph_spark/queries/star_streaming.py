@@ -1,0 +1,113 @@
+"""Windowed-aggregation coverage over `events` (the streaming surface's
+batch-mode twins, each with a DuckDB oracle). The same plans run under
+readStream (see procoggraph_spark.streaming.windows) — tested in pytest
+with trigger(availableNow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.queries.common import t
+from procoggraph_spark.streaming import windows as W
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+@q(
+    "stream_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(t(spark, sf_dir, "events"), duration="1 hour")
+
+
+@q(
+    "stream_sliding_window",
+    """
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' AS window_start,
+             event_type
+      FROM events, LATERAL unnest([0, 1]) AS u(k)
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_counts(
+        t(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes"
+    )
+
+
+@q(
+    "stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_windows_batch(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@q(
+    "stream_late_data_policy",
+    """
+    SELECT event_type,
+           COUNT(CASE WHEN ts <= mx - INTERVAL '10 minutes' THEN 1 END) AS n_on_time,
+           COUNT(*) AS n_total
+    FROM events, (SELECT MAX(ts) AS mx FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy twin: classify events against max(ts) - 10 min —
+    the batch-expressible shadow of `withWatermark('ts','10 minutes')`."""
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("ts") <= F.col("mx") - F.expr("INTERVAL 10 minutes"), 1
+                )
+            ).alias("n_on_time"),
+            F.count("*").alias("n_total"),
+        )
+    )

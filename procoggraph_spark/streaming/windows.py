@@ -1,0 +1,115 @@
+"""Windowed event aggregation: tumbling / sliding / session windows.
+
+Each operator has one implementation usable in BOTH batch and streaming
+mode — `F.window`/`F.session_window` work on static DataFrames too, so the
+batch path is the oracle-checkable twin of the streaming path (same plan,
+same results when the stream is drained with trigger(availableNow)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from procoggraph_spark.queries.common import dec2
+
+
+def tumbling_counts(
+    events: DataFrame, *, duration: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (tumbling window, event_type): count + exact value sum."""
+    return (
+        events.groupBy(F.window(ts_col, duration), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (sliding window, event_type) counts — each event lands in
+    duration/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, duration, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows_batch(
+    events: DataFrame, *, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """Sessionization, batch formulation: gaps-and-islands with lag +
+    running sum — the oracle-friendly twin of `F.session_window` (which
+    assigns merged-window semantics only under streaming aggregation).
+
+    Output: one row per (user_id, session): start, end, n_events.
+    """
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    with_sess = (
+        events.withColumn("_gap", gap)
+        .withColumn(
+            "_new_sess",
+            F.when(F.col("_gap").isNull() | (F.col("_gap") > gap_minutes * 60), 1).otherwise(0),
+        )
+        .withColumn("_sess", F.sum("_new_sess").over(w))
+    )
+    return with_sess.groupBy("user_id", "_sess").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+def session_windows_native(
+    events: DataFrame, *, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """`F.session_window` formulation — the one to use under
+    readStream + watermark (state-store backed merged sessions)."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    spark,
+    events_path: str,
+    schema,
+    *,
+    duration: str = "1 hour",
+    watermark: str = "10 minutes",
+):
+    """readStream twin of `tumbling_counts` with a late-data watermark.
+    Drain with `.trigger(availableNow=True)` + `processAllAvailable()`
+    for deterministic batch-equivalent results."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,89 @@
+"""Differential tests: every oracle-backed query in the registry must
+match DuckDB on the driver's parquet tables — the same comparison the
+driver's CORRECTNESS gate runs (row count + column names + order-
+insensitive values), at sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from procoggraph_spark.queries import registry
+from tests.conftest import SF_SMOKE
+
+QUERIES, ORACLES = registry()
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(rows, cols):
+    """Sort columns by name, canonicalize values, sort rows."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6f}"
+        if isinstance(v, bool):
+            return str(int(v))
+        try:
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return f"{float(v):.6f}"
+        except ImportError:
+            pass
+        return str(v)
+
+    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_SMOKE)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(SF_SMOKE)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"column mismatch: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"row count {len(srows)} vs {len(drows)}"
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+    assert sn == dn, f"value mismatch, first diffs: {mismatches}"
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 30
+    # every oracle has a query
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 3
