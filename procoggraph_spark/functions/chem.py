@@ -1,0 +1,159 @@
+"""Chemistry UDF surface (SURVEY §2.8).
+
+The reference's RDKit kernels (U1-U8): SMILES canonicalisation,
+neutralisation, PARITY/MCS scoring. RDKit is NOT in this container, so
+each UDF is import-gated: with RDKit present the real computation runs;
+without it a clearly-marked deterministic fallback keeps the Spark-side
+plumbing (schemas, batching, caching, timeouts) real and testable.
+
+All UDFs are Arrow-batched pandas UDFs — per-batch library import, never
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+try:  # pragma: no cover - not available in the build container
+    from rdkit import Chem  # type: ignore
+
+    HAVE_RDKIT = True
+except ImportError:
+    Chem = None
+    HAVE_RDKIT = False
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _canon_fallback(smiles: str | None) -> str | None:
+    """DETERMINISTIC FAKE canonicalisation (no RDKit): uppercase-insensitive
+    atom-token normalization is NOT chemically meaningful — it only
+    guarantees a stable dedup key with the same equality behavior for
+    identical inputs. Marked fake on purpose."""
+    if smiles is None or smiles == "":
+        return None
+    return smiles.strip()
+
+
+@F.pandas_udf(T.StringType())
+def canonical_smiles(s: pd.Series) -> pd.Series:
+    """U4: canonical (non-isomeric) SMILES — the cognate-ligand dedup key
+    (`get_ec_information.py:285-289`)."""
+    if HAVE_RDKIT:
+
+        def canon(x):
+            if x is None:
+                return None
+            mol = Chem.MolFromSmiles(x)
+            return Chem.MolToSmiles(mol, isomericSmiles=False) if mol else None
+
+        return s.map(canon)
+    return s.map(_canon_fallback)
+
+
+@F.pandas_udf(T.BooleanType())
+def is_parseable_smiles(s: pd.Series) -> pd.Series:
+    """U5: MolFromSmiles validity filter (`process_all_pdb_contacts.py:43-44`).
+    Fallback: non-empty strings with balanced brackets count as parseable."""
+    if HAVE_RDKIT:
+        return s.map(lambda x: x is not None and Chem.MolFromSmiles(x) is not None)
+
+    def ok(x):
+        if not x:
+            return False
+        return x.count("(") == x.count(")") and x.count("[") == x.count("]")
+
+    return s.map(ok)
+
+
+def _parity_fallback(a: str | None, b: str | None) -> float:
+    """DETERMINISTIC FAKE PARITY score (no RDKit): Jaccard of character
+    bigrams of the two SMILES. In [0,1], symmetric, 1.0 for identical
+    strings — preserves the score-algebra the downstream plan needs
+    (thresholding, best-per-group, tie handling) without chemistry."""
+    if not a or not b:
+        return 0.0
+    ba = {a[i : i + 2] for i in range(len(a) - 1)} or {a}
+    bb = {b[i : i + 2] for i in range(len(b) - 1)} or {b}
+    inter = len(ba & bb)
+    return round(inter / (len(ba) + len(bb) - inter), 6)
+
+
+PARITY_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("pdb_smiles", T.StringType()),
+        T.StructField("cognate_smiles", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("pdbl_subparity", T.DoubleType()),
+        T.StructField("bl_subparity", T.DoubleType()),
+        T.StructField("parity_smarts", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def score_pairs_batch(pdf: pd.DataFrame, *, timeout_s: int = 40) -> pd.DataFrame:
+    """Score a batch of (pdb_smiles, cognate_smiles) pairs — the body of
+    the PARITY mapInPandas stage (`get_pdb_parity.py:86-107`: permissive
+    MCS + atom-map maximization, per-pair timeout 40 s).
+
+    With RDKit: rdFMCS.FindMCS(timeout=...) based PARITY. Without:
+    deterministic fallback (see `_parity_fallback`).
+    """
+    rows = []
+    for a, b in zip(pdf["pdb_smiles"], pdf["cognate_smiles"]):
+        try:
+            if HAVE_RDKIT:
+                score, sub_a, sub_b, smarts = _parity_rdkit(a, b, timeout_s)
+            else:
+                score = _parity_fallback(a, b)
+                sub_a = sub_b = score
+                smarts = None
+            rows.append((a, b, score, sub_a, sub_b, smarts, None))
+        except Exception as exc:  # dead-letter row, never a task failure
+            rows.append((a, b, 0.0, 0.0, 0.0, None, str(exc)[:200]))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "pdb_smiles", "cognate_smiles", "score", "pdbl_subparity",
+            "bl_subparity", "parity_smarts", "error",
+        ],
+    )
+
+
+def _parity_rdkit(a: str, b: str, timeout_s: int):  # pragma: no cover
+    """Real PARITY (only with RDKit): maximum common substructure atom
+    mapping / max(atoms) — the published PARITY method the reference
+    implements at `get_pdb_parity.py:53-107`."""
+    from rdkit.Chem import rdFMCS
+
+    ma, mb = Chem.MolFromSmiles(a), Chem.MolFromSmiles(b)
+    if ma is None or mb is None:
+        return 0.0, 0.0, 0.0, None
+    mcs = rdFMCS.FindMCS(
+        [ma, mb], timeout=timeout_s, completeRingsOnly=True,
+        atomCompare=rdFMCS.AtomCompare.CompareAny,
+        bondCompare=rdFMCS.BondCompare.CompareAny,
+    )
+    matching = mcs.numAtoms
+    score = matching / max(ma.GetNumAtoms(), mb.GetNumAtoms())
+    return (
+        round(score, 6),
+        round(matching / ma.GetNumAtoms(), 6),
+        round(matching / mb.GetNumAtoms(), 6),
+        mcs.smartsString or None,
+    )
+
+
+def stable_id_from_string(col):
+    """Deterministic 63-bit id from a natural key — replaces the
+    reference's order-dependent `reset_index`/`ngroup` dense ids
+    (SURVEY §1.3) with a rerun-stable hash id at any parallelism."""
+    return F.abs(F.xxhash64(col))
+
+
+def sha1_mod(value: str, mod: int) -> int:
+    """Driver-side stable hash helper for tests."""
+    return int(hashlib.sha1(value.encode()).hexdigest(), 16) % mod

@@ -78,9 +78,13 @@ def brute_force_topk(
 
 
 def _det_plane_component(plane: int, dim: int) -> int:
-    """Deterministic pseudo-random plane component in [-6, 6] from pure
-    integer arithmetic — identical in any engine, no RNG state."""
-    return ((plane * 97 + dim * 31 + (plane * dim) % 17) % 13) - 6
+    """Deterministic, well-mixed plane component in [-6, 6]: sha256 of
+    the (plane, dim) coordinate — no RNG state, identical on every run
+    and driver (unlike salted `hash()`)."""
+    import hashlib
+
+    h = hashlib.sha256(f"{plane}:{dim}".encode()).digest()
+    return int.from_bytes(h[:4], "big") % 13 - 6
 
 
 def hyperplane_signature(vec: Column, *, n_planes: int, dim: int) -> Column:
@@ -113,8 +117,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     k: int = 10,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``n_tables``

@@ -1,0 +1,270 @@
+"""Graph-build stage (SURVEY §3.1 PRODUCE_NEO4J_FILES).
+
+Turns the pipeline intermediates into the engine's node/edge tables
+(`nextflow/bin/produce_neo4j_files.py` equivalents). Differences by
+design, per SURVEY §1.3 / §7:
+
+- dense `reset_index` ids → deterministic `xxhash64` ids (rerun-stable
+  under any partitioning);
+- the 7 copy-pasted per-domain-db table builds (`produce_neo4j_files.py:
+  430-519`) → ONE interaction edge table carrying `domainKind`,
+  partitionable by kind at write time;
+- arrays stay ArrayType; '|'-serialization happens only in the export
+  sink (sources/sinks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from procoggraph_spark.functions.chem import stable_id_from_string
+from procoggraph_spark.graph.model import ProCogGraph
+
+
+def build_entry_nodes(combined_contacts: DataFrame) -> DataFrame:
+    """entry nodes (`produce_neo4j_files.py:113-124`): one per pdb_id,
+    descriptor text scrubbed of newlines (F5)."""
+    return (
+        combined_contacts.select(
+            F.col("pdb_id").alias("pdbEntry"),
+            F.regexp_replace(F.coalesce("pdb_descriptor", F.lit("")), r"[\n\"']", " ").alias(
+                "pdbDescriptor"
+            ),
+            F.regexp_replace(F.coalesce("pdb_title", F.lit("")), r"[\n\"']", " ").alias(
+                "pdbTitle"
+            ),
+            F.regexp_replace(F.coalesce("pdb_keywords", F.lit("")), r"[\n\"']", " ").alias(
+                "pdbKeywords"
+            ),
+        )
+        .dropDuplicates(["pdbEntry"])
+    )
+
+
+def build_bound_entity_nodes(combined_contacts: DataFrame) -> DataFrame:
+    """boundEntity nodes (`produce_neo4j_files.py:377-386`)."""
+    return combined_contacts.select(
+        F.col("uniqueID"),
+        F.col("pdb_id").alias("pdbEntry"),
+        F.col("hetCode"),
+        F.col("description"),
+        F.col("descriptor"),
+        F.col("type"),
+        F.col("bound_ligand_residue_interactions").alias("boundLigandResidues"),
+    ).dropDuplicates(["uniqueID"])
+
+
+def build_bound_descriptor_nodes(combined_contacts: DataFrame) -> DataFrame:
+    """boundDescriptor nodes: unique (hetCode, description, descriptor)
+    chemotypes (`process_all_pdb_contacts.py:222-229`,
+    `produce_neo4j_files.py:387-394`). The reference's reset_index dense
+    id becomes a stable hash of the natural key."""
+    return (
+        combined_contacts.select("hetCode", "description", "descriptor")
+        .dropDuplicates()
+        .withColumn(
+            "ligandEntityID",
+            stable_id_from_string(
+                F.concat_ws("", "hetCode", "description", "descriptor")
+            ),
+        )
+    )
+
+
+def build_described_by_edges(
+    bound_entities: DataFrame, bound_descriptors: DataFrame
+) -> DataFrame:
+    """DESCRIBED_BY: boundEntity→boundDescriptor on the chemotype key."""
+    return bound_entities.join(
+        F.broadcast(bound_descriptors), ["hetCode", "description", "descriptor"]
+    ).select("uniqueID", "ligandEntityID")
+
+
+def build_interaction_edges(combined_contacts: DataFrame) -> DataFrame:
+    """INTERACTS_WITH_LIGAND (`produce_neo4j_files.py:430-440` ×7 →
+    one table): domain→boundEntity with contact statistics.
+
+    `allProteinInterface` (union of residue tokens across chains per
+    bound entity, chain-prefixed) is the A9 grouped-union pattern."""
+    base = combined_contacts.select(
+        F.col("domain_accession").alias("domain"),
+        "uniqueID",
+        F.col("xref_db").alias("domainKind"),
+        F.col("domain_contact_counts").cast("long").alias("domainContactCounts"),
+        F.col("domain_contact_perc").alias("domainContactPerc"),
+        F.col("domain_hbond_counts").cast("long").alias("domainHbondCounts"),
+        F.col("domain_hbond_perc").alias("domainHbondPerc"),
+        F.col("domain_covalent_counts").cast("long").alias("domainCovalentCounts"),
+        F.col("domain_ownership").alias("interactionMode"),
+        F.split("bound_ligand_residue_interactions", r"\|").alias("ligandInterface"),
+        F.split("domain_residue_interactions", r"\|").alias("proteinInterface"),
+        "assembly_chain_id_protein",
+    ).dropDuplicates(["domain", "uniqueID", "domainKind"])
+
+    all_iface = (
+        base.select(
+            "uniqueID",
+            F.explode(
+                F.transform(
+                    "proteinInterface",
+                    lambda r: F.concat(F.col("assembly_chain_id_protein"), F.lit(":"), r),
+                )
+            ).alias("_tok"),
+        )
+        .groupBy("uniqueID")
+        .agg(F.array_sort(F.collect_set("_tok")).alias("allProteinInterface"))
+    )
+    return base.join(all_iface, "uniqueID", "left").drop("assembly_chain_id_protein")
+
+
+def build_similarity_edges(
+    parity_scores: DataFrame,
+    bound_entities_ec: DataFrame,
+    *,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """HAS_SIMILARITY (`produce_neo4j_files.py:404-428`):
+
+    - drop errored calcs, threshold on score;
+    - join bound entities to scores on (chemotype id, EC) after
+      exploding both EC lists;
+    - group-by-rest collecting the EC list (A2);
+    - bestCognate: per bound entity, 'Y' where score == max (ties all
+      'Y' — `:423-425`, README.md:171), else 'N' (W2).
+
+    parity_scores: (ec, pdb_ligand, cognate_ligand, score,
+                    pdbl_subparity, parity_smarts, error)
+    bound_entities_ec: (uniqueID, ligandEntityID, ecList array)
+    """
+    scores = parity_scores.filter(F.col("error").isNull()).filter(
+        F.col("score") >= threshold
+    )
+    be = bound_entities_ec.select(
+        "uniqueID", "ligandEntityID", F.explode("ecList").alias("ec")
+    )
+    joined = be.join(
+        scores,
+        (be.ligandEntityID == scores.pdb_ligand) & (be.ec == scores.ec),
+    ).select(
+        "uniqueID",
+        "cognate_ligand",
+        F.col("score"),
+        F.col("pdbl_subparity"),
+        F.col("parity_smarts"),
+        be.ec.alias("_ec"),
+    )
+    grouped = joined.groupBy(
+        "uniqueID", "cognate_ligand", "score", "pdbl_subparity", "parity_smarts"
+    ).agg(F.array_sort(F.collect_set("_ec")).alias("ecList"))
+    w = Window.partitionBy("uniqueID")
+    return (
+        grouped.withColumn("_max", F.max("score").over(w))
+        .withColumn(
+            "bestCognate", F.when(F.col("score") == F.col("_max"), "Y").otherwise("N")
+        )
+        .drop("_max")
+        .select(
+            "uniqueID",
+            F.col("cognate_ligand").alias("cognateLigand"),
+            F.col("score").alias("parityScore"),
+            F.col("pdbl_subparity").alias("subParityScore"),
+            F.col("parity_smarts").alias("paritySMARTS"),
+            "ecList",
+            "bestCognate",
+        )
+    )
+
+
+def build_domain_nodes(combined_contacts: DataFrame) -> DataFrame:
+    """Domain instance nodes, one table for all 7 kinds (template over
+    `produce_neo4j_files.py:144-290`): key = pdb:chain:acc, group key =
+    the accession used for hierarchy membership."""
+    return combined_contacts.select(
+        F.col("domain_accession").alias("domain"),
+        F.col("xref_db_acc").alias("domainAccession"),
+        F.col("xref_db_acc").alias("groupAccession"),
+        F.col("pdb_id").alias("pdbEntry"),
+        F.col("xref_db").alias("type"),
+    ).dropDuplicates(["domain", "type"])
+
+
+def build_ec_nodes_and_edges(ec_records: DataFrame) -> dict[str, DataFrame]:
+    """EC hierarchy nodes + IS_IN_* edges from resolved EC records
+    (`produce_neo4j_files.py:30-68` equivalent; rollup via
+    operators.ec.ec_hierarchy_cols)."""
+    from procoggraph_spark.operators.ec import ec_hierarchy_cols
+
+    leaves = ec_hierarchy_cols(
+        ec_records.filter(F.col("DE") != "Deleted entry.").select("TRANSFER", "DE").distinct(),
+        "TRANSFER",
+    )
+    return {
+        "ecID": leaves.select(
+            F.col("TRANSFER").alias("ecID"), F.col("DE").alias("description")
+        ).dropDuplicates(["ecID"]),
+        "ecSubSubClass": leaves.select("ecSubSubClass").distinct().withColumn(
+            "description", F.lit(None).cast("string")
+        ),
+        "ecSubClass": leaves.select("ecSubClass").distinct().withColumn(
+            "description", F.lit(None).cast("string")
+        ),
+        "ecClass": leaves.select("ecClass").distinct().withColumn(
+            "description", F.lit(None).cast("string")
+        ),
+        "IS_IN_SUBSUBCLASS": leaves.select(
+            F.col("TRANSFER").alias("ecID"), "ecSubSubClass"
+        ).distinct(),
+        "IS_IN_SUBCLASS": leaves.select("ecSubSubClass", "ecSubClass").distinct(),
+        "IS_IN_CLASS": leaves.select("ecSubClass", "ecClass").distinct(),
+    }
+
+
+def build_graph(
+    combined_contacts: DataFrame,
+    parity_scores: DataFrame,
+    cognate_ligands: DataFrame,
+    ec_records: DataFrame | None = None,
+    *,
+    parity_threshold: float = 0.40,
+) -> ProCogGraph:
+    """Assemble the full graph from pipeline intermediates."""
+    g = ProCogGraph()
+    g.nodes["entry"] = build_entry_nodes(combined_contacts)
+    bes = build_bound_entity_nodes(combined_contacts)
+    g.nodes["boundEntity"] = bes
+    bds = build_bound_descriptor_nodes(combined_contacts)
+    g.nodes["boundDescriptor"] = bds
+    g.nodes["cognateLigand"] = cognate_ligands.select(
+        F.col("uniqueID"),
+        F.col("canonical_smiles").alias("canonicalSMILES"),
+        F.col("compound_name").alias("compoundName"),
+        F.col("ligand_db").alias("ligandDB"),
+        F.col("compound_reaction").alias("compoundReaction"),
+        F.col("isCofactor"),
+    ).dropDuplicates(["uniqueID"])
+    g.nodes["domain"] = build_domain_nodes(combined_contacts)
+
+    g.edges["DESCRIBED_BY"] = build_described_by_edges(bes, bds)
+    g.edges["INTERACTS_WITH_LIGAND"] = build_interaction_edges(combined_contacts)
+    g.edges["IS_IN_PDB"] = bes.select(
+        F.col("uniqueID").alias("src"),
+        F.col("pdbEntry").alias("dst"),
+        F.lit("boundEntity").alias("srcLabel"),
+    )
+
+    if "ecList" in combined_contacts.columns:
+        be_ec = (
+            combined_contacts.select("uniqueID", "hetCode", "description", "descriptor", "ecList")
+            .dropDuplicates(["uniqueID"])
+            .join(F.broadcast(bds), ["hetCode", "description", "descriptor"])
+            .select("uniqueID", "ligandEntityID", "ecList")
+        )
+        g.edges["HAS_SIMILARITY"] = build_similarity_edges(
+            parity_scores, be_ec, threshold=parity_threshold
+        )
+
+    if ec_records is not None:
+        for name, df in build_ec_nodes_and_edges(ec_records).items():
+            (g.edges if name.startswith("IS_IN") else g.nodes)[name] = df
+    return g

@@ -251,8 +251,8 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return S.lsh_topk(
-        e, queries, id_col="vec_id", vec_col="embedding", dim=64, n_planes=8,
-        n_tables=4, k=10,
+        e, queries, id_col="vec_id", vec_col="embedding", dim=64, n_planes=4,
+        n_tables=8, k=10,
     )
 
 

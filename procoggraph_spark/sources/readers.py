@@ -1,0 +1,162 @@
+"""Source readers (SURVEY §2.1 S1-S3, S9, S11).
+
+The reference reads a zoo of flat-file dialects with pandas; here each
+becomes a Spark reader that preserves the quirks that matter:
+
+- S1: TSV with custom NA discipline — hetCode "NA" (sodium!) must
+  survive, so only literal "NaN"/"None" are nulls
+  (`process_all_pdb_contacts.py:145`, `produce_neo4j_files.py:105-111`).
+- S2: multi-char / exotic separators (cath-names 4-space, scop2 space)
+  via spark.read.text + split (`process_all_pdb_contacts.py:272`).
+- S3: comment/skip-rows readers (`download_mmcif.py:182`).
+- S9/S11: record-format files (CATH CDDF stanzas, KEGG ENTRY///
+  records) as UDTF-style parsers over whole-record text splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = "\t",
+    header: bool = True,
+    comment: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """S1/S3: CSV/TSV with the NA-protection discipline: ONLY the
+    literal strings "NaN" and "None" are nulls — never "NA"."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("nullValue", "NaN")
+        .option("nanValue", "__never_nan__")  # keep textual "NA" intact
+        .option("emptyValue", "")
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.csv(path)
+    # second null literal ("None") — CSV reader supports one nullValue
+    for c in df.columns:
+        df = df.withColumn(c, F.when(F.col(c) == "None", None).otherwise(F.col(c)))
+    return df
+
+
+def read_multichar_sep(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep_regex: str,
+    columns: list[str],
+    comment: str | None = "#",
+    max_split: int | None = None,
+) -> DataFrame:
+    """S2: exotic-separator flat files (e.g. cath-names' 4-space sep,
+    `process_all_pdb_contacts.py:272`) — text read + regex split, since
+    the CSV datasource only supports single-char separators."""
+    text = spark.read.text(path)
+    if comment:
+        text = text.filter(~F.col("value").startswith(comment))
+    limit = max_split if max_split is not None else len(columns)
+    parts = F.split(F.col("value"), sep_regex, limit)
+    return text.select(
+        *[parts.getItem(i).alias(c) for i, c in enumerate(columns)]
+    )
+
+
+def read_skip_rows(
+    spark: SparkSession, path: str, *, skip: int, sep: str = "\t", columns: list[str]
+) -> DataFrame:
+    """S3: skiprows=N readers (`download_mmcif.py:182` skiprows=1) —
+    zipWithIndex-free: tag line numbers per file via a window on a
+    monotonically increasing id is overkill for header-skips; instead
+    read as text, drop the first ``skip`` rows per file with a window."""
+    from pyspark.sql import Window
+
+    text = spark.read.text(path).withColumn("_file", F.input_file_name())
+    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+    body = text.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > skip)
+    parts = F.split(F.col("value"), sep)
+    return body.select(*[parts.getItem(i).alias(c) for i, c in enumerate(columns)])
+
+
+def read_record_format(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_sep: str = "///",
+    parse_record,
+    schema,
+) -> DataFrame:
+    """S11: KEGG-style flat records (ENTRY.../// blocks,
+    `get_ec_information.py:28-91`) — lineSep splits whole records, a
+    mapInPandas UDTF parses each into typed rows. ``parse_record`` is
+    ``str -> list[dict]``."""
+    import pandas as pd
+
+    records = spark.read.option("lineSep", record_sep).text(path)
+
+    def parse_batch(it):
+        for pdf in it:
+            rows = []
+            for rec in pdf["value"]:
+                if rec and rec.strip():
+                    rows.extend(parse_record(rec))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return records.mapInPandas(parse_batch, schema=schema)
+
+
+def parse_kegg_record(rec: str) -> list[dict]:
+    """Minimal KEGG flat-record parser: ENTRY / NAME / DEFINITION /
+    EQUATION / ENZYME fields (`get_ec_information.py:118-161`)."""
+    out: dict[str, str | None] = {
+        "entry": None, "name": None, "definition": None,
+        "equation": None, "enzyme": None,
+    }
+    current = None
+    for line in rec.splitlines():
+        if not line.strip():
+            continue
+        field = line[:12].strip()
+        value = line[12:].strip()
+        if field:
+            current = field.lower()
+        if current in out and value:
+            out[current] = (out[current] + " " + value) if out[current] else value
+    if out["entry"]:
+        out["entry"] = out["entry"].split()[0]
+        return [out]
+    return []
+
+
+def parse_cddf_records(text: str) -> list[dict]:
+    """S9: CATH CDDF stanza parser (`utils.py:284-338`): DOMAIN /
+    CATHCODE / SEGMENT records separated by // lines."""
+    out = []
+    domain, cathcode, segments = None, None, []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("#"):
+            continue
+        if line.startswith("//"):
+            if domain:
+                out.append(
+                    {"domain": domain, "cathcode": cathcode, "n_segments": len(segments)}
+                )
+            domain, cathcode, segments = None, None, []
+        elif line.startswith("DOMAIN"):
+            domain = line[10:].strip()
+        elif line.startswith("CATHCODE"):
+            cathcode = line[10:].strip()
+        elif line.startswith("SEGMENT"):
+            segments.append(line[10:].strip())
+    if domain:
+        out.append({"domain": domain, "cathcode": cathcode, "n_segments": len(segments)})
+    return out

@@ -1,0 +1,169 @@
+"""Golden tests for the pipeline stages against the reference's
+documented semantics (SURVEY §5: classifier boundaries, bestCognate
+ties, EC transfer chase / partial expansion, cache upsert)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.ec import (
+    expand_partial_ec,
+    resolve_transfers,
+    updated_enzyme_records,
+)
+from procoggraph_spark.operators.ownership import assign_ownership
+from procoggraph_spark.pipeline.build_graph import build_graph, build_similarity_edges
+from procoggraph_spark.pipeline.contacts import combined_contacts as build_cc
+from procoggraph_spark.sources.cache import KeyedParquetCache
+from tests import fixtures
+
+
+def classes(df):
+    return {
+        (r["uniqueID"], r["domain_accession"]): r["domain_ownership"]
+        for r in df.collect()
+    }
+
+
+def test_ownership_boundaries(spark):
+    cc = fixtures.combined_contacts(spark)
+    out = assign_ownership(cc, unique_id="uniqueID", database_type="xref_db")
+    got = classes(out)
+    assert got[("u1", "1abc:A:c1")] == "exclusive"       # perc == 1.0
+    assert got[("u2", "1abc:A:c1")] == "dominant"        # 0.9
+    assert got[("u2", "1abc:A:c2")] == "minor"           # 0.1
+    assert got[("u3", "1abc:A:c1")] == "major_partner"   # 0.5, two non-minor
+    assert got[("u4", "1abc:A:c1")] == "major"           # 0.85, one non-minor
+    assert got[("u4", "1abc:A:c2")] == "minor"           # exactly 0.1
+    assert got[("u5", "1abc:A:c1")] == "major_partner"
+    assert got[("u5", "1abc:A:c2")] == "partner"         # 0.4, two non-minor
+    assert got[("u6", "1abc:A:c1")] is None              # the reference's NaN hole
+    assert got[("u1", "1abc:A:p1")] == "exclusive"       # per-db totals independent
+
+
+def test_contacts_stage(spark):
+    atoms = fixtures.atom_contacts(spark)
+    out = build_cc(atoms, contact_cutoff=3)
+    rows = {r["domain_accession"]: r for r in out.collect()}
+    assert set(rows) == {"1abc:A:d1", "1abc:A:d2"}  # d3 under cutoff dropped
+    d1 = rows["1abc:A:d1"]
+    # proximal-only contact dropped: d1 has 5 real contacts, 4 residues
+    assert d1["domain_contact_counts"] == 5
+    assert d1["domain_hbond_counts"] == 1
+    assert d1["domain_covalent_counts"] == 1
+    # inscode sort: 99 < 100_A < 101 < 102
+    assert d1["domain_residue_interactions"] == "99|100_A|101|102"
+    assert d1["domain_contact_perc"] == 5 / 8
+    assert rows["1abc:A:d2"]["domain_ownership"] == "partner"
+
+
+def test_ec_transfer_chase(spark):
+    _, _, _, ec_records = fixtures.graph_inputs(spark)
+    resolved = resolve_transfers(ec_records)
+    got = {r["ID"]: r["TRANSFER"] for r in resolved.collect()}
+    assert got["1.1.1.1"] == "1.1.1.1"
+    assert got["1.1.1.2"] == "1.1.1.3"
+    assert got["2.2.2.2"] == "2.2.2.4"  # two-hop chase
+    assert got["2.2.2.3"] == "2.2.2.4"
+
+
+def test_partial_ec_expansion(spark):
+    _, _, _, ec_records = fixtures.graph_inputs(spark)
+    partials = spark.createDataFrame([("1.1.-.-",), ("2.2.2.2",)], "ec string")
+    out = expand_partial_ec(partials, ec_records.select("ID"), ec_col="ec", out="full")
+    got = sorted(r["full"] for r in out.collect())
+    # dashed EC expands to every matching universe id; full EC passes through
+    assert got == ["1.1.1.1", "1.1.1.2", "1.1.1.3", "2.2.2.2"]
+
+
+def test_updated_enzyme_records(spark):
+    _, _, _, ec_records = fixtures.graph_inputs(spark)
+    resolved = resolve_transfers(ec_records)
+    df = spark.createDataFrame(
+        [("c1", "1.1.-.-, 2.2.2.2"), ("c2", "7.7.7.7"), ("c3", "3.3.3.3")],
+        "chain string, protein_entity_ec string",
+    )
+    out = updated_enzyme_records(df, resolved, ec_col="protein_entity_ec")
+    got = {r["chain"]: list(r["ec_list"]) for r in out.collect()}
+    # partials expand + transfers resolve + dedup; nonexistent EC drops c2
+    assert got["c1"] == ["1.1.1.1", "1.1.1.3", "2.2.2.4"]
+    assert "c2" not in got
+    assert got["c3"] == ["3.3.3.3"]  # deleted entries resolve to themselves
+
+
+def test_best_cognate_ties(spark):
+    cc, parity, cognate, _ = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate, parity_threshold=0.40)
+    sim = g.edges["HAS_SIMILARITY"]
+    atp = {
+        r["cognateLigand"]: r
+        for r in sim.filter(F.col("uniqueID") == "1abc_bm1_A").collect()
+    }
+    assert set(atp) == {101, 102, 103}          # 0.30 row below cutoff dropped
+    assert atp[101]["bestCognate"] == "Y"       # tie at 0.80 →
+    assert atp[102]["bestCognate"] == "Y"       # ...both flagged Y
+    assert atp[103]["bestCognate"] == "N"
+    nad = {r["cognateLigand"]: r for r in sim.filter(F.col("uniqueID") == "2xyz_bm1_A").collect()}
+    assert set(nad) == {101}                    # errored calc dropped
+    # the no-cognate entity has no HAS_SIMILARITY edges at all
+    assert sim.filter(F.col("uniqueID") == "3pqr_bm1_A").count() == 0
+
+
+def test_graph_build_shapes(spark):
+    cc, parity, cognate, ec_records = fixtures.graph_inputs(spark)
+    resolved = resolve_transfers(ec_records)
+    g = build_graph(cc, parity, cognate, ec_records=resolved)
+    assert g.nodes["entry"].count() == 3
+    assert g.nodes["boundEntity"].count() == 4
+    assert g.nodes["boundDescriptor"].count() == 4
+    assert g.edges["DESCRIBED_BY"].count() == 4
+    iwl = g.edges["INTERACTS_WITH_LIGAND"]
+    assert iwl.count() == 5
+    # hetCode "NA" sodium survived as a string, not null
+    na = g.nodes["boundEntity"].filter(F.col("hetCode") == "NA")
+    assert na.count() == 1
+    # allProteinInterface is chain-prefixed union across domains
+    r = iwl.filter(
+        (F.col("uniqueID") == "1abc_bm1_A") & (F.col("domain") == "1abc:A:c1")
+    ).collect()[0]
+    assert "A_1:99" in r["allProteinInterface"]
+    assert "A_1:200" in r["allProteinInterface"]
+
+
+def test_keyed_cache_upsert(spark, tmp_path):
+    path = str(tmp_path / "cache")
+    cache = KeyedParquetCache(spark, path, ["k"])
+    first = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    cache.upsert(first)
+    hits, misses = cache.split_hits_misses(
+        spark.createDataFrame([("a",), ("c",)], "k string")
+    )
+    assert sorted(r["k"] for r in hits.collect()) == ["a"]
+    assert sorted(r["k"] for r in misses.collect()) == ["c"]
+    # upsert keeps existing values for colliding keys, adds new ones
+    cache.upsert(spark.createDataFrame([("a", 99.0), ("c", 3.0)], "k string, v double"))
+    vals = {r["k"]: r["v"] for r in cache.read().collect()}
+    assert vals == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_parity_scoring_with_cache(spark, tmp_path):
+    from procoggraph_spark.pipeline.parity import candidate_pairs, score_with_cache
+
+    bd = spark.createDataFrame(
+        [(1, "CC(=O)N", ["1.1.1.1"]), (2, "OC1CCC1", ["2.2.2.4", "1.1.1.1"])],
+        "ligand_entity_id long, descriptor string, ec_list array<string>",
+    )
+    cl = spark.createDataFrame(
+        [("1.1.1.1", 101, "OCC1OC(O)C(O)C1O"), ("2.2.2.4", 102, "OC1CCC1")],
+        "entry string, uniqueID long, canonical_smiles string",
+    )
+    pairs = candidate_pairs(bd, cl)
+    assert pairs.count() == 3  # EC-pruned: (1×1.1.1.1) + (2×both)
+    scored = score_with_cache(spark, pairs, str(tmp_path / "parity_cache"))
+    rows = {(r["ligand_entity_id"], r["cognate_ligand"]): r for r in scored.collect()}
+    assert rows[(2, 102)]["score"] == 1.0   # identical SMILES → fallback 1.0
+    assert all(r["error"] is None for r in rows.values())
+    # second run: all hits, no new keys
+    cache = KeyedParquetCache(spark, str(tmp_path / "parity_cache"), ["pdb_smiles", "cognate_smiles"])
+    _, misses = cache.split_hits_misses(pairs.select("pdb_smiles", "cognate_smiles").distinct())
+    assert misses.count() == 0

@@ -1,0 +1,139 @@
+"""Verification for the engine-hash-dependent (oracle-less) operators:
+MinHash/LSH candidate quality, SimHash, ANN recall, rolling hash golden."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import dedup as D
+from procoggraph_spark.operators import similarity as S
+from procoggraph_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Documents with planted near-duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup
+        (2, base.replace("today", "tomorrow")),     # near dup
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document text with its own vocabulary entirely"),
+        (5, base.replace("quick", "slow").replace("lazy", "sleepy")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = D.minhash_signatures(docs, n=2, num_hashes=64)
+    cand = D.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    est = D.minhash_estimate(cand, sigs)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in est.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup always collides
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5   # near dup found
+    assert (3, 4) not in pairs                       # unrelated not candidates
+    # LSH candidates must cover every high-jaccard pair (recall on dups)
+    truth = D.ngram_jaccard_pairs(docs, n=2, threshold=0.6)
+    for r in truth.collect():
+        assert (r["id_a"], r["id_b"]) in pairs
+
+
+def test_simhash_near_pairs(docs):
+    fp = D.simhash(docs)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_near_pairs(fp, max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0            # identical text → distance 0
+    assert (0, 2) in pairs                   # near dup within radius
+    assert (3, 4) not in pairs
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, key_cols=["text"], id_col="doc_id")
+    dups = {r["canonical_doc_id"]: r["n_copies"] for r in out.collect()}
+    assert dups[0] == 2  # docs 0 and 1 collapse, min id kept
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=10)
+    approx = S.lsh_topk(emb, queries, dim=64, n_planes=4, n_tables=8, k=10)
+    etop = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    atop = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(etop & atop) / len(etop)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_rolling_hash_golden(spark):
+    """Spark rolling hash == pure-Python Rabin-Karp on the same text."""
+    rows = [(0, "hello world"), (1, "a"), (2, "x" * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("h")
+        ).collect()
+    }
+
+    def rk(text, max_chars=64, base=31, mod=2147483647):
+        h = 0
+        for ch in text[:max_chars]:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    for i, text in rows:
+        assert got[i] == rk(text), f"doc {i}"
+
+
+def test_positional_fingerprint_matches_python(spark):
+    rows = [(0, "abc"), (1, "spark engine text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", X.positional_fingerprint(F.col("text")).alias("h")
+        ).collect()
+    }
+    for i, text in rows:
+        expect = sum(ord(c) * (j + 1) for j, c in enumerate(text[:64])) % 2147483647
+        assert got[i] == expect
+
+
+def test_langid_marker_logic(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "der hund und die katze ist nicht da"),
+            (1, "the cat and the dog is here"),
+            (2, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", X.predict_lang(F.col("text")).alias("lang")).collect()
+    }
+    assert got[0] == "de"
+    assert got[1] == "en"
+    assert got[2] == "und"
+
+
+def test_multimodal_plumbing(spark):
+    """Multimodal binary columns: schema + batching real, decode stubbed."""
+    from procoggraph_spark.operators.multimodal import (
+        attach_fake_features,
+        decode_stub_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG fake"), "image/png"),
+         (2, bytearray(b"RIFF fake"), "audio/wav")],
+        "asset_id long, payload binary, mime string",
+    )
+    out = attach_fake_features(df)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 9
+    assert len(rows[1]["features"]) == 8
+    assert out.schema["features"].dataType.simpleString() == "array<double>"
+    assert decode_stub_schema().fieldNames() == ["asset_id", "width", "height", "pixels"]
