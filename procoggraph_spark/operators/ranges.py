@@ -21,9 +21,15 @@ def compress_int_ranges(
     """Per ``key``: compress the distinct sorted ints in ``value`` into a
     ``"lo-hi,single,..."`` string ordered by range start."""
     w = Window.partitionBy(key).orderBy(value)
+    # one explicit shuffle on `key`; the dedup groupBy, the window, the
+    # island groupBy and the final groupBy are all satisfied by it
+    # (HashPartitioning(key) clusters every (key, ...) grouping)
     islands = (
         df.select(key, value)
-        .distinct()
+        .repartition(key)
+        .groupBy(key, value)
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_g", F.col(value) - F.col("_rn"))
     )

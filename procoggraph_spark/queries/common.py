@@ -18,9 +18,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table (per-table read keeps parquet column
-    pruning and predicate pushdown visible in the plan).
+    pruning and predicate pushdown visible in the plan). DataFrame
+    handles are memoized per (session, dir, table): schema/footer
+    resolution costs ~100ms per call and the driver runs dozens of
+    queries against the same session.
 
     The driver's `events` table stores TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as long (runtime-settable legacy
@@ -30,14 +36,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC at query time: the caller's session may not have it, and
     # timestamp values otherwise collect tz-shifted vs the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (id(spark), sf_dir, name)
+    if key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def dec2(c: Column) -> Column:

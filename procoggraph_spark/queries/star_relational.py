@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.operators.ownership import assign_ownership
-from procoggraph_spark.queries.common import dec2, dsum2, dsum4, t
+from procoggraph_spark.queries.common import dec2, dec4, dsum2, dsum4, t
 
 QUERIES = {}
 ORACLES = {}
@@ -83,15 +83,21 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
+    # pre-aggregate lineitem per order before the join chain: the
+    # orders join then shuffles one row per order instead of one per
+    # lineitem, and countDistinct(o_orderkey) degrades to count(*)
+    lagg = l.groupBy("l_orderkey").agg(
+        F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev")
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        lagg.join(o, lagg.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
     )
 
@@ -197,21 +203,32 @@ def q3_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-aggregate the fact side BELOW the join (orders ⟕ per-order
+    # rollup instead of grouping the joined 4-way row set): the shuffle
+    # carries 1 row per order, not 1 per lineitem — the classic
+    # partial-agg pushdown Catalyst won't do through an outer join
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part")
-    return (
-        o.join(l, o.o_orderkey == l.l_orderkey, "left")
-        .join(p, l.l_partkey == p.p_partkey, "left")
-        .groupBy("o_orderkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # collect_set+size instead of countDistinct: two countDistincts in
+    # one agg force an Expand (3× the input rows through the shuffle);
+    # per-order cardinalities are tiny so sets are cheaper at any scale
+    lagg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-            F.coalesce(
-                dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))), F.lit(0.0)
-            ).alias("revenue"),
-            F.array_join(F.array_sort(F.collect_set("p_brand")), "|").alias("brands"),
+            F.size(F.collect_set("l_partkey")).alias("n_parts"),
+            F.size(F.collect_set("l_suppkey")).alias("n_suppliers"),
+            dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+            F.array_join(F.array_sort(F.collect_set("p_brand")), "|").alias("_brands"),
         )
+    )
+    return o.join(lagg, o.o_orderkey == lagg.l_orderkey, "left").select(
+        "o_orderkey",
+        F.coalesce("n_parts", F.lit(0)).cast("long").alias("n_parts"),
+        F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+        F.coalesce("_rev", F.lit(0.0)).alias("revenue"),
+        F.coalesce("_brands", F.lit("")).alias("brands"),
     )
 
 
