@@ -18,11 +18,16 @@ def sort_tokens_numeric_inscode(tokens: Column, sep: str = "|") -> Column:
     (reference `nextflow/bin/process_pdb_contacts.py:40-44`, regex
     ``(\\d+)_*(\\D*)``) as array_sort over a (num, ins, token) struct —
     struct ordering gives the (numeric, inscode) sort, no UDF.
+
+    Documented divergence: the reference sorts by the numeric part only
+    and relies on Python's stable sort for ties (input-order-dependent);
+    here ties order deterministically by (inscode, token) so reruns and
+    any partitioning produce identical output (SURVEY §1.3 determinism).
     """
     structs = F.transform(
         tokens,
         lambda x: F.struct(
-            F.regexp_extract(x, r"^(\d+)", 1).cast("int").alias("num"),
+            F.regexp_extract(x, r"^(\d+)", 1).try_cast("int").alias("num"),
             F.regexp_extract(x, r"^\d+_*(\D*)", 1).alias("ins"),
             x.alias("token"),
         ),
@@ -43,9 +48,11 @@ def pattern_to_range(col: Column) -> Column:
     """``"(1-60)"`` → array [1..60] (reference `pattern_to_range`,
     `process_pdb_structure.py:12-14`). Input may or may not be
     parenthesized; returns ArrayType(IntegerType)."""
-    lo = F.regexp_extract(col, r"(\d+)\s*-\s*(\d+)", 1).cast("int")
-    hi = F.regexp_extract(col, r"(\d+)\s*-\s*(\d+)", 2).cast("int")
-    single = F.regexp_extract(col, r"^\(?(\d+)\)?$", 1).cast("int")
+    # try_cast: regexp_extract yields '' (not NULL) on no-match, and
+    # ANSI mode (Spark 4 default) hard-fails a plain cast on ''
+    lo = F.regexp_extract(col, r"(\d+)\s*-\s*(\d+)", 1).try_cast("int")
+    hi = F.regexp_extract(col, r"(\d+)\s*-\s*(\d+)", 2).try_cast("int")
+    single = F.regexp_extract(col, r"^\(?(\d+)\)?$", 1).try_cast("int")
     return F.when(lo.isNotNull() & hi.isNotNull(), F.sequence(lo, hi)).otherwise(
         F.when(single.isNotNull(), F.array(single))
     )

@@ -143,7 +143,7 @@ def q5_domain_interactions(
             F.round(F.col("domainContactPerc") * 100, 2).alias("contact_pct"),
             F.size("proteinInterface").alias("n_interface_residues"),
             F.array_min(F.transform("proteinInterface",
-                lambda r: F.regexp_extract(r, r"^(\d+)", 1).cast("int"))).alias(
+                lambda r: F.regexp_extract(r, r"^(\d+)", 1).try_cast("int"))).alias(
                 "min_interface_residue"
             ),
         )

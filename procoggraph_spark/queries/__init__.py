@@ -10,11 +10,16 @@ from __future__ import annotations
 
 
 def registry():
-    from procoggraph_spark.queries import star_llmops, star_relational, star_streaming
+    from procoggraph_spark.queries import (
+        star_llmops,
+        star_relational,
+        star_relational2,
+        star_streaming,
+    )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (star_relational, star_llmops, star_streaming):
+    for mod in (star_relational, star_relational2, star_llmops, star_streaming):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

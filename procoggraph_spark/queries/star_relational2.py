@@ -1,0 +1,324 @@
+"""Second coverage wave: the remaining SURVEY §2 operator families —
+referential-integrity anti-joins (J1/T7), conditional overwrite/swap
+(P7/P8), group-by-rest with null keys (A2), rollup (A11), pivot,
+selector-string building (F9/F10), sentinel-filtered casts (F16), and
+embedding-cosine near-dup pairs (dedup family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.queries.common import dec2, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- J1/T7: referential-integrity check via anti-join ---------------------
+# The reference asserts merge(indicator=True) mismatches == 0 after every
+# join (SURVEY §5.1). The distributed form: anti-join counts per side.
+
+@q(
+    "j_ref_integrity_check",
+    """
+    SELECT 'orders_without_customer' AS check_name,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+             (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'lineitem_without_part',
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+             (SELECT p_partkey FROM part))
+    """,
+)
+def j_ref_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+
+    def check(name: str, left: DataFrame, right: DataFrame, lk: str, rk: str):
+        viol = left.join(right, left[lk] == right[rk], "left_anti")
+        return viol.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
+        )
+
+    return (
+        check("orders_without_customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(check("lineitem_without_order", l, o, "l_orderkey", "o_orderkey"))
+        .unionByName(check("lineitem_without_part", l, p, "l_partkey", "p_partkey"))
+    )
+
+
+# --- P7: conditional overwrite of a column slice ---------------------------
+# (df.loc[mask, col] = value, e.g. process_pdb_contacts.py:194-202)
+
+@q(
+    "p7_conditional_overwrite",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'PENDING' ELSE o_orderstatus END
+               AS status_norm,
+           CASE WHEN o_totalprice < 0 THEN 0.0 ELSE o_totalprice END AS price_clipped
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def p7_conditional_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "PENDING")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_norm"),
+        F.when(F.col("o_totalprice") < 0, 0.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_clipped"),
+    )
+
+
+# --- P8: column swap under mask (orient bgn/end so bgn = ligand) -----------
+# (process_pdb_contacts.py:354-355): swap (returnflag, linestatus) roles
+# when the mask fires, as struct-swap then unpack.
+
+@q(
+    "p8_column_swap",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN l_linestatus ELSE l_returnflag END AS bgn,
+           CASE WHEN l_returnflag = 'R' THEN l_returnflag ELSE l_linestatus END AS end_
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def p8_column_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    mask = F.col("l_returnflag") == "R"
+    swapped = F.when(
+        mask, F.struct(F.col("l_linestatus").alias("a"), F.col("l_returnflag").alias("b"))
+    ).otherwise(F.struct(F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")))
+    return l.withColumn("_s", swapped).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("_s.a").alias("bgn"),
+        F.col("_s.b").alias("end_"),
+    )
+
+
+# --- A2: group-by-all-remaining-columns with NULL keys ---------------------
+# (dropna=False grouping, process_pdb_contacts.py:379 — null
+# xref_db_version rows must survive as their own group)
+
+@q(
+    "a2_group_by_rest_nulls",
+    """
+    WITH src AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_v,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, status_v, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM src GROUP BY o_orderpriority, status_v
+    """,
+)
+def a2_group_by_rest_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_v"),
+        "o_totalprice",
+    )
+    agg_cols = {"o_totalprice"}
+    rest = [c for c in o.columns if c not in agg_cols]  # group-by-rest idiom
+    return o.groupBy(*rest).agg(
+        F.count("*").alias("n"),
+        F.sum(dec2(F.col("o_totalprice"))).cast("double").alias("total"),
+    )
+
+
+# --- A11: rollup (the manual EC class/subclass rollup in one pass) ---------
+
+@q(
+    "a11_rollup_hierarchy",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_lvl,
+           COALESCE(n_name, 'ALL') AS nation_lvl,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def a11_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_lvl"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_lvl"),
+            "n_customers",
+        )
+    )
+
+
+# --- pivot: wide per-status aggregation ------------------------------------
+
+@q(
+    "t_pivot_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def t_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec2(F.col("l_quantity"))).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# --- F9/F10: per-row selector-string building over arrays ------------------
+# (arpeggio selector construction, process_pdb_structure.py:140-141)
+
+@q(
+    "f9_selector_strings",
+    """
+    WITH src AS (
+      SELECT l_orderkey,
+             list_sort(list(DISTINCT l_linenumber)) AS nums
+      FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           array_to_string(list_transform(nums,
+             x -> '/1/A/' || CAST(x AS VARCHAR) || '/'), ',') AS selectors,
+           len(nums) AS n_selectors
+    FROM src
+    """,
+)
+def f9_selector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    grouped = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_linenumber")).alias("nums")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform(
+                "nums", lambda x: F.concat(F.lit("/1/A/"), x.cast("string"), F.lit("/"))
+            ),
+            ",",
+        ).alias("selectors"),
+        F.size("nums").alias("n_selectors"),
+    )
+
+
+# --- F16: sentinel-filtered cast + sum (molwt with '?' / '.') ---------------
+
+@q(
+    "f16_sentinel_cast_sum",
+    """
+    WITH src AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 97 = 0 THEN '?'
+                  WHEN o_orderkey % 89 = 0 THEN '.'
+                  ELSE CAST(o_totalprice AS VARCHAR) END AS raw_val
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN raw_val NOT IN ('?', '.') THEN 1 END) AS n_valid,
+           CAST(SUM(CASE WHEN raw_val NOT IN ('?', '.')
+                         THEN CAST(CAST(raw_val AS DOUBLE) AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total
+    FROM src GROUP BY o_orderpriority
+    """,
+)
+def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.col("o_orderkey") % 97 == 0, "?")
+        .when(F.col("o_orderkey") % 89 == 0, ".")
+        .otherwise(F.col("o_totalprice").cast("string"))
+    )
+    src = o.select("o_orderpriority", raw.alias("raw_val"))
+    valid = ~F.col("raw_val").isin("?", ".")
+    return src.groupBy("o_orderpriority").agg(
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.sum(F.when(valid, dec2(F.col("raw_val").cast("double"))))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# --- dedup family: embedding-cosine near-dup pairs --------------------------
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.operators.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.withColumn("cosine_sim", F.round(sim, 6))
+        .filter(sim >= 0.9)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# --- A3 at the 100 TB tier: approximate distinct (oracle-less; the
+# exact twin is hash-compared elsewhere) ------------------------------------
+
+@q("a3_approx_count_distinct")
+def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

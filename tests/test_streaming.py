@@ -1,0 +1,116 @@
+"""Structured Streaming surface: readStream twins must equal their
+batch formulations when drained with trigger(availableNow); watermark
+and incremental-upsert (availableNow + foreachBatch) behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.queries.common import t
+from procoggraph_spark.streaming.windows import (
+    session_windows_batch,
+    session_windows_native,
+    sliding_counts,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _staged_events(spark, tmp_path):
+    ev = t(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events")
+    ev.write.mode("overwrite").parquet(path)
+    return ev, path
+
+
+def test_streaming_equals_batch_tumbling(spark, tmp_path):
+    ev, path = _staged_events(spark, tmp_path)
+    agg = streaming_tumbling_counts(spark, path, ev.schema, duration="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(ev, duration="1 hour").collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_sliding_window_multiplicity(spark):
+    ev = t(spark, SF_SMOKE, "events")
+    slid = sliding_counts(ev, duration="1 hour", slide="30 minutes")
+    tumb = tumbling_counts(ev, duration="1 hour")
+    # each event lands in exactly 2 sliding windows
+    n_slid = slid.agg(F.sum("n")).collect()[0][0]
+    n_tumb = tumb.agg(F.sum("n")).collect()[0][0]
+    assert n_slid == 2 * n_tumb
+
+
+def test_session_native_vs_batch(spark):
+    """The native session_window groupBy and the gaps-and-islands batch
+    formulation must produce identical session sets on static data."""
+    ev = t(spark, SF_SMOKE, "events")
+    native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_windows_native(ev, gap="30 minutes").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_windows_batch(ev, gap_minutes=30).collect()
+    }
+    assert native == batch
+
+
+def test_incremental_upsert_availablenow(spark, tmp_path):
+    """The S16 cache pattern under streaming: new files arrive, a
+    foreachBatch merge upserts only unseen keys (exactly-once shape)."""
+    from procoggraph_spark.sources.cache import KeyedParquetCache
+
+    src = str(tmp_path / "incoming")
+    cache_path = str(tmp_path / "cache")
+    spark.createDataFrame([("k1", 1.0), ("k2", 2.0)], "k string, v double").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    cache = KeyedParquetCache(spark, cache_path, ["k"])
+    schema = "k string, v double"
+
+    def merge(batch_df, epoch_id):
+        cache.upsert(batch_df)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["k"]: r["v"] for r in cache.read().collect()} == {"k1": 1.0, "k2": 2.0}
+
+    # second micro-batch: one colliding key (kept), one new
+    spark.createDataFrame([("k2", 99.0), ("k3", 3.0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in cache.read().collect()}
+    assert got == {"k1": 1.0, "k2": 2.0, "k3": 3.0}  # k2 NOT overwritten
