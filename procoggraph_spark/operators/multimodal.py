@@ -46,21 +46,25 @@ def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
 
 
 def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """DETERMINISTIC FAKE feature extractor: FEATURE_DIM doubles derived
-    from byte sums over equal slices of the payload — stands in for an
-    embedding model with the same schema/batching."""
+    """DETERMINISTIC FAKE feature extractor: a signed count-sketch of
+    5-byte shingles (crc32-bucketed, ±1 signed) — stands in for an
+    embedding model with the same schema/batching. Unlike a byte-average
+    (which collapses all natural-language payloads to near-identical
+    vectors), unrelated payloads sketch to near-orthogonal vectors while
+    shared shingles preserve similarity — so downstream cosine
+    thresholds behave like they would on real embeddings."""
+    import zlib
 
     def feats(payload: bytes | bytearray | None) -> list[float]:
         if payload is None:
             return [0.0] * FEATURE_DIM
         b = bytes(payload)
-        n = max(len(b), 1)
-        step = max(n // FEATURE_DIM, 1)
-        out = []
-        for i in range(FEATURE_DIM):
-            chunk = b[i * step : (i + 1) * step] or b"\x00"
-            out.append(round(sum(chunk) / (255.0 * len(chunk)), 6))
-        return out
+        acc = [0] * FEATURE_DIM
+        for i in range(max(len(b) - 4, 1)):
+            h = zlib.crc32(b[i : i + 5])
+            acc[h % FEATURE_DIM] += 1 if (h >> 3) & 1 else -1
+        norm = sum(v * v for v in acc) ** 0.5 or 1.0
+        return [round(v / norm, 6) for v in acc]
 
     return pd.DataFrame(
         {

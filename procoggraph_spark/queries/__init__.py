@@ -12,6 +12,7 @@ from __future__ import annotations
 def registry():
     from procoggraph_spark.queries import (
         star_llmops,
+        star_multimodal,
         star_relational,
         star_relational2,
         star_streaming,
@@ -19,7 +20,13 @@ def registry():
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (star_relational, star_relational2, star_llmops, star_streaming):
+    for mod in (
+        star_relational,
+        star_relational2,
+        star_llmops,
+        star_multimodal,
+        star_streaming,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

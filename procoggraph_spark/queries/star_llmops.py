@@ -256,6 +256,17 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("sim_ivf_ann")
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors (oracle-less; pytest
+    checks recall ≥ 0.5 vs brute force on the same data)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        e, queries, id_col="vec_id", vec_col="embedding", n_cells=16, n_probe=4, k=10
+    )
+
+
 # --- embedding column stats (F12 array_min/array_max family) --------------
 
 @q(

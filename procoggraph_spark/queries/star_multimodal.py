@@ -1,0 +1,125 @@
+"""Multimodal-column coverage over the `documents` table: opaque binary
+payloads with typed metadata, mapInPandas feature extraction, and video
+frame-sampling plumbing (SURVEY §7 M6 / driver's multimodal family).
+
+The container has no codec libraries, so payloads are derived
+deterministically from the text column (`encode(text)` on both engines)
+and the "decoder" is the deterministic fake in operators.multimodal —
+the Spark-side plumbing (BinaryType columns, Arrow batch shapes,
+explode-based frame plans) is real and oracle/pytest-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import multimodal as M
+from procoggraph_spark.operators import similarity as S
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → asset table with a real BinaryType payload column.
+
+    mime is derived from `source` so the metadata is typed and joinable;
+    at 100 TB this column layout (id, mime, binary payload) is the
+    Parquet schema a crawl archive would use.
+    """
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit("application/x-"), F.col("source")).alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+# --- typed metadata over binary columns ------------------------------------
+
+@q(
+    "mm_asset_metadata",
+    """
+    SELECT mime, COUNT(*) AS n_assets,
+           SUM(n_bytes) AS total_bytes, MAX(n_bytes) AS max_bytes
+    FROM (
+      SELECT 'application/x-' || source AS mime,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ) GROUP BY mime
+    """,
+)
+def mm_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _assets(spark, sf_dir)
+    return a.groupBy("mime").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+# --- video frame-sampling plumbing (sequence + explode, shuffle-free) ------
+
+@q(
+    "mm_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS asset_id, (n_chars % 240) + 1 AS n_frames
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT asset_id, CAST(u.frame_idx AS INT) AS frame_idx
+    FROM v, LATERAL unnest(range(0, n_frames, 30)) AS u(frame_idx)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    v = d.select(
+        F.col("doc_id").alias("asset_id"),
+        ((F.col("n_chars") % 240) + 1).cast("int").alias("n_frames"),
+    )
+    return M.frame_sample_plan(v, every_n=30)
+
+
+# --- mapInPandas feature extraction over binary batches --------------------
+
+@q("mm_feature_extract")
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake feature extractor over binary payloads
+    (oracle-less: byte-slice features aren't SQL-replicable; pytest
+    recomputes them in pure pandas and compares)."""
+    a = _assets(spark, sf_dir).filter(F.col("asset_id") < 100)
+    return M.attach_fake_features(a)
+
+
+# --- multimodal → similarity: features feed the ANN operators --------------
+
+@q("mm_feature_neardup")
+def mm_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal near-dup: binary payload → mapInPandas
+    features → cosine pair filter. Oracle-less (feature fake); pytest
+    checks every emitted pair against a pandas recomputation."""
+    feats = M.attach_fake_features(
+        _assets(spark, sf_dir).filter(F.col("asset_id") < 100)
+    )
+    a = feats.select(F.col("asset_id").alias("id_a"), F.col("features").alias("_va"))
+    b = feats.select(F.col("asset_id").alias("id_b"), F.col("features").alias("_vb"))
+    sim = S.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= 0.9)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -312,6 +312,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q5 star analog: per-entity interaction detail table -------------------
+# (dashboard.json:716 — two joins to edge tables + projected interaction
+# props + % share + interface array size/min + JSON payload; the star
+# twin of graph.queries.q5_domain_interactions)
+
+@q(
+    "q5_interaction_detail",
+    """
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 300),
+    tot AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM li GROUP BY l_orderkey
+    ),
+    grp AS (
+      SELECT l_orderkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+             list_sort(list(l_linenumber)) AS interface
+      FROM li GROUP BY l_orderkey, l_partkey
+    )
+    SELECT g.l_orderkey, p_name,
+           ROUND(CAST(g.qty AS DOUBLE) * 100.0 / CAST(t.total_qty AS DOUBLE), 2)
+               AS contact_pct,
+           len(interface) AS n_interface,
+           interface[1] AS min_interface,
+           '{"order":' || CAST(g.l_orderkey AS VARCHAR)
+             || ',"part":"' || p_name || '"}' AS payload
+    FROM grp g
+    JOIN tot t ON g.l_orderkey = t.l_orderkey
+    JOIN part p ON g.l_partkey = p_partkey
+    """,
+)
+def q5_interaction_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    p = t(spark, sf_dir, "part")
+    # pre-aggregate to (order, part) BEFORE the dimension join — the
+    # shuffled payload is the grouped edge set, not raw contacts
+    grp = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(dec2(F.col("l_quantity"))).alias("qty"),
+        F.sort_array(F.collect_list("l_linenumber")).alias("interface"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        grp.withColumn("total_qty", F.sum("qty").over(w))
+        .join(F.broadcast(p), grp.l_partkey == p.p_partkey)
+        .select(
+            "l_orderkey",
+            "p_name",
+            F.round(
+                F.col("qty").cast("double") * 100.0 / F.col("total_qty").cast("double"),
+                2,
+            ).alias("contact_pct"),
+            F.size("interface").alias("n_interface"),
+            F.col("interface").getItem(0).alias("min_interface"),
+            F.concat(
+                F.lit('{"order":'),
+                F.col("l_orderkey").cast("string"),
+                F.lit(',"part":"'),
+                F.col("p_name"),
+                F.lit('"}'),
+            ).alias("payload"),
+        )
+    )
+
+
 # --- A3 at the 100 TB tier: approximate distinct (oracle-less; the
 # exact twin is hash-compared elsewhere) ------------------------------------
 

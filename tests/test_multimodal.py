@@ -1,0 +1,101 @@
+"""Multimodal plumbing: binary columns, mapInPandas feature batches,
+frame-sample plans, IVF ANN recall. The decode stub stays a stub; the
+fake feature extractor is verified against a pure-pandas recomputation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import multimodal as M
+from procoggraph_spark.operators import similarity as S
+from procoggraph_spark.queries import star_multimodal as Q
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (0, "image/png", b"\x89PNG" + bytes(range(64))),
+        (1, "image/png", b"\x89PNG" + bytes(range(64))),  # exact payload dup
+        (2, "audio/wav", b"RIFF" + bytes([7] * 100)),
+        (3, "video/mp4", None),  # null payload must not crash the batch
+    ]
+    return spark.createDataFrame(
+        rows, "asset_id long, mime string, payload binary"
+    )
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image_batch(pd.DataFrame({"payload": [b"x"]}))
+
+
+def test_fake_features_match_pandas(assets):
+    got = {r["asset_id"]: r for r in M.attach_fake_features(assets).collect()}
+    pdf = assets.toPandas()
+    want = M._fake_feature_batch(pdf)
+    for _, row in want.iterrows():
+        g = got[row["asset_id"]]
+        assert g["n_bytes"] == row["n_bytes"]
+        assert g["features"] == pytest.approx(row["features"])
+    # identical payloads → identical features (the near-dup invariant)
+    assert got[0]["features"] == got[1]["features"]
+    assert got[3]["features"] == [0.0] * M.FEATURE_DIM
+
+
+def test_frame_sample_plan(spark):
+    v = spark.createDataFrame(
+        [(1, 90), (2, 1), (3, 0)], "asset_id long, n_frames int"
+    )
+    rows = sorted(
+        (r["asset_id"], r["frame_idx"])
+        for r in M.frame_sample_plan(v, every_n=30).collect()
+    )
+    assert rows == [(1, 0), (1, 30), (1, 60), (2, 0), (3, 0)]
+
+
+def test_mm_feature_neardup_vs_pandas(spark):
+    """Every pair the Spark plan emits must agree with a pandas
+    recomputation of the same fake features + cosine."""
+    import numpy as np
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in Q.mm_feature_neardup(spark, SF_ORACLE).collect()
+    }
+    assert got, "expected at least one near-dup pair at sf0.01"
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    d = d[d.doc_id < 100]
+    feats = M._fake_feature_batch(
+        pd.DataFrame(
+            {
+                "asset_id": d.doc_id,
+                "mime": "application/x-" + d.source,
+                "payload": d.text.map(lambda s: s.encode()),
+            }
+        )
+    ).set_index("asset_id")["features"]
+    for (a, b), sim in got.items():
+        va, vb = np.array(feats[a]), np.array(feats[b])
+        want = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert sim == pytest.approx(round(want, 6), abs=2e-6)
+        assert want >= 0.899
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(e, q, k=10)
+    approx = S.ivf_topk(e, q, n_cells=16, n_probe=4, k=10)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(found & truth) / len(truth) >= 0.5
+    # every reported neighbor's score must be the exact cosine (rerank is exact)
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in S.brute_force_topk(e, q, k=10**9).collect()
+    }
+    for r in approx.collect():
+        assert r["cosine_sim"] == exact_all[(r["query_id"], r["neighbor_id"])]
