@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 _TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(
+    spark: SparkSession, sf_dir: str, name: str, *, widen_on: str | None = None
+) -> DataFrame:
     """Read one star-schema table (per-table read keeps parquet column
     pruning and predicate pushdown visible in the plan). DataFrame
     handles are memoized per (session, dir, table): schema/footer
@@ -36,7 +38,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC at query time: the caller's session may not have it, and
     # timestamp values otherwise collect tz-shifted vs the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir, name)
+    key = (id(spark), sf_dir, name, widen_on)
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -47,8 +49,37 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(path)
+    if widen_on is not None and _scan_is_narrow(spark, path):
+        # Caller declares its downstream group/window key. Parquet scans
+        # are row-group-atomic, so a single-row-group file runs its scan
+        # + every map-side stage (partial agg, window sort) as ONE task.
+        # Pre-hashing on the key moves that work wide at the cost of
+        # shuffling raw rows — a win only when the scan can't split,
+        # which a real multi-file 100 TB layout never hits (there this
+        # is a no-op and map-side partial aggregation does its job).
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism, F.col(widen_on)
+        )
     _TABLE_MEMO[key] = df
     return df
+
+
+_NARROW_MEMO: dict[str, bool] = {}
+
+
+def _scan_is_narrow(spark: SparkSession, path: str) -> bool:
+    if path not in _NARROW_MEMO:
+        narrow = False
+        try:
+            if os.path.isfile(path) and os.path.getsize(path) > (4 << 20):
+                import pyarrow.parquet as pq
+
+                n_groups = pq.ParquetFile(path).num_row_groups
+                narrow = n_groups < spark.sparkContext.defaultParallelism // 2
+        except Exception:
+            narrow = False
+        _NARROW_MEMO[path] = narrow
+    return _NARROW_MEMO[path]
 
 
 def dec2(c: Column) -> Column:
@@ -59,10 +90,27 @@ def dec4(c: Column) -> Column:
     return c.cast("decimal(18,4)")
 
 
+def cents(c: Column, scale: int = 2) -> Column:
+    """Fixed-point integer representation of a ``scale``-decimal measure
+    (HALF_UP, same rounding a decimal cast applies). Long sums stay in
+    whole-stage codegen — roughly half the per-row cost of Spark's
+    Decimal aggregation buffer — and integer addition is exact and
+    associative, so results are partitioning-independent like decimal.
+    Overflow headroom: 9.2e18 cents ≈ 9.2e16 in measure units; beyond
+    that (extreme 100 TB rollups) switch the final reduce to
+    ``sum(cast(c as decimal(38,scale)))``."""
+    return F.round(c * (10 ** scale), 0).cast("long")
+
+
 def dsum2(c: Column) -> Column:
-    """Exact sum of a 2-decimal measure, returned as double."""
-    return F.sum(dec2(c)).cast("double")
+    """Exact sum of a 2-decimal measure, returned as double.
+
+    ``sum(cents)/100.0`` is the correctly-rounded double of the exact
+    decimal total — bit-identical to ``CAST(SUM(DECIMAL(18,2)) AS
+    DOUBLE)`` on the oracle side (both round the same exact value once).
+    """
+    return F.sum(cents(c, 2)) / 100.0
 
 
 def dsum4(c: Column) -> Column:
-    return F.sum(dec4(c)).cast("double")
+    return F.sum(cents(c, 4)) / 10000.0

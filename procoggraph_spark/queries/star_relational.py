@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.operators.ownership import assign_ownership
-from procoggraph_spark.queries.common import dec2, dec4, dsum2, dsum4, t
+from procoggraph_spark.queries.common import cents, dec2, dec4, dsum2, dsum4, t
 
 QUERIES = {}
 ORACLES = {}
@@ -78,7 +78,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
@@ -87,7 +87,7 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders join then shuffles one row per order instead of one per
     # lineitem, and countDistinct(o_orderkey) degrades to count(*)
     lagg = l.groupBy("l_orderkey").agg(
-        F.sum(dec4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev")
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("_rev_c")
     )
     return (
         lagg.join(o, lagg.l_orderkey == o.o_orderkey)
@@ -96,7 +96,7 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("_rev").cast("double").alias("revenue"),
+            (F.sum("_rev_c") / 10000.0).alias("revenue"),
             F.count("o_orderkey").alias("n_orders"),
         )
     )
@@ -208,7 +208,7 @@ def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries 1 row per order, not 1 per lineitem — the classic
     # partial-agg pushdown Catalyst won't do through an outer join
     o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # collect_set+size instead of countDistinct: two countDistincts in
     # one agg force an Expand (3× the input rows through the shuffle);
@@ -376,7 +376,7 @@ def q8_group_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q9_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     combo = F.concat_ws(":", "l_returnflag", "l_linestatus")
     per_order = (
         l.withColumn("fs", combo)
@@ -734,7 +734,11 @@ def a5_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_range_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procoggraph_spark.operators.ranges import compress_int_ranges
 
-    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber").distinct()
+    l = (
+        t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+    )
     return compress_int_ranges(l, key="l_orderkey", value="l_linenumber", out="ranges")
 
 
@@ -805,7 +809,7 @@ def a8_inscode_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p6_ownership_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem").select(
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey").select(
         F.col("l_orderkey").alias("uniqueID"),
         F.col("l_linenumber").alias("domain_accession"),
         F.col("l_quantity").alias("domain_contact_counts"),
@@ -919,5 +923,5 @@ def t4_union_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     return party.groupBy("kind").agg(
         F.count("*").alias("n"),
         F.count("segment").alias("n_with_segment"),
-        F.sum(dec2(F.col("bal"))).cast("double").alias("total_bal"),
+        dsum2(F.col("bal")).alias("total_bal"),
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from procoggraph_spark.queries.common import dec2, t
+from procoggraph_spark.queries.common import cents, dsum2, t
 
 QUERIES = {}
 ORACLES = {}
@@ -147,7 +147,7 @@ def a2_group_by_rest_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = [c for c in o.columns if c not in agg_cols]  # group-by-rest idiom
     return o.groupBy(*rest).agg(
         F.count("*").alias("n"),
-        F.sum(dec2(F.col("o_totalprice"))).cast("double").alias("total"),
+        dsum2(F.col("o_totalprice")).alias("total"),
     )
 
 
@@ -201,7 +201,7 @@ def t_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(dec2(F.col("l_quantity"))).cast("double"))
+        .agg(dsum2(F.col("l_quantity")))
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
@@ -273,8 +273,7 @@ def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = ~F.col("raw_val").isin("?", ".")
     return src.groupBy("o_orderpriority").agg(
         F.count(F.when(valid, 1)).alias("n_valid"),
-        F.sum(F.when(valid, dec2(F.col("raw_val").cast("double"))))
-        .cast("double")
+        (F.sum(F.when(valid, cents(F.col("raw_val").cast("double"), 2))) / 100.0)
         .alias("total"),
     )
 
@@ -351,18 +350,18 @@ def q5_interaction_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-aggregate to (order, part) BEFORE the dimension join — the
     # shuffled payload is the grouped edge set, not raw contacts
     grp = li.groupBy("l_orderkey", "l_partkey").agg(
-        F.sum(dec2(F.col("l_quantity"))).alias("qty"),
+        F.sum(cents(F.col("l_quantity"), 2)).alias("_qty_c"),
         F.sort_array(F.collect_list("l_linenumber")).alias("interface"),
     )
     w = Window.partitionBy("l_orderkey")
     return (
-        grp.withColumn("total_qty", F.sum("qty").over(w))
+        grp.withColumn("_tot_c", F.sum("_qty_c").over(w))
         .join(F.broadcast(p), grp.l_partkey == p.p_partkey)
         .select(
             "l_orderkey",
             "p_name",
             F.round(
-                F.col("qty").cast("double") * 100.0 / F.col("total_qty").cast("double"),
+                (F.col("_qty_c") / 100.0) * 100.0 / (F.col("_tot_c") / 100.0),
                 2,
             ).alias("contact_pct"),
             F.size("interface").alias("n_interface"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from procoggraph_spark.queries.common import dec2
+from procoggraph_spark.queries.common import dsum2
 
 
 def tumbling_counts(
@@ -22,7 +22,7 @@ def tumbling_counts(
         events.groupBy(F.window(ts_col, duration), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(dec2(F.col("value"))).cast("double").alias("sum_value"),
+            dsum2(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -109,7 +109,7 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", duration), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(dec2(F.col("value"))).cast("double").alias("sum_value"),
+            dsum2(F.col("value")).alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
     )
