@@ -111,3 +111,19 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+@q(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-totals operator
+    (procoggraph_spark.streaming.windows.stateful_user_totals); pytest
+    drains the stateful stream with trigger(availableNow) and asserts
+    bit-identical totals against this plan."""
+    return W.batch_user_totals(t(spark, sf_dir, "events"))

@@ -92,6 +92,79 @@ def session_windows_native(
     )
 
 
+USER_TOTALS_STATE = "n LONG, total_cents LONG"
+USER_TOTALS_OUTPUT = "user_id LONG, n LONG, total DOUBLE"
+
+
+def _user_totals_fn(key, pdfs, state):
+    """applyInPandasWithState update fn: per-user running (count, exact
+    cents total). State is a (long, long) tuple — value sums use the
+    same fixed-point discipline as the batch engine so streamed totals
+    are bit-identical to the batch twin."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"] * 100, 0).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (beyond any built-in window):
+    per-user running totals via ``applyInPandasWithState`` — the pattern
+    the reference's incremental caches would need if fed from a stream.
+    Output mode "update": each micro-batch emits the users it touched."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=USER_TOTALS_OUTPUT,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_user_totals(events: DataFrame) -> DataFrame:
+    """Batch twin of `stateful_user_totals` (same cents discipline)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum2(F.col("value")).alias("total"),
+    )
+
+
+def incremental_cache_stream(
+    spark,
+    events_path: str,
+    schema,
+    cache,
+    *,
+    checkpoint: str,
+):
+    """S16's incremental cache as Structured Streaming: readStream →
+    ``trigger(availableNow=True)`` → ``foreachBatch`` upsert into a
+    KeyedParquetCache. Each run drains only data arrived since the last
+    checkpoint and merges new keys — the reference's
+    "compute only what's not cached" (`get_pdb_parity.py:157-171`) with
+    exactly-once progress tracking instead of a hand-rolled manifest.
+    Caller awaits the returned query."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def merge(batch_df, _batch_id: int) -> None:
+        cache.upsert(batch_df.dropDuplicates(cache.key_cols))
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_tumbling_counts(
     spark,
     events_path: str,

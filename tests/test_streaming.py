@@ -114,3 +114,62 @@ def test_incremental_upsert_availablenow(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["k"]: r["v"] for r in cache.read().collect()}
     assert got == {"k1": 1.0, "k2": 2.0, "k3": 3.0}  # k2 NOT overwritten
+
+
+def test_stateful_user_totals_equals_batch(spark, tmp_path):
+    """applyInPandasWithState running totals, drained availableNow, must
+    equal the batch groupBy twin (exact cents discipline end-to-end)."""
+    from procoggraph_spark.streaming.windows import (
+        batch_user_totals,
+        stateful_user_totals,
+    )
+
+    ev, path = _staged_events(spark, tmp_path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("usertot")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode can emit a user several times; the last emission wins
+    got_df = spark.sql(
+        "SELECT user_id, n, total FROM usertot"
+    ).toPandas().drop_duplicates("user_id", keep="last")
+    got = {r.user_id: (r.n, r.total) for r in got_df.itertuples()}
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch_user_totals(ev).collect()
+    }
+    assert got == want
+
+
+def test_incremental_cache_stream_two_stage(spark, tmp_path):
+    """availableNow + foreachBatch cache merge: two arrivals, two
+    drains; the cache converges to the batch dedup and the second drain
+    only processes the new file (checkpointed progress)."""
+    from procoggraph_spark.sources.cache import KeyedParquetCache
+    from procoggraph_spark.streaming.windows import incremental_cache_stream
+
+    ev = t(spark, SF_SMOKE, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    inbox = str(tmp_path / "inbox")
+    first.coalesce(1).write.mode("append").parquet(inbox)
+
+    cache = KeyedParquetCache(spark, str(tmp_path / "cache"), ["event_id"])
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_cache_stream(spark, inbox, ev.schema, cache, checkpoint=ckpt)
+    q.awaitTermination(120)
+    n_first = cache.read().count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(inbox)
+    q = incremental_cache_stream(spark, inbox, ev.schema, cache, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert cache.read().count() == ev.count()
+    # keys are unique after merge (upsert is idempotent on re-delivery)
+    assert cache.read().select("event_id").distinct().count() == ev.count()
