@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 promises
+must be visible in `.explain` output — filter pushdown to the parquet
+scan, column pruning, broadcast joins for dimensions, and bounded
+shuffle counts. A regression here is a 100 TB performance bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from procoggraph_spark.queries import registry
+from tests.conftest import SF_ORACLE
+
+QUERIES, _ = registry()
+
+
+def plan(spark, df, mode: str = "formatted") -> str:
+    return spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_a1_filter_pushdown_and_single_shuffle(spark):
+    df = QUERIES["a1_pricing_summary"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    # the shipdate predicate must reach the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # grouped agg = exactly one exchange (partial agg map-side, final
+    # after); formatted mode lists each node twice (tree + detail)
+    assert p.count("Exchange (") == 1 and p.count(") Exchange") == 1
+
+
+def test_q3_column_pruning(spark):
+    df = QUERIES["q3_substring_search"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    # scan must read only the two projected columns, not all of part
+    sched = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert sched and all(
+        "p_partkey" in ln and "p_name" in ln and "p_retailprice" not in ln
+        for ln in sched
+    )
+    # top-k with limit plans as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_j7_broadcasts_dimensions(spark):
+    df = QUERIES["j7_star_join_rollup"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q4_preagg_below_join(spark):
+    df = QUERIES["q4_report_card"](spark, SF_ORACLE)
+    p = plan(spark, df, "extended")
+    # the per-order aggregate must sit BELOW the outer join with orders
+    # (physical: the left join's right child contains the aggregate)
+    phys = p.split("== Physical Plan ==")[1]
+    assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys or "BroadcastHashJoin" in phys
+    assert phys.index("Join") < phys.index("HashAggregate") or "ObjectHashAggregate" in phys
+    # the part dimension join is a broadcast, never a shuffle
+    assert "BroadcastHashJoin" in phys
+
+
+def test_whole_stage_codegen_everywhere_relational(spark):
+    """The relational hot paths stay inside whole-stage codegen (no
+    row-at-a-time Python in the plan). AQE is disabled for the probe:
+    an un-finalized AdaptiveSparkPlan hides the codegen stage markers."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["a1_pricing_summary", "j7_star_join_rollup", "w5_topk_per_group"]:
+            p = plan(spark, QUERIES[name](spark, SF_ORACLE), "simple")
+            assert "*(" in p, name  # WholeStageCodegen stage markers
+            assert "BatchEvalPython" not in p, name
+            assert "PythonUDF" not in p, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sim_lsh_join_is_equi_not_cross(spark):
+    """The ANN candidate joins must be equi-joins on bucket/cell —
+    a cross product here is the 100 TB death sentence."""
+    for name in ["sim_lsh_ann", "sim_ivf_ann"]:
+        p = plan(spark, QUERIES[name](spark, SF_ORACLE))
+        assert "CartesianProduct" not in p, name
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    p = plan(spark, QUERIES["dedup_minhash_lsh"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
