@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # managed-table home for the bucketed node/edge layout
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/procoggraph_warehouse"),
+        )
         # 128 MB parquet split targets keep partitions executor-memory-sized
         # at large SF while still parallelizing small local runs.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -55,6 +60,59 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the engine's custom kernels as SQL functions so the
+    ``spark.sql`` surface is self-contained (SURVEY §4: parity_score,
+    canonical_smiles, ec_range_compress, inscode_sort — ad-hoc SQL
+    replaces ad-hoc Cypher, §3.3). These are the legitimately-Python
+    kernels; relational logic stays in built-ins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from procoggraph_spark.functions import chem
+
+    spark.udf.register("canonical_smiles", chem.canonical_smiles)
+
+    @F.pandas_udf(T.DoubleType())
+    def parity_score(a, b):
+        import pandas as pd
+
+        out = chem.score_pairs_batch(
+            pd.DataFrame({"pdb_smiles": a, "cognate_smiles": b})
+        )
+        return out["score"]
+
+    spark.udf.register("parity_score", parity_score)
+
+    def _ec_range_compress(nums):
+        if not nums:
+            return ""
+        vals = sorted(set(nums))
+        segs, lo = [], vals[0]
+        prev = lo
+        for v in vals[1:]:
+            if v != prev + 1:
+                segs.append((lo, prev))
+                lo = v
+            prev = v
+        segs.append((lo, prev))
+        return ",".join(str(a) if a == b else f"{a}-{b}" for a, b in segs)
+
+    spark.udf.register("ec_range_compress", _ec_range_compress, T.StringType())
+
+    def _inscode_sort(tokens):
+        import re
+
+        def k(tok):
+            m = re.match(r"^(\d+)_*(\D*)", tok)
+            return (int(m.group(1)) if m and m.group(1) else 0,
+                    m.group(2) if m else "", tok)
+
+        return "|".join(sorted(tokens or [], key=k))
+
+    spark.udf.register("inscode_sort", _inscode_sort, T.StringType())
 
 
 TPCH_TABLES = (

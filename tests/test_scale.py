@@ -1,0 +1,83 @@
+"""Scale operators: salted joins and two-phase aggs must be
+result-identical to their plain twins; co-bucketed joins must plan
+without an Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import scale as S
+from tests.conftest import SF_ORACLE
+from tests.test_plans import plan
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one key — the shape AQE calls skew."""
+    return spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 != 0, "HOT").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("HOT", 1), ("k0", 2), ("k10", 3)], "k string, attr int"
+    )
+    plain = skewed.join(dim, "k").groupBy("k", "attr").count()
+    salted = S.salted_join(skewed, dim, "k", salt=8).groupBy("k", "attr").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_matches_plain(spark, skewed):
+    plain = {
+        (r["k"]): (r["n"], r["s"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    two = {
+        (r["k"]): (r["count_v"], r["sum_v"], r["max_v"])
+        for r in S.two_phase_agg(
+            skewed, "k", {"v": "count"} | {}, salt=8
+        ).join(
+            S.two_phase_agg(skewed, "k", {"v": "sum"}, salt=8), "k"
+        ).join(
+            S.two_phase_agg(skewed, "k", {"v": "max"}, salt=8), "k"
+        ).collect()
+    }
+    assert plain == two
+
+
+def test_two_phase_agg_rejects_non_decomposable(spark, skewed):
+    with pytest.raises(ValueError):
+        S.two_phase_agg(skewed, "k", {"v": "median"})
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key: the join plans with zero
+    Exchange — the co-located layout for the hot node/edge tables."""
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    S.write_bucketed(o, "b_orders", bucket_col="o_custkey", n_buckets=8,
+                     sort_col="o_custkey")
+    S.write_bucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+                     "b_customer", bucket_col="o_custkey", n_buckets=8,
+                     sort_col="o_custkey")
+    # force the large-large join path (broadcast would mask bucketing:
+    # at 100 TB neither side of a fact-fact join broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = S.bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        p = plan(spark, j)
+        assert "Exchange" not in p
+        assert "SortMergeJoin" in p
+        expect = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert j.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
