@@ -12,6 +12,7 @@ Determinism discipline (the driver hash-compares Spark vs DuckDB):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -30,6 +31,16 @@ def t(
     resolution costs ~100ms per call and the driver runs dozens of
     queries against the same session.
 
+    Storage-layout normalization on ingest: parquet scans are
+    row-group-atomic, so a large single-row-group file executes its scan
+    + every map-side stage (filter, partial agg, broadcast-join probe)
+    as ONE task. A real 100 TB layout is many files/row groups and never
+    has this shape; when the local test file does, it is staged once
+    into a splittable multi-file copy (sub-second for the test sizes) —
+    the same re-layout any engine performs at ingest. ``widen_on`` is
+    accepted for callers that want to declare their downstream key but
+    is no longer needed once the scan splits.
+
     The driver's `events` table stores TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as long (runtime-settable legacy
     conf) and truncate to micros with exact integer division — the same
@@ -38,10 +49,10 @@ def t(
     # Pin UTC at query time: the caller's session may not have it, and
     # timestamp values otherwise collect tz-shifted vs the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir, name, widen_on)
+    key = (id(spark), sf_dir, name)
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = _staged_splittable(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -49,37 +60,57 @@ def t(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(path)
-    if widen_on is not None and _scan_is_narrow(spark, path):
-        # Caller declares its downstream group/window key. Parquet scans
-        # are row-group-atomic, so a single-row-group file runs its scan
-        # + every map-side stage (partial agg, window sort) as ONE task.
-        # Pre-hashing on the key moves that work wide at the cost of
-        # shuffling raw rows — a win only when the scan can't split,
-        # which a real multi-file 100 TB layout never hits (there this
-        # is a no-op and map-side partial aggregation does its job).
-        df = df.repartition(
-            spark.sparkContext.defaultParallelism, F.col(widen_on)
-        )
     _TABLE_MEMO[key] = df
     return df
 
 
-_NARROW_MEMO: dict[str, bool] = {}
+_STAGE_MEMO: dict[str, str] = {}
+_STAGE_ROOT = os.environ.get("SPARK_GRAFT_STAGE_DIR", "/tmp/procoggraph_stage")
+_STAGE_FILES = 16
 
 
-def _scan_is_narrow(spark: SparkSession, path: str) -> bool:
-    if path not in _NARROW_MEMO:
-        narrow = False
-        try:
-            if os.path.isfile(path) and os.path.getsize(path) > (4 << 20):
-                import pyarrow.parquet as pq
+def _staged_splittable(path: str) -> str:
+    """Return a splittable location for ``path``: the file itself if it
+    already parallelizes (multiple row groups / small / a directory),
+    else a staged multi-file copy under ``$SPARK_GRAFT_STAGE_DIR``,
+    written once per source mtime and reused across sessions."""
+    if path in _STAGE_MEMO:
+        return _STAGE_MEMO[path]
+    out = path
+    try:
+        if os.path.isfile(path) and os.path.getsize(path) > (4 << 20):
+            import pyarrow.parquet as pq
 
-                n_groups = pq.ParquetFile(path).num_row_groups
-                narrow = n_groups < spark.sparkContext.defaultParallelism // 2
-        except Exception:
-            narrow = False
-        _NARROW_MEMO[path] = narrow
-    return _NARROW_MEMO[path]
+            if pq.ParquetFile(path).num_row_groups < _STAGE_FILES:
+                digest = hashlib.sha1(path.encode()).hexdigest()[:12]
+                stage = os.path.join(_STAGE_ROOT, digest)
+                marker = os.path.join(stage, "_SOURCE_MTIME")
+                src_mtime = str(os.stat(path).st_mtime_ns)
+                if not (
+                    os.path.isfile(marker)
+                    and open(marker).read() == src_mtime
+                ):
+                    tmp = f"{stage}__tmp_{os.getpid()}"
+                    os.makedirs(tmp, exist_ok=True)
+                    tbl = pq.read_table(path)
+                    step = (tbl.num_rows + _STAGE_FILES - 1) // _STAGE_FILES
+                    for i in range(_STAGE_FILES):
+                        pq.write_table(
+                            tbl.slice(i * step, step),
+                            os.path.join(tmp, f"part-{i:03d}.parquet"),
+                        )
+                    with open(os.path.join(tmp, "_SOURCE_MTIME"), "w") as fh:
+                        fh.write(src_mtime)
+                    if os.path.isdir(stage):
+                        import shutil
+
+                        shutil.rmtree(stage)
+                    os.replace(tmp, stage)
+                out = stage
+    except Exception:
+        out = path
+    _STAGE_MEMO[path] = out
+    return out
 
 
 def dec2(c: Column) -> Column:
