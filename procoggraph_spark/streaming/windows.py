@@ -186,3 +186,20 @@ def streaming_tumbling_counts(
         )
         .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def streaming_dedup(
+    spark,
+    events_path: str,
+    schema,
+    *,
+    key: str = "event_id",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+):
+    """Streaming exact dedup: ``dropDuplicates`` on the id within a
+    watermark — state holds only ids younger than the watermark, so
+    memory is bounded at any stream length (the streaming face of the
+    dedup_exact batch operator; re-delivered events are dropped)."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])

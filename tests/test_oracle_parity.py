@@ -13,7 +13,7 @@ import duckdb
 import pytest
 
 from procoggraph_spark.queries import registry
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 QUERIES, ORACLES = registry()
 
@@ -87,3 +87,22 @@ def test_entry_smoke(spark):
     df = ent.entry(spark)
     assert df.count() > 0
     assert len(df.columns) >= 3
+
+
+def test_shuffle_partition_independence(spark):
+    """Determinism discipline: results must not depend on partitioning.
+    Re-run a money-sum + a collected-set query with a different shuffle
+    partition count and compare values exactly."""
+    from procoggraph_spark.queries import registry
+
+    qs, _ = registry()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in ["a1_pricing_summary", "q4_report_card", "a7_range_compress"]:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            a = sorted(map(tuple, qs[name](spark, SF_ORACLE).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            b = sorted(map(tuple, qs[name](spark, SF_ORACLE).collect()))
+            assert a == b, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -173,3 +173,26 @@ def test_incremental_cache_stream_two_stage(spark, tmp_path):
     assert cache.read().count() == ev.count()
     # keys are unique after merge (upsert is idempotent on re-delivery)
     assert cache.read().select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_dedup_drops_redelivery(spark, tmp_path):
+    """The same file delivered twice: the deduped stream must count each
+    event once (bounded state via watermark)."""
+    from procoggraph_spark.streaming.windows import streaming_dedup
+
+    ev = t(spark, SF_SMOKE, "events")
+    inbox = str(tmp_path / "dup_inbox")
+    ev.coalesce(1).write.mode("append").parquet(inbox)
+    ev.coalesce(1).write.mode("append").parquet(inbox)  # redelivery
+
+    q = (
+        streaming_dedup(spark, inbox, ev.schema)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
+    assert n == ev.count()
