@@ -13,7 +13,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -276,4 +276,38 @@ def simhash_near_pairs(
         .select("id_a", "id_b", hamming64(F.col("_fa"), F.col("_fb")).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup pipeline's final step: pair list → connected components
+    → one canonical survivor per duplicate cluster (the min id — the
+    same keep-first rule as exact dedup). Docs in no pair are their own
+    canonical. Output: (id_col, canonical_id, cluster_size).
+
+    This is how near-dup removal actually ships at scale: candidate
+    pairs from LSH, then a component pass so A~B, B~C collapse to one
+    cluster even when A~C was never emitted as a candidate."""
+    from procoggraph_spark.graph.algorithms import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    comp = connected_components(edges)
+    assign = docs.select(id_col).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    assign = assign.withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    w_size = Window.partitionBy("component")
+    return assign.select(
+        id_col,
+        F.min(id_col).over(w_size).alias("canonical_id"),
+        F.count("*").over(w_size).alias("cluster_size"),
     )

@@ -286,3 +286,17 @@ def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.array_min("embedding")), 6).alias("avg_min"),
         F.round(F.avg(F.array_max("embedding")), 6).alias("avg_max"),
     )
+
+
+@q("dedup_cluster_canonical")
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup removal: MinHash-LSH candidate pairs → connected
+    components → canonical doc per cluster (oracle-less: transitive
+    closure over engine-hash buckets; pytest checks cluster invariants
+    and agreement with exact dedup on identical texts)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sigs = D.minhash_signatures(d, id_col="doc_id", text_col="text", n=2, num_hashes=64)
+    cand = D.minhash_lsh_candidates(sigs, id_col="doc_id", bands=16, rows_per_band=4)
+    est = D.minhash_estimate(cand, sigs, id_col="doc_id")
+    pairs = est.filter(F.col("est_jaccard") >= 0.5)
+    return D.dedup_clusters(pairs, d, id_col="doc_id")

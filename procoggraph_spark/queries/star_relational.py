@@ -734,11 +734,9 @@ def a5_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_range_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procoggraph_spark.operators.ranges import compress_int_ranges
 
-    l = (
-        t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
-        .select("l_orderkey", "l_linenumber")
-        .distinct()
-    )
+    # no .distinct() here: compress_int_ranges dedups (key, value) after
+    # its own key-repartition — a prior distinct would add a full shuffle
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     return compress_int_ranges(l, key="l_orderkey", value="l_linenumber", out="ranges")
 
 

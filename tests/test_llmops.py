@@ -137,3 +137,45 @@ def test_multimodal_plumbing(spark):
     assert len(rows[1]["features"]) == 8
     assert out.schema["features"].dataType.simpleString() == "array<double>"
     assert decode_stub_schema().fieldNames() == ["asset_id", "width", "height", "pixels"]
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C (A~C never emitted) must land in one cluster with
+    canonical = min id; singletons are their own canonical."""
+    import pandas as pd
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+           for r in D.dedup_clusters(pairs, docs).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert out[3] == (3, 1)
+    assert out[4] == (4, 2) and out[5] == (4, 2)
+
+
+def test_dedup_cluster_canonical_on_documents(spark):
+    """Identical texts (exact dups) must share a canonical; survivors
+    = number of distinct clusters."""
+    from procoggraph_spark.queries.star_llmops import dedup_cluster_canonical
+    from tests.conftest import SF_ORACLE
+
+    out = dedup_cluster_canonical(spark, SF_ORACLE)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == set(range(150))
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r["doc_id"])
+    for canon, members in by_canon.items():
+        assert canon == min(members)  # keep-first rule
+    # exact duplicates (same full text) always cluster together
+    import pandas as pd
+
+    d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    d = d[d.doc_id < 150]
+    canon_of = {r["doc_id"]: r["canonical_id"] for r in rows}
+    for _, grp in d.groupby("text"):
+        ids = list(grp.doc_id)
+        if len(ids) > 1:
+            assert len({canon_of[i] for i in ids}) == 1, ids
