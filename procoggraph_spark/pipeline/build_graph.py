@@ -267,4 +267,37 @@ def build_graph(
     if ec_records is not None:
         for name, df in build_ec_nodes_and_edges(ec_records).items():
             (g.edges if name.startswith("IS_IN") else g.nodes)[name] = df
+    g.nodes["procoggraph"] = build_stats_node(g)
     return g
+
+
+def build_stats_node(g: ProCogGraph, *, version: str = "1.0") -> DataFrame:
+    """The singleton `procoggraph` stats node
+    (`produce_neo4j_files.py:550-562`): precomputed distinct counts the
+    dashboard summary reads without touching the big tables. One
+    crossJoin chain of single-row aggregates — no data movement beyond
+    the four count jobs."""
+    entry = g.nodes["entry"].agg(F.countDistinct("pdbEntry").alias("num_entries"))
+    be = g.nodes["boundEntity"].agg(
+        F.countDistinct("uniqueID").alias("num_bound_molecules")
+    )
+    bd = g.nodes["boundDescriptor"].agg(
+        F.countDistinct("ligandEntityID").alias("num_bound_descriptors")
+    )
+    cl = g.nodes["cognateLigand"].agg(
+        F.countDistinct("uniqueID").alias("num_cognate_ligands")
+    )
+    return (
+        entry.crossJoin(be)
+        .crossJoin(bd)
+        .crossJoin(cl)
+        .select(
+            F.lit("procoggraph").alias("procoggraph"),
+            F.lit("ProCogGraph").alias("name"),
+            F.lit(version).alias("databaseVersion"),
+            "num_entries",
+            "num_bound_molecules",
+            "num_bound_descriptors",
+            "num_cognate_ligands",
+        )
+    )

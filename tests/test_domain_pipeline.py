@@ -167,3 +167,18 @@ def test_parity_scoring_with_cache(spark, tmp_path):
     cache = KeyedParquetCache(spark, str(tmp_path / "parity_cache"), ["pdb_smiles", "cognate_smiles"])
     _, misses = cache.split_hits_misses(pairs.select("pdb_smiles", "cognate_smiles").distinct())
     assert misses.count() == 0
+
+
+def test_stats_node(spark):
+    """Singleton procoggraph node carries the distinct counts of the
+    graph it was built from (produce_neo4j_files.py:550-562)."""
+    cc, parity, cognate, _ = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate, parity_threshold=0.40)
+    row = g.nodes["procoggraph"].collect()[0]
+    assert row["procoggraph"] == "procoggraph"
+    assert row["num_entries"] == g.nodes["entry"].select("pdbEntry").distinct().count()
+    assert (
+        row["num_bound_molecules"]
+        == g.nodes["boundEntity"].select("uniqueID").distinct().count()
+    )
+    assert row["num_cognate_ligands"] > 0
