@@ -138,3 +138,62 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("pred_lang", predict_lang(text))
         .withColumn("fingerprint", positional_fingerprint(text))
     )
+
+
+def repeated_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document — the Gopher-style intra-document repetition
+    signal (high values flag boilerplate/spam). JVM-side: n-grams via
+    transform over the token array, distinct via array_distinct."""
+    ws = tokens(text)
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    # try_element_at: the transform runs over the full array before the
+    # slice trims the tail, and ANSI mode (Spark 4 default) hard-fails a
+    # plain element_at past the end
+    grams = F.slice(
+        F.transform(
+            ws,
+            lambda _, i: F.concat_ws(
+                " ", *[F.try_element_at(ws, i + j + 1) for j in range(n)]
+            ),
+        ),
+        1,
+        k,
+    )
+    n_total = F.size(grams)
+    n_unique = F.size(F.array_distinct(grams))
+    return F.when(n_total <= 0, 0.0).otherwise(
+        F.round((n_total - n_unique) / n_total, 6)
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails and URLs (the minimum-viable PII pass every
+    training-data pipeline runs before anything else): regex classes
+    replaced with typed placeholder tokens — pure regexp_replace, stays
+    in codegen."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, URL_RE, "<URL>")
+
+
+def corpus_keep_decision(
+    text: Column,
+    *,
+    min_quality: float = 0.5,
+    max_repetition: float = 0.2,
+    langs: tuple[str, ...] = ("en",),
+) -> Column:
+    """The composed curation gate: quality score ≥ threshold AND
+    repetition below threshold AND predicted language allowed. One
+    boolean per doc, all JVM-side — the decision column a 100 TB corpus
+    filter partitions on."""
+    lang_ok = predict_lang(text).isin(*langs)
+    return (
+        (quality_score(text) >= min_quality)
+        & (repeated_ngram_ratio(text) <= max_repetition)
+        & lang_ok
+    )

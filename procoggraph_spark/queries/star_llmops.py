@@ -300,3 +300,98 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = D.minhash_estimate(cand, sigs, id_col="doc_id")
     pairs = est.filter(F.col("est_jaccard") >= 0.5)
     return D.dedup_clusters(pairs, d, id_col="doc_id")
+
+
+@q(
+    "text_repetition",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                            i -> ws[i] || ' ' || ws[i+1]) AS grams
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN len(grams) <= 0 THEN 0.0
+                ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
+                           / len(grams), 6) END AS rep_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.repeated_ngram_ratio(F.col("text"), n=2).alias("rep_ratio")
+    )
+
+
+@q(
+    "text_scrub_pii",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^[:space:]]+', '<URL>', 'g') AS clean_text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", X.scrub_pii(F.col("text")).alias("clean_text"))
+
+
+@q(
+    "corpus_filter_pipeline",
+    """
+    WITH s AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS ws,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS np
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, ws,
+             ROUND(((CASE WHEN n >= 100 THEN 1.0 ELSE n / 100.0 END)
+              + (1.0 - least(np * 1.0 / greatest(n, 1) * 5.0, 1.0))
+              + least(len(list_filter(ws, w -> list_contains(
+                  ['the','a','an','of','and','or','to','in','is','it'], w)))
+                  * 1.0 / greatest(len(ws), 1) * 5.0, 1.0)
+              + (CASE WHEN (list_sum(list_transform(ws, w -> length(w)))
+                            * 1.0 / greatest(len(ws), 1)) BETWEEN 3.0 AND 12.0
+                      THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, quality,
+             list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                            i -> ws[i] || ' ' || ws[i+1]) AS grams,
+        len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
+      FROM q
+    )
+    SELECT doc_id,
+           (quality >= 0.5
+            AND (CASE WHEN len(grams) <= 0 THEN 0.0
+                      ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
+                                 / len(grams), 6) END) <= 0.2
+            AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
+            AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+            AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_de >= s_en)
+           ) AS keep
+    FROM r
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.corpus_keep_decision(F.col("text"), min_quality=0.5,
+                               max_repetition=0.2, langs=("en",)).alias("keep"),
+    )
