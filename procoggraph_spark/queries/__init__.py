@@ -16,6 +16,7 @@ def registry():
         star_relational,
         star_relational2,
         star_streaming,
+        star_temporal,
     )
 
     queries: dict = {}
@@ -26,6 +27,7 @@ def registry():
         star_llmops,
         star_multimodal,
         star_streaming,
+        star_temporal,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

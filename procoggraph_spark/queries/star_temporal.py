@@ -1,0 +1,109 @@
+"""Temporal-join coverage over `events`: as-of join and interval range
+join (operators.temporal), each with a DuckDB oracle — DuckDB's native
+ASOF JOIN is the differential reference for our union-merge
+formulation.
+
+Oracle note: the driver's events.parquet is TIMESTAMP(NANOS); Spark
+reads it truncated to microseconds (queries.common.t), so every oracle
+truncates the same way (``make_timestamp(epoch_ns(ts) // 1000)``)
+before comparing or joining — otherwise sub-microsecond components
+flip as-of tie decisions between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.temporal import asof_join, range_join_intervals
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+_EVENTS_US = """
+  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+         user_id, event_type, value
+  FROM events
+"""
+
+
+@q(
+    "asof_purchase_view",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    r AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT l.event_id, l.user_id,
+           epoch_us(l.ts) // 1000000 AS ts_sec,
+           r.value AS right_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined to the user's most recent prior view — the
+    classic as-of shape (union-merge + last_value carry, one shuffle)."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, views, on="user_id", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.col("right_value"),
+    )
+
+
+@q(
+    "range_join_signup_window",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    iv AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL '2 hours' AS end_ts
+      FROM e WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           epoch_us(iv.start_ts) // 1000000 AS window_start_sec
+    FROM e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+    """,
+)
+def range_join_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each user's 2-hour post-signup window — interval
+    containment via bucket-equi-join + exact refine (no theta join)."""
+    e = t(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = range_join_intervals(
+        e.select("event_id", "user_id", "event_type", "ts"),
+        iv,
+        on="user_id",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("start").cast("long").alias("window_start_sec"),
+    )

@@ -1,0 +1,72 @@
+"""Temporal joins: asof semantics (ties, no-prior-row, tolerance) and
+range-join boundary/plan properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.temporal import asof_join, range_join_intervals
+from procoggraph_spark.queries import registry
+from tests.conftest import SF_ORACLE
+from tests.test_plans import plan
+
+UTC = dt.timezone.utc
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s, tzinfo=UTC)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(20)), (2, ts(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(15), 150.0), (2, ts(9), 90.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        (r["k"], r["ts"].second): r["right_v"]
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+    assert out[(1, 10)] == 100.0  # tie: right at equal ts matches (<=)
+    assert out[(1, 20)] == 150.0  # most recent prior
+    assert out[(2, 5)] is None    # no prior right row → null
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, ts(30))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(10), 1.0)], "k long, ts timestamp, v double"
+    )
+    with_tol = asof_join(
+        left, right, on="k", value_cols=["v"], tolerance_seconds=5
+    ).collect()[0]
+    assert with_tol["right_v"] is None  # 20s gap > 5s tolerance
+    no_tol = asof_join(left, right, on="k", value_cols=["v"]).collect()[0]
+    assert no_tol["right_v"] == 1.0
+
+
+def test_range_join_boundaries(spark):
+    events = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(20)), (3, 1, ts(21)), (4, 2, ts(15))],
+        "event_id long, k long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, ts(10), ts(20))], "k long, start timestamp, end timestamp"
+    )
+    got = {
+        r["event_id"]
+        for r in range_join_intervals(events, iv, on="k", bucket_seconds=7).collect()
+    }
+    assert got == {1, 2}  # inclusive both ends; 21 outside; user 2 no interval
+
+
+def test_temporal_plans_no_cartesian(spark):
+    qs, _ = registry()
+    for name in ["asof_purchase_view", "range_join_signup_window"]:
+        p = plan(spark, qs[name](spark, SF_ORACLE))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
