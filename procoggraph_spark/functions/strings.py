@@ -41,7 +41,10 @@ def strip_chars(col: Column, chars: str) -> Column:
     import re
 
     cls = re.escape(chars)
-    return F.regexp_replace(col, f"^[{cls}]+|[{cls}]+$", "")
+    # \A/\z, not ^/$: Java regex $ matches BEFORE a trailing newline, so
+    # "$"-anchored stripping would eat chars preceding a final \n that
+    # Python's str.strip(chars) keeps (found by the hypothesis property)
+    return F.regexp_replace(col, f"\\A[{cls}]+|[{cls}]+\\z", "")
 
 
 def pattern_to_range(col: Column) -> Column:
