@@ -127,3 +127,64 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     drains the stateful stream with trigger(availableNow) and asserts
     bit-identical totals against this plan."""
     return W.batch_user_totals(t(spark, sf_dir, "events"))
+
+
+@q(
+    "stream_hypertable_rollup",
+    """
+    SELECT granularity, bucket_start, event_type, n, total
+    FROM (
+      SELECT 'hour' AS granularity,
+             CAST(epoch_us(time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)))
+                  // 1000000 AS BIGINT) AS bucket_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'day',
+             CAST(epoch_us(time_bucket(INTERVAL '1 day', make_timestamp(epoch_ns(ts) // 1000)))
+                  // 1000000 AS BIGINT),
+             event_type, COUNT(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      FROM events GROUP BY 2, 3
+    )
+    """,
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass computes the
+    finest granularity (hour), and the coarser tier (day) re-aggregates
+    the HOURLY partials, not the raw events — the TimescaleDB
+    continuous-aggregate cascade. Raw events are read and shuffled
+    once; the day tier reduces ~24× fewer rows. Long-cents sums keep
+    every tier exact and re-aggregatable."""
+    e = t(spark, sf_dir, "events")
+    hourly_c = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("_cents"),
+        )
+    )
+    hourly = hourly_c.select(
+        F.lit("hour").alias("granularity"),
+        F.col("bucket_ts").cast("long").alias("bucket_start"),
+        "event_type",
+        "n",
+        (F.col("_cents") / 100.0).alias("total"),
+    )
+    daily = (
+        hourly_c.groupBy(
+            F.date_trunc("day", F.col("bucket_ts")).alias("day_ts"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("_cents").alias("_cents"))
+        .select(
+            F.lit("day").alias("granularity"),
+            F.col("day_ts").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            (F.col("_cents") / 100.0).alias("total"),
+        )
+    )
+    return hourly.unionByName(daily)
