@@ -16,17 +16,26 @@ from pyspark.sql import functions as F
 
 
 def compress_int_ranges(
-    df: DataFrame, *, key: str, value: str, out: str = "ranges"
+    df: DataFrame, *, key: str, value: str, out: str = "ranges",
+    pre_clustered: bool = False,
 ) -> DataFrame:
     """Per ``key``: compress the distinct sorted ints in ``value`` into a
-    ``"lo-hi,single,..."`` string ordered by range start."""
+    ``"lo-hi,single,..."`` string ordered by range start.
+
+    ``pre_clustered``: the input is already hash-distributed on ``key``
+    (e.g. a bucketed scan) — skip the explicit repartition and the whole
+    operator runs exchange-free.
+    """
     w = Window.partitionBy(key).orderBy(value)
-    # one explicit shuffle on `key`; the dedup groupBy, the window, the
-    # island groupBy and the final groupBy are all satisfied by it
-    # (HashPartitioning(key) clusters every (key, ...) grouping)
+    # one explicit shuffle on `key` (none if pre_clustered); the dedup
+    # groupBy, the window, the island groupBy and the final groupBy are
+    # all satisfied by it (HashPartitioning(key) clusters every
+    # (key, ...) grouping)
+    base = df.select(key, value)
+    if not pre_clustered:
+        base = base.repartition(key)
     islands = (
-        df.select(key, value)
-        .repartition(key)
+        base
         .groupBy(key, value)
         .agg(F.lit(1).alias("_one"))
         .drop("_one")

@@ -19,7 +19,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_MEMO: dict[tuple[int, str, str, str | None], DataFrame] = {}
+_BUCKETED: dict[int, str] = {}
 
 
 def t(
@@ -37,9 +38,14 @@ def t(
     as ONE task. A real 100 TB layout is many files/row groups and never
     has this shape; when the local test file does, it is staged once
     into a splittable multi-file copy (sub-second for the test sizes) —
-    the same re-layout any engine performs at ingest. ``widen_on`` is
-    accepted for callers that want to declare their downstream key but
-    is no longer needed once the scan splits.
+    the same re-layout any engine performs at ingest.
+
+    ``widen_on`` declares the downstream join/group key; tables above
+    the staging size gate are additionally staged as a bucketed+sorted
+    catalog table on that key, so every groupBy/join/window clustered on
+    it runs exchange-free (the layout SURVEY §4 prescribes for the
+    node/edge stores, applied at ingest). Callers can check whether the
+    bucketed path was taken with ``bucketed_key(df)``.
 
     The driver's `events` table stores TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as long (runtime-settable legacy
@@ -49,10 +55,17 @@ def t(
     # Pin UTC at query time: the caller's session may not have it, and
     # timestamp values otherwise collect tz-shifted vs the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir, name)
+    key = (id(spark), sf_dir, name, widen_on)
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
-    path = _staged_splittable(os.path.join(sf_dir, f"{name}.parquet"))
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if widen_on and name != "events":
+        df = _bucketed_table(spark, src, widen_on)
+        if df is not None:
+            _BUCKETED[id(df)] = widen_on
+            _TABLE_MEMO[key] = df
+            return df
+    path = _staged_splittable(src)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -62,6 +75,70 @@ def t(
         df = spark.read.parquet(path)
     _TABLE_MEMO[key] = df
     return df
+
+
+def bucketed_key(df: DataFrame) -> str | None:
+    """The key ``df`` is physically bucketed on, if ``t`` staged it so.
+    (Keyed by id(); safe because every such df is pinned in the memo.)"""
+    return _BUCKETED.get(id(df))
+
+
+_BUCKETS = 32
+
+
+def _bucketed_table(spark: SparkSession, path: str, key: str) -> DataFrame | None:
+    """Stage ``path`` as a bucketed, per-bucket-sorted external catalog
+    table on ``key``. One file per bucket (the repartition before the
+    write aligns writer tasks with bucket ids, both Murmur3 pmod), so
+    the scan reports HashPartitioning(key, N) + sorted-within-bucket and
+    downstream groupBy/join/window on ``key`` plan with no Exchange.
+
+    The parquet data survives the session; a later session re-registers
+    the existing files with a metadata-only CREATE TABLE. Any failure
+    falls back to the plain splittable path (never worse than before).
+    """
+    try:
+        # lower gate than the generic splittable staging: the caller
+        # explicitly declared the key, and a 1 MB+ fact side already
+        # repays the one-time write by dropping a per-query shuffle
+        if not (os.path.isfile(path) and os.path.getsize(path) > (1 << 20)):
+            return None
+        digest = hashlib.sha1(f"{path}|{key}".encode()).hexdigest()[:12]
+        tbl = f"stage_b_{digest}"
+        loc = os.path.join(_STAGE_ROOT, "bucketed", digest)
+        marker = os.path.join(loc, "_SOURCE_MTIME")
+        src_mtime = str(os.stat(path).st_mtime_ns)
+        data_ok = os.path.isfile(marker) and open(marker).read() == src_mtime
+        if data_ok and spark.catalog.tableExists(tbl):
+            return spark.table(tbl)
+        if data_ok:
+            # files from a prior session: metadata-only re-registration
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(loc).schema.fields
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+                f"INTO {_BUCKETS} BUCKETS LOCATION '{loc}'"
+            )
+            return spark.table(tbl)
+        src = spark.read.parquet(_staged_splittable(path))
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            src.repartition(_BUCKETS, key)
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .option("path", loc)
+            .saveAsTable(tbl)
+        )
+        with open(marker, "w") as fh:
+            fh.write(src_mtime)
+        return spark.table(tbl)
+    except Exception:
+        return None
 
 
 _STAGE_MEMO: dict[str, str] = {}

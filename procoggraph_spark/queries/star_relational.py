@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.operators.ownership import assign_ownership
-from procoggraph_spark.queries.common import cents, dec2, dec4, dsum2, dsum4, t
+from procoggraph_spark.queries.common import (
+    bucketed_key,
+    cents,
+    dec2,
+    dec4,
+    dsum2,
+    dsum4,
+    t,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -79,7 +87,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders", widen_on="o_orderkey")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -207,7 +215,7 @@ def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup instead of grouping the joined 4-way row set): the shuffle
     # carries 1 row per order, not 1 per lineitem — the classic
     # partial-agg pushdown Catalyst won't do through an outer join
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders", widen_on="o_orderkey")
     l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # collect_set+size instead of countDistinct: two countDistincts in
@@ -736,8 +744,14 @@ def a7_range_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # no .distinct() here: compress_int_ranges dedups (key, value) after
     # its own key-repartition — a prior distinct would add a full shuffle
-    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    return compress_int_ranges(l, key="l_orderkey", value="l_linenumber", out="ranges")
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
+    return compress_int_ranges(
+        l.select("l_orderkey", "l_linenumber"),
+        key="l_orderkey",
+        value="l_linenumber",
+        out="ranges",
+        pre_clustered=bucketed_key(l) == "l_orderkey",
+    )
 
 
 # --- A8: numeric-with-inscode sort (sort_numeric_with_inscode) ------------

@@ -55,6 +55,22 @@ def get_spark(
         # at large SF while still parallelizing small local runs.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if master.startswith("local"):
+        # single-JVM shuffle never crosses a network and its files sit in
+        # page cache; LZ4 encode/decode is pure CPU overhead there (~10%
+        # on sort/window-heavy plans). Cluster deployments keep the
+        # defaults — compression pays for itself as soon as blocks move.
+        builder = builder.config("spark.shuffle.compress", "false").config(
+            "spark.shuffle.spill.compress", "false"
+        )
+    # runtime tuning without code edits: SPARK_GRAFT_CONF="k=v;k2=v2"
+    # (deploy-site overrides — executor sizing, compression codec, AQE
+    # advisory sizes); explicit extra_conf still wins.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
