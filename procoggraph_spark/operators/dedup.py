@@ -163,6 +163,61 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Fused LSH banding + Jaccard estimate in a single pass: the band
+    explode carries the full signature, so the band equi-join yields both
+    ids AND both signatures and the estimate needs no join back to the
+    signature table. One shuffle on (band, band-hash) + one pair groupBy —
+    the same shape MLlib's MinHashLSH approxSimilarityJoin uses (hash
+    tables exploded with the feature vector alongside).
+
+    Trade-off vs `minhash_lsh_candidates` + `minhash_estimate`: shuffle
+    rows are ``bands``× wider (they carry the sig array), but three
+    recomputations/joins of the signature subplan disappear. With 64-hash
+    sigs (512 B) the carried payload stays far below the text it
+    summarizes, so this is also the scale-preferred plan.
+
+    Output: (id_a, id_b, n_bands_matched, est_jaccard).
+    """
+    b = signatures.select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[i * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+    left = b.select(F.col("_id").alias("id_a"), F.col("sig").alias("_sa"), "_band", "_bh")
+    right = b.select(F.col("_id").alias("id_b"), F.col("sig").alias("_sb"), "_band", "_bh")
+    agree = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_bands_matched"),
+            F.first(agree).alias("_agree"),
+            F.first(F.size("_sa")).alias("_nsig"),
+        )
+        .withColumn("est_jaccard", F.round(F.col("_agree") / F.col("_nsig"), 6))
+        .drop("_agree", "_nsig")
+    )
+
+
 def minhash_estimate(
     candidates: DataFrame, signatures: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # NOTE(measured): an unrolled a[0]*b[0]+...+a[63]*b[63] expression is
+    # ~2x SLOWER than this higher-order fold (per-element null checks and
+    # a 64-deep Add tree vs one primitive array loop) — don't "optimize"
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -46,6 +49,10 @@ def brute_force_topk(
     The query side is broadcast (it is the small side by construction);
     ranking is a window per query with a deterministic (sim desc, id asc)
     order. Output: (query_id, neighbor_id, cosine_sim, rank).
+
+    Each side's L2 norm is computed once per ROW (before the pair
+    blow-up), not once per pair — at N corpus × Q queries that turns
+    2·N·Q norm evaluations into N + Q.
     """
     # cast float→double up front: float products carry ~1e-7 relative
     # error, which breaks 6-decimal agreement with the oracle
@@ -53,19 +60,22 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
-        )
+        ).withColumn("_qn", l2_norm(F.col("_qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -126,11 +136,16 @@ def ivf_assign(
     itself. For n_probe=1 the argmax is a single map-side
     ``max(struct(score, -cell))`` agg (deterministic tie-break to the
     lowest cell id) — no window, one shuffle on id."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    # norms once per vector / per centroid, not per (vector, centroid)
+    v = vectors.withColumn("_vn", l2_norm(F.col(vec_col)))
+    cents = centroids.withColumn("_ctn", l2_norm(F.col("_cv")))
+    scored = v.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("_cell"),
-        cosine(F.col(vec_col), F.col("_cv")).alias("_score"),
+        (dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_ctn"))).alias(
+            "_score"
+        ),
     )
     if n_probe == 1:
         best = scored.groupBy(id_col, vec_col).agg(
@@ -233,9 +248,11 @@ def lsh_topk(
                     ).otherwise(F.lit(0).cast("long"))
                 )
             cols.append(sig)
+        # norm once per input row, carried through the bucket explode
         return df.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(f"_{idc}_v"),
+            l2_norm(F.col(vec_col)).alias(f"_{idc}_n"),
             F.posexplode(F.array(*cols)).alias("_tbl", "_sig"),
         )
 
@@ -248,7 +265,9 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6
+                dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                / (F.col("_query_id_n") * F.col("_neighbor_id_n")),
+                6,
             ).alias("cosine_sim"),
         )
         .distinct()

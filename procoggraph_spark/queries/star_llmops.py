@@ -86,8 +86,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     sigs = D.minhash_signatures(d, id_col="doc_id", text_col="text", n=2, num_hashes=64)
-    cand = D.minhash_lsh_candidates(sigs, id_col="doc_id", bands=16, rows_per_band=4)
-    est = D.minhash_estimate(cand, sigs, id_col="doc_id")
+    est = D.minhash_lsh_pairs(sigs, id_col="doc_id", bands=16, rows_per_band=4)
     return est.filter(F.col("est_jaccard") >= 0.2).select(
         "id_a", "id_b", "n_bands_matched", "est_jaccard"
     )
@@ -296,8 +295,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     and agreement with exact dedup on identical texts)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     sigs = D.minhash_signatures(d, id_col="doc_id", text_col="text", n=2, num_hashes=64)
-    cand = D.minhash_lsh_candidates(sigs, id_col="doc_id", bands=16, rows_per_band=4)
-    est = D.minhash_estimate(cand, sigs, id_col="doc_id")
+    est = D.minhash_lsh_pairs(sigs, id_col="doc_id", bands=16, rows_per_band=4)
     pairs = est.filter(F.col("est_jaccard") >= 0.5)
     return D.dedup_clusters(pairs, d, id_col="doc_id")
 

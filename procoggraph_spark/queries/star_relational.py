@@ -97,9 +97,14 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagg = l.groupBy("l_orderkey").agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("_rev_c")
     )
+    # orders join: merge hint, not broadcast — both sides are bucketed on
+    # the orderkey so the SMJ is exchange-free (orders even pre-sorted),
+    # while a broadcast would rebuild+ship a 1.5M-row hash relation per
+    # query and stops being possible at 100 TB anyway
+    o = o.hint("merge")
     return (
         lagg.join(o, lagg.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
