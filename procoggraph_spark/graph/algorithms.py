@@ -9,7 +9,8 @@ round. On a cluster with the GraphFrames jar, `to_graphframes_input`
 hands these exact frames to the library instead.
 
 Algorithms: degree statistics, hash-min connected components (Pregel
-equivalent), label propagation, and k-hop neighborhood expansion.
+equivalent), label propagation, k-hop neighborhood expansion, PageRank
+(fixed-iteration power method), and triangle counting.
 """
 
 from __future__ import annotations
@@ -150,6 +151,92 @@ def label_propagation(
         )
         labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def pagerank(
+    edges: DataFrame, *, damping: float = 0.85, iterations: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration (the GraphX
+    staticPageRank equivalent), fully declarative — no driver-side
+    collect; the vertex count enters as a broadcast 1-row aggregate.
+
+    Per round: rank/outdegree flows along each edge, contributions sum
+    per target, `(1-d)/n + d·Σ` re-ranks. Dangling vertices keep the
+    teleport term only (simplified model, standard for fixed-iteration
+    variants). Each round is one shuffle on dst; a fixed iteration count
+    keeps the plan bounded so no checkpointing is needed at small k.
+
+    Output: (id, rank). Ranks are doubles — round before hash-comparing
+    across engines.
+    """
+    e = edges.select("src", "dst")
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    ranks = nodes.crossJoin(n1).select(
+        "id", (F.lit(1.0) / F.col("_n")).alias("rank"), "_n"
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("_outdeg")).alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            ranks.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce("_s", F.lit(0.0))
+                ).alias("rank"),
+                "_n",
+            )
+        )
+    return ranks.select("id", "rank")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over the undirected simple graph.
+
+    Canonicalize each edge to (a < b) and count closures with two
+    equi-joins: (a,b) ⋈ (b,c) ⋈ (a,c) enumerates every triangle exactly
+    once with a < b < c — the standard distributed formulation (each
+    join is an equi-join; no cross product, so candidate work scales
+    with Σ deg², not |V|²). Output: (id, n_triangles), vertices in ≥1
+    triangle only; integers, so exact across engines.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("id"))
+        .union(tri.select(F.col("y").alias("id")))
+        .union(tri.select(F.col("z").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
 
 
 def k_hop_neighborhood(

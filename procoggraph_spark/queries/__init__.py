@@ -11,6 +11,7 @@ from __future__ import annotations
 
 def registry():
     from procoggraph_spark.queries import (
+        star_graph,
         star_llmops,
         star_multimodal,
         star_relational,
@@ -28,6 +29,7 @@ def registry():
         star_multimodal,
         star_streaming,
         star_temporal,
+        star_graph,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,122 @@
+"""Graph-analytics query family over the star schema (SURVEY M5 /
+BASELINE.json "GraphX for analytics queries" north star).
+
+Each entry builds a graph from the TPC-H-ish tables and runs one of the
+DataFrame-native algorithms in `graph/algorithms.py`, with an exact
+DuckDB oracle: triangle counts are integers (exact across engines);
+PageRank unrolls its fixed iterations as CTEs and both engines perform
+the identical IEEE double operations, so ROUND(...,6) agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.graph.algorithms import pagerank, triangle_count
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- PageRank over the customer→supplier purchase graph -------------------
+# Directed edge c→s: customer c ordered from supplier s. Node ids are
+# prefixed ('c'/'s') so customer 5 and supplier 5 stay distinct vertices.
+# 3 power iterations, damping 0.85, both engines computing
+# (1.0 - 0.85)/n and 0.85*Σ in the same IEEE double order.
+
+_PAGERANK_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey < 30000
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+c1 AS (SELECT e.dst AS id, SUM(r.rank / o.od) AS s
+       FROM e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c1.s, 0.0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+c2 AS (SELECT e.dst AS id, SUM(r.rank / o.od) AS s
+       FROM e JOIN r1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c2.s, 0.0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+c3 AS (SELECT e.dst AS id, SUM(r.rank / o.od) AS s
+       FROM e JOIN r2 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.id, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c3.s, 0.0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id)
+SELECT id, ROUND(rank, 6) AS rank FROM r3
+"""
+
+
+@q("graph_pagerank", _PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
+    l = t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=3)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+# --- Triangle counting over the supplier co-occurrence graph --------------
+# Undirected edge (s1, s2): both suppliers appear in the same order.
+# Counts are exact integers — hash-safe across engines.
+
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey < 5000 AND b.l_orderkey < 5000
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+corners AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id
+"""
+
+
+@q("graph_triangle_count", _TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    a = l.select("l_orderkey", F.col("l_suppkey").alias("_sa"))
+    b = l.select("l_orderkey", F.col("l_suppkey").alias("_sb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("_sa") < F.col("_sb"))
+        .select(F.col("_sa").alias("src"), F.col("_sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -67,3 +67,54 @@ def test_edge_list_from_graph(spark):
     comp = connected_components(el)
     c_map = {r["id"]: r["component"] for r in comp.collect()}
     assert c_map["1abc_bm1_A"] == c_map["101"]
+
+
+def test_pagerank_star_graph(spark):
+    """Hub-and-spoke: a->b, a->c, b->a, c->a. Symmetric b/c must tie;
+    a (pointed at by both) must outrank them; total mass stays ~1 on a
+    graph with no dangling vertices."""
+    from procoggraph_spark.graph.algorithms import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    r = {row["id"]: row["rank"] for row in pagerank(e, iterations=10).collect()}
+    assert r["b"] == r["c"]
+    assert r["a"] > r["b"]
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_teleport_only(spark):
+    """b has no out-edges; c gets only the teleport term."""
+    from procoggraph_spark.graph.algorithms import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("c", "a")], "src string, dst string")
+    r = {row["id"]: row["rank"] for row in pagerank(e, iterations=3).collect()}
+    assert r["c"] == pytest.approx((1 - 0.85) / 3)
+    assert r["b"] > r["c"]
+
+
+def test_triangle_count_golden(spark):
+    """K3 {a,b,c} plus pendant d: each K3 vertex in exactly 1 triangle,
+    d in none (absent from output). Edge direction/duplicates must not
+    matter."""
+    from procoggraph_spark.graph.algorithms import triangle_count
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    out = {row["id"]: row["n_triangles"] for row in triangle_count(e).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_two_triangles_shared_edge(spark):
+    """{a,b,c} and {a,b,d} share edge (a,b): a,b in 2 triangles; c,d in 1."""
+    from procoggraph_spark.graph.algorithms import triangle_count
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    out = {row["id"]: row["n_triangles"] for row in triangle_count(e).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1, "d": 1}
