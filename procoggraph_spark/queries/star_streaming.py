@@ -188,3 +188,25 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hourly.unionByName(daily)
+
+
+@q(
+    "stream_funnel_join",
+    """
+    SELECT a.event_id AS first_id, b.event_id AS then_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+    """,
+)
+def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (click → error by
+    the same user within 5 minutes); the readStream twin with two-sided
+    watermarks is `streaming.windows.streaming_funnel_join`."""
+    return W.funnel_join_batch(
+        t(spark, sf_dir, "events"),
+        first_type="click",
+        then_type="error",
+        within_minutes=5,
+    )

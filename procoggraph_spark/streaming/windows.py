@@ -188,6 +188,91 @@ def streaming_tumbling_counts(
     )
 
 
+def funnel_join_batch(
+    events: DataFrame,
+    *,
+    first_type: str = "click",
+    then_type: str = "error",
+    within_minutes: int = 5,
+) -> DataFrame:
+    """Batch twin of the stream-stream funnel join: every ``then_type``
+    event by the same user in the ``within_minutes`` after a
+    ``first_type`` event (inclusive bounds). Equi-join on user_id with a
+    time-range refinement — never a theta-only join.
+
+    Output: (first_id, then_id, user_id).
+    """
+    a = events.filter(F.col("event_type") == first_type).select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id"),
+        F.col("ts").alias("_ta"),
+    )
+    b = events.filter(F.col("event_type") == then_type).select(
+        F.col("event_id").alias("then_id"),
+        F.col("user_id"),
+        F.col("ts").alias("_tb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("_tb") >= F.col("_ta"))
+            & (F.col("_tb") <= F.col("_ta") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+        )
+        .select("first_id", "then_id", "user_id")
+    )
+
+
+def streaming_funnel_join(
+    spark,
+    events_path: str,
+    schema,
+    *,
+    first_type: str = "click",
+    then_type: str = "error",
+    within_minutes: int = 5,
+    watermark: str = "30 minutes",
+):
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range join condition — the combination Spark requires to bound
+    join state (each side's buffered rows age out once the other side's
+    watermark passes the interval). Same semantics as
+    `funnel_join_batch` when drained with trigger(availableNow)."""
+    a = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .filter(F.col("event_type") == first_type)
+        .select(
+            F.col("event_id").alias("first_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .filter(F.col("event_type") == then_type)
+        .select(
+            F.col("event_id").alias("then_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    return a.join(
+        b,
+        F.expr(
+            f"""
+            a_user = b_user AND
+            b_ts >= a_ts AND
+            b_ts <= a_ts + INTERVAL {within_minutes} MINUTES
+            """
+        ),
+    ).select(
+        F.col("first_id"), F.col("then_id"), F.col("a_user").alias("user_id")
+    )
+
+
 def streaming_dedup(
     spark,
     events_path: str,

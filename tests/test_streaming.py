@@ -196,3 +196,40 @@ def test_streaming_dedup_drops_redelivery(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
     assert n == ev.count()
+
+
+def test_stream_stream_funnel_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (two-sided watermark + time-range
+    condition) drained with availableNow must emit exactly the batch
+    twin's pairs."""
+    from procoggraph_spark.queries.common import t
+    from procoggraph_spark.streaming.windows import (
+        funnel_join_batch,
+        streaming_funnel_join,
+    )
+
+    ev = t(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_funnel")
+    ev.write.mode("overwrite").parquet(path)
+    ev_m = spark.read.parquet(path)
+
+    expected = sorted(
+        (r["first_id"], r["then_id"], r["user_id"])
+        for r in funnel_join_batch(ev_m).collect()
+    )
+    assert expected, "fixture should produce at least one funnel pair"
+
+    joined = streaming_funnel_join(spark, path, ev_m.schema)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["first_id"], r["then_id"], r["user_id"])
+        for r in spark.sql("SELECT * FROM funnel_sink").collect()
+    )
+    assert got == expected
