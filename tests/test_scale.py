@@ -81,3 +81,67 @@ def test_bucketed_join_no_exchange(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_ingest_staging_exchange_free_and_correct(spark, tmp_path):
+    """`queries.common.t(widen_on=...)` stages >1 MB single-file tables
+    as bucketed catalog tables: groupBy on the declared key must plan
+    with no Exchange, and results must equal the plain read. (The
+    driver's sf0.001/sf0.01 tables sit below the gate, so this path
+    needs its own fixture.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from procoggraph_spark.queries.common import bucketed_key, t
+
+    # ~2.4 MB of incompressible payload in ONE file, one row group
+    import random
+
+    rng = random.Random(7)
+    n = 60_000
+    tbl = pa.table(
+        {
+            "k": pa.array([i % 997 for i in range(n)], pa.int64()),
+            "v": pa.array([rng.random() for _ in range(n)], pa.float64()),
+            "pad": pa.array([rng.getrandbits(256).to_bytes(32, "big") for _ in range(n)]),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/fact.parquet", compression="none")
+
+    df = t(spark, sf_dir, "fact", widen_on="k")
+    assert bucketed_key(df) == "k"
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    p = plan(spark, agg)
+    assert "Exchange" not in p, p
+    assert "Bucketed: true" in p or "SelectedBucketsCount" in p, p
+
+    plain = spark.read.parquet(f"{sf_dir}/fact.parquet")
+    got = {r["k"]: (round(r["s"], 9), r["n"]) for r in agg.collect()}
+    exp = {
+        r["k"]: (round(r["s"], 9), r["n"])
+        for r in plain.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    assert all(got[k][1] == exp[k][1] for k in got)
+
+
+def test_range_compress_pre_clustered_flag_equivalent(spark):
+    """`compress_int_ranges(pre_clustered=True)` must return the same
+    rows as the self-repartitioning default (it only elides the
+    explicit shuffle; a7 passes True when reading the bucketed stage)."""
+    from procoggraph_spark.operators.ranges import compress_int_ranges
+
+    rows = [(k, v) for k in range(50) for v in ([1, 2, 3, 7, 9] if k % 2 else [4, 5, 10])]
+    df = spark.createDataFrame(rows, "k long, v long")
+    a = sorted(map(tuple, compress_int_ranges(df, key="k", value="v").collect()))
+    b = sorted(
+        map(
+            tuple,
+            compress_int_ranges(df, key="k", value="v", pre_clustered=True).collect(),
+        )
+    )
+    assert a == b
+    assert dict(a)[1] == "1-3,7,9"
