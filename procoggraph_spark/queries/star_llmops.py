@@ -204,6 +204,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+               AS n_bpe_tokens,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: GPT-2-style pre-tokenizer split classes
+    (letter runs / digit runs / single punctuation) next to plain
+    whitespace tokens — the fertility-style ratio a curation pipeline
+    monitors. Counts are integers, so the oracle is exact."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(X.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
 @q("text_rolling_hash")
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint (oracle-less; verified by a
