@@ -94,6 +94,67 @@ def attach_fake_features(assets: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, *, max_side: int = 256
+) -> DataFrame:
+    """Image resize PLUMBING: aspect-preserving fit of (width, height)
+    to ``max_side`` computed JVM-side, payload transformed per batch in
+    mapInPandas. The pixel work is a DETERMINISTIC FAKE (byte-stride
+    decimation by the area ratio — a stand-in with the same contract:
+    output bytes shrink with the target area); a PIL/opencv resize
+    slots into the same batch signature. Assets already within bounds
+    pass through untouched.
+    """
+    scaled = assets.withColumn(
+        "_scale",
+        F.when(
+            F.greatest("width", "height") <= max_side, F.lit(1.0)
+        ).otherwise(max_side / F.greatest("width", "height")),
+    ).select(
+        "asset_id",
+        "mime",
+        "width",
+        "height",
+        F.ceil(F.col("width") * F.col("_scale")).cast("int").alias("target_width"),
+        F.ceil(F.col("height") * F.col("_scale")).cast("int").alias("target_height"),
+        "payload",
+    )
+
+    def resize_batch(batches):
+        for pdf in batches:
+            def shrink(row):
+                p = row["payload"]
+                if p is None:
+                    return None
+                area = row["width"] * row["height"]
+                tarea = row["target_width"] * row["target_height"]
+                if tarea >= area or len(p) == 0:
+                    return bytes(p)
+                # floor-div stride (not round): integer-exact, so the
+                # byte count is reproducible in any engine's SQL
+                stride = max(area // tarea, 1)
+                return bytes(p)[::stride]
+
+            out = pdf.copy()
+            out["payload"] = pdf.apply(shrink, axis=1)
+            yield out
+
+    return scaled.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, *, every_n: int = 30) -> DataFrame:
     """Video frame-sampling PLUMBING: emits (asset_id, frame_idx) rows
     for a stubbed decoder via sequence+explode — the shuffle-free Spark

@@ -47,6 +47,64 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mm_resize",
+    """
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             'application/x-' || source AS mime,
+             CAST(100 + doc_id % 500 AS INT) AS width,
+             CAST(80 + doc_id % 300 AS INT) AS height,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             CASE WHEN greatest(width, height) <= 256 THEN 1.0
+                  ELSE 256 / greatest(width, height) END AS scale
+      FROM a
+    ),
+    tgt AS (
+      SELECT asset_id, mime, width, height, n,
+             CAST(CEIL(width * scale) AS INT) AS target_width,
+             CAST(CEIL(height * scale) AS INT) AS target_height
+      FROM s
+    )
+    SELECT asset_id, mime, width, height, target_width, target_height,
+           CASE WHEN target_width * target_height >= width * height OR n = 0
+                THEN n
+                ELSE CAST(CEIL(n * 1.0 / greatest(
+                       (width * height) // (target_width * target_height), 1))
+                     AS BIGINT)
+           END AS resized_bytes
+    FROM tgt
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: JVM-side aspect-preserving target
+    dims + mapInPandas payload transform (deterministic byte-stride
+    fake; a codec-backed resize slots into the same batch signature).
+    The oracle recomputes the byte count arithmetically — integer-exact
+    on both engines."""
+    a = _assets(spark, sf_dir).select(
+        "asset_id",
+        "mime",
+        (100 + F.col("asset_id") % 500).cast("int").alias("width"),
+        (80 + F.col("asset_id") % 300).cast("int").alias("height"),
+        "payload",
+    )
+    resized = M.resize_images(a, max_side=256)
+    return resized.select(
+        "asset_id",
+        "mime",
+        "width",
+        "height",
+        "target_width",
+        "target_height",
+        F.octet_length("payload").cast("long").alias("resized_bytes"),
+    )
+
+
 # --- typed metadata over binary columns ------------------------------------
 
 @q(

@@ -99,3 +99,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     }
     for r in approx.collect():
         assert r["cosine_sim"] == exact_all[(r["query_id"], r["neighbor_id"])]
+
+
+def test_resize_images_contract(spark):
+    """Aspect-preserving fit to max_side; in-bounds assets pass through
+    byte-identical; shrunk assets decimate by the exact floor-div
+    stride; None payloads survive."""
+    from procoggraph_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image/png", 100, 50, b"x" * 1000),   # within bounds
+        (2, "image/png", 512, 256, b"y" * 1000),  # 2x downscale
+        (3, "image/png", 1024, 256, None),        # null payload
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, mime string, width int, height int, payload binary"
+    )
+    out = {r["asset_id"]: r for r in resize_images(df, max_side=256).collect()}
+
+    assert (out[1]["target_width"], out[1]["target_height"]) == (100, 50)
+    assert bytes(out[1]["payload"]) == b"x" * 1000
+
+    assert (out[2]["target_width"], out[2]["target_height"]) == (256, 128)
+    # stride = (512*256) // (256*128) = 4 -> ceil(1000/4) = 250 bytes
+    assert len(out[2]["payload"]) == 250
+
+    assert out[3]["payload"] is None
