@@ -155,7 +155,10 @@ def _staged_splittable(path: str) -> str:
         return _STAGE_MEMO[path]
     out = path
     try:
-        if os.path.isfile(path) and os.path.getsize(path) > (4 << 20):
+        # 1 MB gate: below it a single task finishes faster than the
+        # scheduler splits (events at sf0.1 is 2 MB and its windowed
+        # scans gain ~2x from splitting)
+        if os.path.isfile(path) and os.path.getsize(path) > (1 << 20):
             import pyarrow.parquet as pq
 
             if pq.ParquetFile(path).num_row_groups < _STAGE_FILES:
