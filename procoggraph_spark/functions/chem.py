@@ -147,6 +147,73 @@ def _parity_rdkit(a: str, b: str, timeout_s: int):  # pragma: no cover
     )
 
 
+# U6: molecular descriptor calculator (`get_ec_information.py:23,294-295`
+# imports MolecularDescriptorCalculator). Descriptor struct computed with
+# RDKit when present; otherwise from a direct SMILES token parse — heavy
+# atoms, ring closures, and a heavy-atom molecular weight are derivable
+# from the string itself (implicit hydrogens are NOT counted, which the
+# field name makes explicit).
+
+_ATOMIC_WEIGHTS = {
+    "H": 1.008, "B": 10.811, "C": 12.011, "N": 14.007, "O": 15.999,
+    "F": 18.998, "Na": 22.990, "Mg": 24.305, "P": 30.974, "S": 32.06,
+    "Cl": 35.45, "K": 39.098, "Ca": 40.078, "Fe": 55.845, "Zn": 65.38,
+    "Br": 79.904, "I": 126.904,
+}
+
+DESCRIPTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("heavy_molwt", T.DoubleType()),
+        T.StructField("n_heavy_atoms", T.IntegerType()),
+        T.StructField("n_rings", T.IntegerType()),
+    ]
+)
+
+
+def _descriptors_from_smiles(smiles: str | None):
+    """Token-parse descriptors (no RDKit): two-letter organic-subset
+    symbols first, then single letters (aromatic lowercase included);
+    ring count = ring-closure digit pairs."""
+    import re
+
+    if not smiles:
+        return (None, None, None)
+    body = re.sub(r"\[[^\]]*\]", "X", smiles)  # bracket atoms -> 1 heavy atom
+    toks = re.findall(r"Cl|Br|Na|Mg|Ca|Fe|Zn|[BCNOPSFIKX]|[bcnops]", body)
+    closures = re.findall(r"%\d{2}|\d", re.sub(r"\[[^\]]*\]", "", smiles))
+    wt = 0.0
+    n = 0
+    for t_ in toks:
+        n += 1
+        wt += _ATOMIC_WEIGHTS.get(t_.upper() if len(t_) == 1 else t_, 12.011)
+    return (round(wt, 3), n, len(closures) // 2)
+
+
+@F.pandas_udf(DESCRIPTOR_SCHEMA)
+def molecular_descriptors(s: pd.Series) -> pd.DataFrame:
+    """U6: per-molecule descriptor struct (heavy-atom molwt, heavy atom
+    count, ring count). RDKit path uses Descriptors/ring info; fallback
+    parses the SMILES string directly."""
+    if HAVE_RDKIT:
+
+        def desc(x):
+            mol = Chem.MolFromSmiles(x) if x else None
+            if mol is None:
+                return (None, None, None)
+            from rdkit.Chem import Descriptors
+
+            return (
+                round(Descriptors.HeavyAtomMolWt(mol), 3),
+                mol.GetNumHeavyAtoms(),
+                mol.GetRingInfo().NumRings(),
+            )
+
+        rows = [desc(x) for x in s]
+    else:
+        rows = [_descriptors_from_smiles(x) for x in s]
+    return pd.DataFrame(rows, columns=["heavy_molwt", "n_heavy_atoms", "n_rings"])
+
+
 def stable_id_from_string(col):
     """Deterministic 63-bit id from a natural key — replaces the
     reference's order-dependent `reset_index`/`ngroup` dense ids

@@ -85,3 +85,29 @@ def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([("hello, world42 ok",)], "v string")
     got = df.select(bpe_ish_tokens(F.col("v")).alias("out")).collect()[0]["out"]
     assert got == ["hello", ",", "world", "42", "ok"]
+
+
+def test_molecular_descriptors(spark):
+    """U6 descriptor struct on known molecules (heavy-atom arithmetic:
+    ethanol CCO = 2C+O, benzene c1ccccc1 = 6 aromatic C + 1 ring;
+    bracket atoms count as one heavy atom)."""
+    from procoggraph_spark.functions.chem import molecular_descriptors
+
+    df = spark.createDataFrame(
+        [("CCO",), ("c1ccccc1",), ("C1CC1",), (None,), ("[Na+].[Cl-]",)],
+        "smiles string",
+    )
+    out = {
+        r["smiles"]: r["d"]
+        for r in df.select(
+            "smiles", molecular_descriptors(F.col("smiles")).alias("d")
+        ).collect()
+    }
+    eth = out["CCO"]
+    assert eth["n_heavy_atoms"] == 3 and eth["n_rings"] == 0
+    assert abs(eth["heavy_molwt"] - (2 * 12.011 + 15.999)) < 0.05
+    benz = out["c1ccccc1"]
+    assert benz["n_heavy_atoms"] == 6 and benz["n_rings"] == 1
+    assert out["C1CC1"]["n_rings"] == 1
+    assert out[None]["n_heavy_atoms"] is None
+    assert out["[Na+].[Cl-]"]["n_heavy_atoms"] == 2
