@@ -100,8 +100,19 @@ def _bucketed_table(spark: SparkSession, path: str, key: str) -> DataFrame | Non
     try:
         # lower gate than the generic splittable staging: the caller
         # explicitly declared the key, and a 1 MB+ fact side already
-        # repays the one-time write by dropping a per-query shuffle
-        if not (os.path.isfile(path) and os.path.getsize(path) > (1 << 20)):
+        # repays the one-time write by dropping a per-query shuffle.
+        # Directories (the shape real tables have) qualify by total size.
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        elif os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+            )
+        else:
+            return None
+        if size <= (1 << 20):
             return None
         digest = hashlib.sha1(f"{path}|{key}".encode()).hexdigest()[:12]
         tbl = f"stage_b_{digest}"

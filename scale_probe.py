@@ -1,0 +1,140 @@
+"""Scale probe: generate a ~10x synthetic star schema (sf≈1: 6M
+lineitem / 1.5M orders) and time the relational headline queries on it,
+next to sf0.1, to check the scaling exponent empirically.
+
+Not part of the driver bench contract (`bench.py` is). Usage:
+
+    python3 scale_probe.py            # generates to /tmp/procoggraph_sfprobe once
+
+The synthetic tables use the generic multi-file path (no single-file
+staging, no bucketing) — i.e. the layout/plan a real cluster run has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.queries import registry
+from procoggraph_spark.session import get_spark
+
+PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/procoggraph_sfprobe")
+SCALE = int(os.environ.get("SPARK_GRAFT_PROBE_SCALE", "10"))  # x sf0.1
+RELATIONAL = [
+    "a1_pricing_summary",
+    "j7_star_join_rollup",
+    "q4_report_card",
+    "q9_group_by_array",
+    "w5_topk_per_group",
+    "a7_range_compress",
+    "p6_ownership_classify",
+    "dedup_exact",
+]
+
+
+def generate(spark) -> None:
+    n_li = 600_000 * SCALE
+    n_ord = n_li // 4
+    n_cust = 15_000 * SCALE
+    n_part = 20_000 * SCALE
+    n_supp = 1_000 * SCALE
+
+    li = spark.range(n_li).select(
+        (F.col("id") / 4).cast("long").alias("l_orderkey"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(n_part))).cast("long").alias("l_partkey"),
+        (F.pmod(F.col("id") * 40503, F.lit(n_supp))).cast("long").alias("l_suppkey"),
+        (F.pmod(F.col("id"), F.lit(7)) + 1).cast("int").alias("l_linenumber"),
+        (F.pmod(F.col("id"), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+        ((F.pmod(F.col("id") * 9176, F.lit(90000)) + 10000) / 100.0).alias("l_extendedprice"),
+        (F.pmod(F.col("id"), F.lit(11)) / 100.0).alias("l_discount"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F")),
+            (F.pmod(F.col("id"), F.lit(2)) + 1).cast("int"),
+        ).alias("l_linestatus"),
+        F.date_format(
+            F.date_add(F.lit("1995-01-01").cast("date"), F.pmod(F.col("id"), F.lit(2400)).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("l_shipdate"),
+    )
+    orders = spark.range(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.col("id") * 48271, F.lit(n_cust)).cast("long").alias("o_custkey"),
+        (F.pmod(F.col("id") * 7, F.lit(100000)) / 100.0 + 1000.0).alias("o_totalprice"),
+        F.concat(F.lit("P"), F.pmod(F.col("id"), F.lit(5)).cast("string")).alias("o_orderpriority"),
+    )
+    part = spark.range(n_part).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("Brand#"), F.pmod(F.col("id"), F.lit(25)).cast("string")).alias("p_brand"),
+    )
+    cust = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.pmod(F.col("id"), F.lit(25)).cast("int").alias("c_nationkey"),
+    )
+    nation = spark.range(25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id").cast("string")).alias("n_name"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("n_regionkey"),
+    )
+    region = spark.range(5).select(
+        F.col("id").cast("int").alias("r_regionkey"),
+        F.concat(F.lit("REGION_"), F.col("id").cast("string")).alias("r_name"),
+    )
+    for name, df in [
+        ("lineitem", li), ("orders", orders), ("part", part),
+        ("customer", cust), ("nation", nation), ("region", region),
+    ]:
+        df.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, f"{name}.parquet"))
+    # documents stand-in so dedup_exact runs at scale too
+    docs = spark.range(5_000 * SCALE).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("synthetic document text number "),
+            F.pmod(F.col("id"), F.lit(4_000 * SCALE)).cast("string"),
+            F.lit(" with shared prefix material for exact-dup groups"),
+        ).alias("text"),
+        F.lit("probe").alias("source"),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, "documents.parquet"))
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    if not os.path.isdir(os.path.join(PROBE_DIR, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"generated {SCALE}x probe tables in {time.perf_counter()-t0:.1f}s")
+
+    qs, _ = registry()
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    out = {}
+    for sf_dir, label in [("/root/testdata/sf0.1", "sf0.1"), (PROBE_DIR, f"sf0.1x{SCALE}")]:
+        timings = {}
+        for name in RELATIONAL:
+            best = float("inf")
+            for _ in range(2):
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        out[label] = timings
+    ratios = {
+        k: round(out[f"sf0.1x{SCALE}"][k] / max(out["sf0.1"][k], 1e-9), 1)
+        for k in RELATIONAL
+    }
+    print(json.dumps({"timings": out, "xdata_time_ratio": ratios, "xdata": SCALE}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
