@@ -1,0 +1,109 @@
+"""Dataset splitting, stratified sampling, and sequence packing — the
+assignment operators a training-data pipeline runs after curation.
+
+Design rules as elsewhere: pure column algebra (codegen'd, no UDFs), and
+every assignment is a deterministic function of the row's key — rerun-
+and partitioning-stable, and reproducible in any engine's SQL (the
+multiplicative hash is plain 64-bit integer arithmetic, unlike
+xxhash64, so the DuckDB oracle computes the identical buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant;
+# bucket = (((x mod 2^31) * A) mod 2^32) mod buckets
+# The mod-2^31 pre-reduction keeps the multiply under 2^63 (ANSI-safe:
+# (2^31-1) * A ≈ 5.7e18 < Long.MAX) without changing buckets for ids
+# below 2^31 — and makes the formula portable 64-bit integer arithmetic
+# any SQL engine reproduces exactly.
+_A = 2654435761
+_M = 4294967296
+_R = 2147483648
+
+
+def hash_bucket(id_col: Column, *, buckets: int = 100) -> Column:
+    """Deterministic pseudo-random bucket in [0, buckets) from an
+    integer id — integer-exact, so identical in Spark and any SQL
+    engine (no engine-specific hash), and overflow-free under ANSI."""
+    reduced = F.pmod(id_col.cast("long"), F.lit(_R))
+    return F.pmod(F.pmod(reduced * _A, F.lit(_M)), F.lit(buckets))
+
+
+def deterministic_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    fractions: dict[str, float],
+    label_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given fractions (must
+    sum to ≤ 1; remainder falls into the last split). The assignment is
+    a pure function of the id: stable across reruns, cluster layouts,
+    and engines — the property a training pipeline needs so that a
+    re-ingest never leaks val/test rows into train.
+    """
+    b = hash_bucket(F.col(id_col))
+    cuts = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac * 100
+        cuts.append((name, acc))
+    # forward-ordered when-chain: the FIRST matching cut wins
+    out: Column | None = None
+    for name, hi in cuts:
+        cond = b < hi
+        out = F.when(cond, F.lit(name)) if out is None else out.when(cond, F.lit(name))
+    out = out.otherwise(F.lit(cuts[-1][0]))
+    return df.withColumn(label_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    strata_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Keep ≈``fraction`` of every stratum, deterministically: the
+    hash-bucket filter applies within each stratum independently, so no
+    stratum is over/under-sampled by clustering of ids. (A deterministic
+    `sampleBy` — same contract, reproducible across engines.)"""
+    # pre-reduce the stratum hash before mixing with the id so the sum
+    # stays far from the long range (ANSI overflow discipline)
+    strata_h = F.pmod(F.xxhash64(F.col(strata_col)), F.lit(_R))
+    b = hash_bucket(strata_h + F.pmod(F.col(id_col).cast("long"), F.lit(_R)))
+    return df.filter(b < fraction * 100)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str],
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    bins. Within each partition group (e.g. source shard), documents are
+    taken in ``id_col`` order and a document starts in the bin where its
+    running token total begins: ``bin = (cumsum - n) // budget``.
+
+    One window per partition group — a single shuffle on
+    ``partition_cols``; each group's packing is an independent stream,
+    which is exactly how a sharded packer runs at 100 TB (shard first,
+    pack within shard). Integer arithmetic end-to-end → engine-exact.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        bin_col,
+        ((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
+    )

@@ -416,3 +416,74 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.corpus_keep_decision(F.col("text"), min_quality=0.5,
                                max_repetition=0.2, langs=("en",)).alias("keep"),
     )
+
+
+# --- dataset assignment: split / stratified sample / sequence packing -----
+
+@q(
+    "split_train_val_test",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bkt
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+      SELECT doc_id, CASE WHEN bkt < 80.0 THEN 'train'
+                          WHEN bkt < 90.0 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM b
+    ) GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split: a pure integer-hash function of the
+    id, so reruns and re-ingests never migrate rows between splits. The
+    oracle recomputes the identical buckets (plain 64-bit arithmetic,
+    no engine-specific hash)."""
+    from procoggraph_spark.operators.sampling import deterministic_split
+
+    d = t(spark, sf_dir, "documents")
+    s = deterministic_split(
+        d, id_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@q(
+    "pack_token_budget",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT source, (cum - n_tokens) // 512 AS bin_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM c GROUP BY source, (cum - n_tokens) // 512
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing to a 512-token budget per source shard (windowed
+    cumsum binning — one shuffle), rolled up per bin. Integer-exact on
+    both engines."""
+    from procoggraph_spark.operators.sampling import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, id_col="doc_id", token_col="n_tokens", budget=512,
+        partition_cols=["source"],
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )

@@ -179,3 +179,58 @@ def test_dedup_cluster_canonical_on_documents(spark):
         ids = list(grp.doc_id)
         if len(ids) > 1:
             assert len({canon_of[i] for i in ids}) == 1, ids
+
+
+def test_deterministic_split_stability_and_fractions(spark):
+    """Split is a pure function of the id (same rows on rerun and on a
+    reshuffled frame) and fractions land near 80/10/10."""
+    from procoggraph_spark.operators.sampling import deterministic_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    s1 = deterministic_split(df, id_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    s2 = deterministic_split(
+        df.repartition(7), id_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    a = {r["doc_id"]: r["split"] for r in s1.collect()}
+    b = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 10_000 - 0.8) < 0.02
+    assert abs(c["val"] / 10_000 - 0.1) < 0.02
+    assert abs(c["test"] / 10_000 - 0.1) < 0.02
+
+
+def test_stratified_sample_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sampling import stratified_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"),
+    )
+    kept = stratified_sample(df, id_col="doc_id", strata_col="src", fraction=0.25)
+    per = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    for src, n in per.items():
+        assert abs(n / 5_000 - 0.25) < 0.05, (src, n)
+
+
+def test_pack_sequences_budget_semantics(spark):
+    """Every doc starts in the bin where its cumsum begins: bins are
+    contiguous in id order and a bin's pre-doc total is < budget."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "a", 100 + (i % 3) * 70) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    packed = pack_sequences(
+        df, id_col="doc_id", token_col="n", budget=512, partition_cols=["src"]
+    ).collect()
+    by_id = sorted(packed, key=lambda r: r["doc_id"])
+    cum = 0
+    for r in by_id:
+        assert r["bin_id"] == cum // 512
+        cum += r["n"]
