@@ -54,6 +54,13 @@ def get_spark(
         # 128 MB parquet split targets keep partitions executor-memory-sized
         # at large SF while still parallelizing small local runs.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # collect_set/collect_list aggregations: this engine's layout
+        # discipline buckets AND sorts fact tables on their group key,
+        # so sort-based aggregation streams each group with O(1) state
+        # and no hash map — measured ~2x on the set-heavy report-card
+        # query at two scales. Workloads aggregating unsorted streams
+        # can flip it back via SPARK_GRAFT_CONF.
+        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
     )
     if master.startswith("local"):
         # single-JVM shuffle never crosses a network and its files sit in

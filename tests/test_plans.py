@@ -58,7 +58,12 @@ def test_q4_preagg_below_join(spark):
     # (physical: the left join's right child contains the aggregate)
     phys = p.split("== Physical Plan ==")[1]
     assert "SortMergeJoin" in phys or "ShuffledHashJoin" in phys or "BroadcastHashJoin" in phys
-    assert phys.index("Join") < phys.index("HashAggregate") or "ObjectHashAggregate" in phys
+    agg_idx = min(
+        idx
+        for idx in (phys.find("HashAggregate"), phys.find("SortAggregate"))
+        if idx != -1
+    )
+    assert phys.index("Join") < agg_idx or "ObjectHashAggregate" in phys
     # the part dimension join is a broadcast, never a shuffle
     assert "BroadcastHashJoin" in phys
 
