@@ -78,6 +78,64 @@ def stratified_sample(
     return df.filter(b < fraction * 100)
 
 
+def weighted_mix(
+    df: DataFrame,
+    *,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Rebalance a multi-source corpus to target mixture ``weights``
+    (summing to 1) by deterministic downsampling: the largest total mix
+    that every source can supply is ``min_s(n_s / w_s)`` rows; each
+    source keeps ``scale * w_s / n_s`` of its rows via the portable
+    hash-bucket filter. Fully declarative — the per-source counts are a
+    tiny aggregate broadcast back, never a driver collect.
+
+    Sources missing from ``weights`` are dropped (weight 0).
+    """
+    w_expr = None
+    for name, w in weights.items():
+        cond = F.col(source_col) == name
+        w_expr = F.when(cond, F.lit(float(w))) if w_expr is None else w_expr.when(
+            cond, F.lit(float(w))
+        )
+    w_expr = w_expr.otherwise(F.lit(0.0))
+
+    counts = (
+        df.withColumn("_w", w_expr)
+        .filter(F.col("_w") > 0)
+        .groupBy(source_col, "_w")
+        .agg(F.count("*").alias("_n"))
+    )
+    scale = F.broadcast(counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_scale")))
+    frac = counts.crossJoin(scale).select(
+        source_col,
+        (F.col("_scale") * F.col("_w") / F.col("_n")).alias("_keep_frac"),
+    )
+    b = hash_bucket(
+        F.pmod(portable_string_salt(F.col(source_col)), F.lit(_R))
+        + F.pmod(F.col(id_col).cast("long"), F.lit(_R)),
+        buckets=granularity,
+    )
+    return (
+        df.join(F.broadcast(frac), source_col)
+        .filter(b < F.col("_keep_frac") * granularity)
+        .drop("_keep_frac")
+    )
+
+
+def portable_string_salt(col: Column) -> Column:
+    """Small deterministic salt from a string, using only length/ascii/
+    substr — reproducible in any SQL engine (unlike xxhash64). Diversity
+    is all a sampling salt needs; this is NOT a general-purpose hash."""
+    return (
+        (F.length(col) * 131 + F.ascii(F.substring(col, 1, 1))) * 1009
+        + F.ascii(F.substring(col, -1, 1))
+    ).cast("long")
+
+
 def pack_sequences(
     df: DataFrame,
     *,

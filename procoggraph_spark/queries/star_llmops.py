@@ -487,3 +487,48 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )
+
+
+@q(
+    "mix_weighted_sources",
+    """
+    WITH w AS (
+      SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1))
+        AS t(source, w)
+    ),
+    c AS (
+      SELECT d.source, w.w, COUNT(*) AS n
+      FROM documents d JOIN w ON d.source = w.source
+      GROUP BY d.source, w.w
+    ),
+    s AS (SELECT MIN(n / w) AS scale FROM c),
+    f AS (SELECT source, (s.scale * w / n) AS keep_frac FROM c CROSS JOIN s),
+    b AS (
+      SELECT d.doc_id, d.source, f.keep_frac,
+             (((((length(d.source) * 131 + ascii(substr(d.source, 1, 1))) * 1009
+                 + ascii(substr(d.source, -1, 1))) % 2147483648
+                + (d.doc_id % 2147483648)) % 2147483648)
+              * 2654435761) % 4294967296 % 1000000 AS bkt
+      FROM documents d JOIN f ON d.source = f.source
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+    FROM b WHERE bkt < keep_frac * 1000000
+    GROUP BY source
+    """,
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: rebalance three sources to a 60/30/10 target by
+    deterministic downsampling (largest achievable mix, portable salt
+    so the oracle reproduces the exact kept set)."""
+    from procoggraph_spark.operators.sampling import weighted_mix
+
+    d = t(spark, sf_dir, "documents")
+    kept = weighted_mix(
+        d,
+        source_col="source",
+        id_col="doc_id",
+        weights={"src0": 0.6, "src1": 0.3, "src2": 0.1},
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id")
+    )

@@ -234,3 +234,35 @@ def test_pack_sequences_budget_semantics(spark):
     for r in by_id:
         assert r["bin_id"] == cum // 512
         cum += r["n"]
+
+
+def test_weighted_mix_proportions(spark):
+    """Mixture hits the target proportions within sampling noise, and
+    the limiting source (highest n/w demand) is kept ~fully."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sampling import weighted_mix
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    kept = weighted_mix(
+        df, source_col="source", id_col="doc_id",
+        weights={"s0": 0.6, "s1": 0.3, "s2": 0.1},
+    )
+    per = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(per.values())
+    # 10k per source; s0 is limiting (10k/0.6) -> mix ~16.6k total
+    assert per["s0"] > 9_700  # limiting source kept ~fully
+    assert abs(per["s0"] / total - 0.6) < 0.03
+    assert abs(per["s1"] / total - 0.3) < 0.03
+    assert abs(per["s2"] / total - 0.1) < 0.03
+    # deterministic: rerun keeps the identical set
+    again = weighted_mix(
+        df.repartition(5), source_col="source", id_col="doc_id",
+        weights={"s0": 0.6, "s1": 0.3, "s2": 0.1},
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
