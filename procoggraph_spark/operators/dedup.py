@@ -169,6 +169,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Fused LSH banding + Jaccard estimate in a single pass: the band
     explode carries the full signature, so the band equi-join yields both
@@ -182,6 +183,13 @@ def minhash_lsh_pairs(
     recomputations/joins of the signature subplan disappear. With 64-hash
     sigs (512 B) the carried payload stays far below the text it
     summarizes, so this is also the scale-preferred plan.
+
+    ``max_bucket_size``: suppress band buckets holding more than this
+    many documents before the self-join. A bucket with thousands of
+    members is boilerplate/template text, not near-dup signal, and its
+    self-join contributes O(bucket²) pairs — the standard hot-bucket
+    guard every at-scale LSH dedup ships. Pairs that are genuine
+    near-dups still collide in their other, selective bands.
 
     Output: (id_a, id_b, n_bands_matched, est_jaccard).
     """
@@ -199,6 +207,14 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bh"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("_band", "_bh")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("_band", "_bh")
+        )
+        b = b.join(hot, ["_band", "_bh"], "left_anti")
     left = b.select(F.col("_id").alias("id_a"), F.col("sig").alias("_sa"), "_band", "_bh")
     right = b.select(F.col("_id").alias("id_b"), F.col("sig").alias("_sb"), "_band", "_bh")
     agree = F.size(

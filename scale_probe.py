@@ -91,17 +91,78 @@ def generate(spark) -> None:
         ("customer", cust), ("nation", nation), ("region", region),
     ]:
         df.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, f"{name}.parquet"))
-    # documents stand-in so dedup_exact runs at scale too
-    docs = spark.range(5_000 * SCALE).select(
+    # documents stand-in with DIVERSE token content: each unique text is
+    # a sequence of id-derived pseudo-words, so unrelated docs share few
+    # bigram shingles (a template-heavy corpus would make every doc a
+    # near-dup of every other and LSH candidate generation — correctly —
+    # blows up toward O(n^2)). ids >= n_unique duplicate earlier texts,
+    # planting one exact-dup partner for 20% of the corpus.
+    n_docs = 5_000 * SCALE
+    n_unique = 4_000 * SCALE
+    uid = F.pmod(F.col("id"), F.lit(n_unique))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(uid, i), F.lit(50_000)).cast("string"),
+        ),
+    )
+    docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.lit("synthetic document text number "),
-            F.pmod(F.col("id"), F.lit(4_000 * SCALE)).cast("string"),
-            F.lit(" with shared prefix material for exact-dup groups"),
+            F.lit("doc "), uid.cast("string"), F.lit(" "), F.array_join(words, " ")
         ).alias("text"),
         F.lit("probe").alias("source"),
     )
     docs.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, "documents.parquet"))
+
+
+def generate_embeddings(spark) -> None:
+    n_vec = 10_000 * SCALE
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 1000) / 1000.0,
+        ).alias("embedding"),
+        F.concat(F.lit("lab"), F.pmod(F.col("id"), F.lit(8)).cast("string")).alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, "embeddings.parquet"))
+
+
+def llmops_probe(spark) -> dict:
+    """Scale the near-dup + ANN operators to the FULL probe corpus
+    (50k docs / 100k vectors at SCALE=10) — no doc_id cap, the size
+    where the LSH/IVF candidate-pruning is actually load-bearing."""
+    import time as _t
+
+    from procoggraph_spark.operators import dedup as D
+    from procoggraph_spark.operators import similarity as S
+
+    out = {}
+    docs = spark.read.parquet(os.path.join(PROBE_DIR, "documents.parquet"))
+    t0 = _t.perf_counter()
+    sigs = D.minhash_signatures(docs, id_col="doc_id", text_col="text", n=2, num_hashes=64)
+    pairs = D.minhash_lsh_pairs(sigs, id_col="doc_id", bands=16, rows_per_band=4)
+    n_pairs = pairs.filter(F.col("est_jaccard") >= 0.5).count()
+    out["minhash_lsh_fullcorpus"] = {
+        "sec": round(_t.perf_counter() - t0, 2),
+        "docs": docs.count(),
+        "neardup_pairs": n_pairs,
+    }
+
+    emb = spark.read.parquet(os.path.join(PROBE_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    t0 = _t.perf_counter()
+    topk = S.ivf_topk(emb, queries, id_col="vec_id", vec_col="embedding",
+                      n_cells=64, n_probe=8, k=10)
+    n_rows = topk.count()
+    out["ivf_ann_fullcorpus"] = {
+        "sec": round(_t.perf_counter() - t0, 2),
+        "vectors": emb.count(),
+        "result_rows": n_rows,
+    }
+    return out
 
 
 def main() -> None:
@@ -132,7 +193,14 @@ def main() -> None:
         k: round(out[f"sf0.1x{SCALE}"][k] / max(out["sf0.1"][k], 1e-9), 1)
         for k in RELATIONAL
     }
-    print(json.dumps({"timings": out, "xdata_time_ratio": ratios, "xdata": SCALE}))
+    if not os.path.isdir(os.path.join(PROBE_DIR, "embeddings.parquet")):
+        generate_embeddings(spark)
+    llm = llmops_probe(spark)
+    print(
+        json.dumps(
+            {"timings": out, "xdata_time_ratio": ratios, "xdata": SCALE, "llmops": llm}
+        )
+    )
     spark.stop()
 
 

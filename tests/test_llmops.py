@@ -266,3 +266,32 @@ def test_weighted_mix_proportions(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_lsh_hot_bucket_suppression(spark):
+    """A template corpus (all docs identical) explodes LSH candidate
+    pairs O(n^2); max_bucket_size suppresses the degenerate buckets.
+    Selective near-dups in small buckets survive the guard."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    template = [(i, "the same boilerplate sentence repeated everywhere forever") for i in range(60)]
+    real_pair = [
+        (1000, "completely distinct payload alpha beta gamma delta epsilon"),
+        (1001, "completely distinct payload alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(template + real_pair, "doc_id long, text string")
+    sigs = minhash_signatures(df, id_col="doc_id", text_col="text", n=2, num_hashes=64)
+
+    uncapped = minhash_lsh_pairs(sigs, id_col="doc_id").count()
+    assert uncapped >= 60 * 59 / 2  # template blowup present
+
+    capped = minhash_lsh_pairs(sigs, id_col="doc_id", max_bucket_size=10)
+    rows = capped.collect()
+    ids = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1000, 1001) in ids            # genuine near-dup survives
+    assert all(a >= 1000 for a, _ in ids)  # template pairs suppressed
