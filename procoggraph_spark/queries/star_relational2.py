@@ -387,3 +387,37 @@ def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# --- cube: all grouping-set combinations (A11 family completion) -----------
+
+@q(
+    "a11_cube_combinations",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority_lvl,
+           COALESCE(CAST(priority_flag AS VARCHAR), 'ALL') AS flag_lvl,
+           COUNT(*) AS n_orders
+    FROM (
+      SELECT o_orderpriority, (o_orderkey % 2 = 0) AS priority_flag
+      FROM orders
+    )
+    GROUP BY CUBE (o_orderpriority, priority_flag)
+    """,
+)
+def a11_cube_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions: every grouping-set combination
+    (both, each alone, grand total) in one pass — the generalization of
+    the manual per-level rollup the reference hand-writes."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2 == 0).alias("priority_flag"),
+    )
+    return (
+        o.cube("o_orderpriority", "priority_flag")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority_lvl"),
+            F.coalesce(F.col("priority_flag").cast("string"), F.lit("ALL")).alias("flag_lvl"),
+            "n_orders",
+        )
+    )
