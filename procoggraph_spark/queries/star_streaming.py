@@ -210,3 +210,23 @@ def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         then_type="error",
         within_minutes=5,
     )
+
+
+@q(
+    "stream_static_enrich",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (events ⋈
+    broadcast customer dim → hourly per-segment rollup); the readStream
+    twin is `streaming.windows.streaming_enriched_counts`."""
+    return W.enriched_counts_batch(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    )

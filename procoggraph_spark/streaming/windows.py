@@ -273,6 +273,57 @@ def streaming_funnel_join(
     )
 
 
+def enriched_counts_batch(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Batch twin of the stream-static enrichment: events joined to the
+    (broadcast) customer dimension, rolled up per (hour window, market
+    segment)."""
+    j = events.join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+    )
+    return (
+        j.groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum2(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_enriched_counts(
+    spark,
+    events_path: str,
+    schema,
+    customers: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+):
+    """Stream-static join: each micro-batch probes the static dimension
+    (broadcast — no state store involved for the join side, unlike
+    stream-stream), then a watermarked windowed aggregation. The
+    standard enrichment topology for a 100 TB event firehose with a
+    slowly-changing dimension."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    j = stream.join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        stream.user_id == F.col("c_custkey"),
+    )
+    return (
+        j.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum2(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     spark,
     events_path: str,

@@ -233,3 +233,40 @@ def test_stream_stream_funnel_join_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM funnel_sink").collect()
     )
     assert got == expected
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static broadcast-dim join under availableNow must equal
+    the batch twin (complete output mode: windowed agg result table)."""
+    from procoggraph_spark.queries.common import t
+    from procoggraph_spark.streaming.windows import (
+        enriched_counts_batch,
+        streaming_enriched_counts,
+    )
+
+    ev = t(spark, SF_SMOKE, "events")
+    cust = t(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "events_enrich")
+    ev.write.mode("overwrite").parquet(path)
+    ev_m = spark.read.parquet(path)
+
+    expected = sorted(
+        (str(r["window_start"]), r["c_mktsegment"], r["n"], round(r["sum_value"], 2))
+        for r in enriched_counts_batch(ev_m, cust).collect()
+    )
+    assert expected
+
+    q = (
+        streaming_enriched_counts(spark, path, ev_m.schema, cust)
+        .writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["window_start"]), r["c_mktsegment"], r["n"], round(r["sum_value"], 2))
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    )
+    assert got == expected
