@@ -324,8 +324,66 @@ def lsh_topk(
             F.posexplode(F.array(*cols)).alias("_tbl", "_sig"),
         )
 
-    cb = with_buckets(corpus, "neighbor_id")
-    qb = with_buckets(queries, "query_id")
+    def with_buckets_numpy(df: DataFrame, idc: str) -> DataFrame:
+        # all n_tables*n_planes projections as ONE matrix multiply per
+        # Arrow batch — replaces 32 interpreted per-element folds/row
+        import numpy as np
+
+        P = np.array(
+            [
+                [_det_plane_component(tbl * n_planes + p, d) for d in range(dim)]
+                for tbl in range(n_tables)
+                for p in range(n_planes)
+            ],
+            dtype=np.float64,
+        )
+        powers = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+        schema = T.StructType(
+            [
+                T.StructField(idc, T.LongType()),
+                T.StructField(f"_{idc}_v", T.ArrayType(T.DoubleType())),
+                T.StructField(f"_{idc}_n", T.DoubleType()),
+                T.StructField("_tbl", T.IntegerType()),
+                T.StructField("_sig", T.LongType()),
+            ]
+        )
+
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                bits = (V @ P.T >= 0).astype(np.int64)  # (b, T*p)
+                sigs = (
+                    bits.reshape(len(pdf), n_tables, n_planes) * powers
+                ).sum(axis=2)  # (b, T)
+                norms = np.linalg.norm(V, axis=1)
+                yield pd.DataFrame(
+                    {
+                        idc: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                        f"_{idc}_v": np.repeat(pdf[vec_col].to_numpy(), n_tables),
+                        f"_{idc}_n": np.repeat(norms, n_tables),
+                        "_tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                        "_sig": sigs.ravel(),
+                    }
+                )
+
+        return df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        ).mapInPandas(fn, schema=schema)
+
+    try:
+        import numpy  # noqa: F401
+
+        bucketize = with_buckets_numpy
+    except ImportError:  # pragma: no cover - numpy is in the container
+        bucketize = with_buckets
+
+    cb = bucketize(corpus, "neighbor_id")
+    qb = bucketize(queries, "query_id")
     cand = (
         cb.join(qb, ["_tbl", "_sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
