@@ -120,3 +120,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# --- BFS shortest-path distances (k_hop generalization) -------------------
+# Undirected supplier co-occurrence graph; min-hop distance from the
+# lowest supplier id within 3 hops. Oracle: bounded-depth recursive CTE
+# with MIN(dist) — exact integers.
+
+_BFS_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey < 5000 AND b.l_orderkey < 5000
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL SELECT b, a FROM e0
+),
+seed AS (SELECT MIN(a) AS s FROM e0),
+walk AS (
+  WITH RECURSIVE w(id, dist) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT sym.dst, w.dist + 1
+    FROM w JOIN sym ON sym.src = w.id
+    WHERE w.dist < 3
+  )
+  SELECT id, MIN(dist) AS hops FROM w GROUP BY id
+)
+SELECT id, hops FROM walk
+"""
+
+
+@q("graph_bfs_distances", _BFS_SQL)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.graph.algorithms import k_hop_neighborhood
+
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    a = l.select("l_orderkey", F.col("l_suppkey").alias("_sa"))
+    b = l.select("l_orderkey", F.col("l_suppkey").alias("_sb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("_sa") < F.col("_sb"))
+        .select(F.col("_sa").alias("src"), F.col("_sb").alias("dst"))
+        .distinct()
+    )
+    start = edges.agg(F.min("src").alias("id"))
+    return k_hop_neighborhood(edges, start, k=3).select(
+        "id", F.col("hops").cast("long").alias("hops")
+    )
