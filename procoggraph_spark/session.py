@@ -97,6 +97,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     from procoggraph_spark.functions import chem
 
     spark.udf.register("canonical_smiles", chem.canonical_smiles)
+    spark.udf.register("molecular_descriptors", chem.molecular_descriptors)
 
     @F.pandas_udf(T.DoubleType())
     def parity_score(a, b):
