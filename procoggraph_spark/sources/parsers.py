@@ -508,3 +508,70 @@ def parse_rd_records(path: str, text: str) -> list[dict]:
 
 def read_rd_reactions(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return _wholetext_source(spark, paths, parse_rd_records, RD_SCHEMA)
+
+
+def parse_text_column(
+    df: DataFrame,
+    *,
+    key_col: str,
+    text_col: str,
+    parse_one,
+    schema: T.StructType,
+) -> DataFrame:
+    """UDTF over an in-DataFrame text column — the same parser kernels
+    as the file-based sources, applied to e.g. the stdout of the
+    distributed external-tool stage without a filesystem round-trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                out.extend(parse_one(str(key), text if text is not None else ""))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def arpeggio_from_tool_output(
+    tool_df: DataFrame,
+    *,
+    id_col: str,
+    stdout_col: str = "tool_stdout",
+    status_col: str = "status",
+) -> DataFrame:
+    """Compose the distributed external-tool stage (operators.external.
+    run_external_tool) with the S7 arpeggio parser: the full
+    RUN_ARPEGGIO analog (`nextflow/bin/run_arpeggio.sh:11` +
+    `main.nf:45`). Successful invocations parse their stdout as the
+    contact payload; timeouts/failures and unparseable output become
+    dead-letter rows with the status carried through — the reference's
+    errorStrategy-as-data, so a flaky tool never fails the job."""
+
+    def parse_one(key: str, text: str) -> list[dict]:
+        try:
+            return parse_arpeggio_json(key, text)
+        except Exception:
+            return [
+                {f.name: None for f in ARPEGGIO_SCHEMA.fields}
+                | {"pdb_id": key, "status": "parse_failure"}
+            ]
+
+    ok = tool_df.filter(F.col(status_col) == "ok")
+    parsed = parse_text_column(
+        ok, key_col=id_col, text_col=stdout_col, parse_one=parse_one,
+        schema=ARPEGGIO_SCHEMA,
+    )
+    dead = tool_df.filter(F.col(status_col) != "ok").select(
+        *[
+            F.col(id_col).cast("string").alias("pdb_id")
+            if f.name == "pdb_id"
+            else (
+                F.col(status_col).alias("status")
+                if f.name == "status"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in ARPEGGIO_SCHEMA.fields
+        ]
+    )
+    return parsed.unionByName(dead)

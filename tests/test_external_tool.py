@@ -67,3 +67,30 @@ def test_cost_balanced_repartition_spreads_heavy_tail(spark):
     )
     assert len(heavy_per_part) >= 3  # spread over several partitions
     assert max(r["count"] for r in heavy_per_part) <= 4
+
+
+def test_external_tool_to_arpeggio_pipeline(spark):
+    """Full RUN_ARPEGGIO analog: manifest -> distributed stub binary ->
+    stdout parsed into typed contact rows; a timing-out structure
+    surfaces as a dead-letter row, not a job failure."""
+    from procoggraph_spark.sources.parsers import arpeggio_from_tool_output
+
+    stub = (
+        '[ "$0" = bad1 ] && sleep 30; '
+        'printf \'{"status": null, "%s": [{"bgn": {"auth_asym_id": "A", '
+        '"auth_seq_id": 1, "auth_atom_id": "C1"}, "end": {"auth_asym_id": "B", '
+        '"auth_seq_id": 2, "auth_atom_id": "O1"}, "contact": ["hbond"], '
+        '"interacting_entities": "INTER", "distance": 3.1}]}\' "$0"'
+    )
+    manifest = spark.createDataFrame([("9abc",), ("9xyz",), ("bad1",)], "pdb string")
+    tool = run_external_tool(
+        manifest, argv=["sh", "-c", stub, "{}"], input_col="pdb",
+        timeout_s=3.0, kill_grace_s=1.0,
+    )
+    contacts = arpeggio_from_tool_output(tool, id_col="pdb")
+    rows = {r["pdb_id"]: r for r in contacts.collect()}
+    assert rows["9abc"]["status"] == "ok"
+    assert rows["9abc"]["contact"] == ["hbond"]
+    assert rows["9xyz"]["end_auth_seq_id"] == 2
+    assert rows["bad1"]["status"] == "timeout"
+    assert rows["bad1"]["contact"] is None
