@@ -95,3 +95,27 @@ def test_strip_chars_property(spark, vals, chars):
     }
     for i, v in enumerate(vals):
         assert got[i] == v.strip(chars), repr(v)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30, unique=True
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_hash_bucket_portable_arithmetic(spark, ids):
+    """The sampling hash bucket must equal the pure-arithmetic SQL
+    formula for ANY 64-bit id — this is the property that lets a DuckDB
+    oracle (or any engine) reproduce split/sample/mix decisions
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    want = {i: ((i % 2147483648) * 2654435761) % 4294967296 % 100 for i in ids}
+    assert got == want
