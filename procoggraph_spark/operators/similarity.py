@@ -214,6 +214,52 @@ def ivf_assign_numpy(
     return vectors.mapInPandas(assign, schema=out_schema)
 
 
+def train_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for the IVF index: assign (numpy-batched, full
+    scan) → recompute per-cell mean vectors (posexplode + grouped avg —
+    one distributed agg per round; only the n_cells×dim means, the
+    'model', ever reach the driver). Deterministic: lowest-id seeds +
+    stable argmax ties. Empty cells keep their previous centroid."""
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    crows = [
+        (r["cid"], list(r["_v"]))
+        for r in c.orderBy("cid").limit(n_cells).collect()
+    ]
+    # re-key cells to dense 0..n_cells-1 so means map back positionally
+    crows = [(i, v) for i, (_, v) in enumerate(crows)]
+    for _ in range(iterations):
+        assigned = ivf_assign_numpy(c, crows, id_col="cid", n_probe=1)
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cell", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["_d"]] = r["_m"]
+        crows = [
+            (
+                cell,
+                [by_cell[cell][d] for d in range(len(vec))]
+                if cell in by_cell
+                else vec,
+            )
+            for cell, vec in crows
+        ]
+    return crows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,6 +269,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     k: int = 10,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -250,17 +297,21 @@ def ivf_topk(
         import numpy  # noqa: F401
 
         # centroid table is the bounded 'model' side (n_cells rows) —
-        # collecting it is the same data movement as broadcasting it
-        crows = [(r["_cell"], list(r["_cv"])) for r in centroid_df.collect()]
+        # collecting it is the same data movement as broadcasting it.
+        # Pass `centroids` (e.g. from `train_centroids`) to swap the
+        # lowest-id seeds for a trained codebook without a plan change.
+        crows = centroids or [
+            (r["_cell"], list(r["_cv"])) for r in centroid_df.collect()
+        ]
         cells = ivf_assign_numpy(c, crows, id_col="neighbor_id", n_probe=1)
         probes = ivf_assign_numpy(
             q, crows, id_col="query_id", vec_col="_qv", n_probe=n_probe
         )
     except ImportError:  # pragma: no cover - numpy is in the container
-        centroids = F.broadcast(centroid_df)
-        cells = ivf_assign(c, centroids, id_col="neighbor_id", n_probe=1)
+        bcast = F.broadcast(centroid_df)
+        cells = ivf_assign(c, bcast, id_col="neighbor_id", n_probe=1)
         probes = ivf_assign(
-            q, centroids, id_col="query_id", vec_col="_qv", n_probe=n_probe
+            q, bcast, id_col="query_id", vec_col="_qv", n_probe=n_probe
         )
     cand = (
         cells.join(probes, "_cell")

@@ -295,3 +295,45 @@ def test_lsh_hot_bucket_suppression(spark):
     ids = {(r["id_a"], r["id_b"]) for r in rows}
     assert (1000, 1001) in ids            # genuine near-dup survives
     assert all(a >= 1000 for a, _ in ids)  # template pairs suppressed
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained (Lloyd) centroids must give recall at least as good as
+    the lowest-id seeds on clustered data, and both paths return valid
+    top-k (exact rerank within probed cells)."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    # 4 well-separated clusters of 64-d vectors
+    base = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (F.pmod(F.col("id"), F.lit(4)) * 10.0)
+            + (F.pmod(F.xxhash64(F.col("id"), d), F.lit(100)) / 100.0),
+        ).alias("embedding"),
+    )
+    queries = base.filter(F.col("vec_id") < 3)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(base, queries, id_col="vec_id", vec_col="embedding", k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    naive = ivf_topk(base, queries, id_col="vec_id", vec_col="embedding",
+                     n_cells=8, n_probe=2, k=10)
+    crows = train_centroids(base, id_col="vec_id", vec_col="embedding",
+                            n_cells=8, iterations=3)
+    trained = ivf_topk(base, queries, id_col="vec_id", vec_col="embedding",
+                       n_cells=8, n_probe=2, k=10, centroids=crows)
+    r_naive, r_trained = recall(naive), recall(trained)
+    assert r_trained >= r_naive - 1e-9
+    assert r_trained >= 0.5
