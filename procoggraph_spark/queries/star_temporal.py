@@ -12,7 +12,7 @@ flip as-of tie decisions between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.operators.temporal import asof_join, range_join_intervals
@@ -106,4 +106,44 @@ def range_join_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.col("start").cast("long").alias("window_start_sec"),
+    )
+
+
+@q(
+    "w_frame_moving_stats",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS moving_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                    AND CURRENT ROW) AS n_last_30m
+    FROM events WHERE user_id < 20
+    """,
+)
+def w_frame_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME specs (beyond-reference: the reference never uses
+    rows/range frames): a 4-row moving sum (exact long-cents) and a
+    30-minute RANGE frame count per user. One shuffle on user_id serves
+    both frames."""
+    from procoggraph_spark.queries.common import cents
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-30 * 60, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents(F.col("value"))).over(w_rows) / 100.0).alias("moving_sum"),
+        F.count("*").over(w_range).alias("n_last_30m"),
     )
