@@ -421,3 +421,41 @@ def a11_cube_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --- full ranking-function family over one window --------------------------
+
+@q(
+    "w_rank_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist,
+           LAG(o_orderkey) OVER w AS prev_order
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL ranking/distribution/offset function over one window
+    (deterministic: the order key ends in the unique o_orderkey)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
