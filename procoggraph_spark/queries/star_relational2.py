@@ -459,3 +459,33 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.lag("o_orderkey").over(w).alias("prev_order"),
     )
+
+
+# --- relational set operators (INTERSECT / EXCEPT; T5/T6 at row level) -----
+
+@q(
+    "t_set_operators",
+    """
+    SELECT 'both' AS grp, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    UNION ALL
+    SELECT 'urgent_only', o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+)
+def t_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level INTERSECT/EXCEPT (the set-algebra T5/T6 does on
+    collected arrays, expressed as relational operators — Spark plans
+    them as left-semi / left-anti aggregated joins)."""
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = urgent.intersect(low).select(F.lit("both").alias("grp"), "o_custkey")
+    only = urgent.subtract(low).select(F.lit("urgent_only").alias("grp"), "o_custkey")
+    return both.unionByName(only)
