@@ -197,3 +197,47 @@ def corpus_keep_decision(
         & (repeated_ngram_ratio(text) <= max_repetition)
         & lang_ok
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """TF-IDF term scoring with the top-``k`` terms per document — the
+    keyword-extraction / relevance-weighting primitive of a corpus
+    pipeline (and the feature base for BM25-style dedup-aware sampling).
+
+    Scale shape: one term explode feeding two hash aggregations (the
+    per-document term frequency, then the corpus document frequency
+    derived from the TF table — never a second scan of the corpus), a
+    shuffle equi-join on the term key (the vocabulary is corpus-sized,
+    so it is NOT broadcast), and one window for the per-document top-k.
+    The corpus size enters the plan as a broadcast 1-row aggregate, not
+    a driver-side collect. All arithmetic is JVM-side; scores are
+    rounded before ranking so the (score, term) order is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # df(term) = number of documents containing the term; TF rows are
+    # already distinct per (doc, term), so a plain count suffices.
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

@@ -227,6 +227,37 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction: TF-IDF over the whole documents table,
+    top-3 terms per doc (explode → two hash aggs → term-key join →
+    windowed top-k; see operators/text.tfidf_top_terms for the scale
+    shape)."""
+    d = t(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(d, id_col="doc_id", text_col="text", k=3)
+
+
 @q("text_rolling_hash")
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint (oracle-less; verified by a

@@ -489,3 +489,72 @@ def t_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = urgent.intersect(low).select(F.lit("both").alias("grp"), "o_custkey")
     only = urgent.subtract(low).select(F.lit("urgent_only").alias("grp"), "o_custkey")
     return both.unionByName(only)
+
+
+# --- statistical moment aggregates (beyond-reference F15 extension) -------
+# The reference computes only ratios/percentages; a real analytics engine
+# needs the second-moment family. All four definitions (sample stddev /
+# variance, Pearson correlation, sample covariance) are identical between
+# Spark and DuckDB; inputs are kept small-magnitude so the streaming
+# co-moment merges agree to well under the rounding precision.
+
+@q(
+    "a_stat_moments",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-moment statistics: stddev/variance/correlation/
+    covariance per return flag — one hash aggregation, partial merges
+    map-side (each moment is an associative (n, sum, co-moment) triple,
+    so the shape is shuffle-light at any scale)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (dsum2(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        # + 0.0 canonicalizes IEEE -0.0 (a near-zero covariance rounds to
+        # -0.0 on one engine and +0.0 on the other) — same on the oracle.
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "cov_disc_tax"
+        ),
+    )
+
+
+# --- fixed-width histogram binning ----------------------------------------
+
+@q(
+    "a_histogram_fixed_width",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT)
+    """,
+)
+def a_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals (25k-wide buckets, top
+    bucket open-ended): the distribution profile every data-quality
+    dashboard draws. Bucket assignment is integer floor arithmetic
+    (engine-portable, unlike width_bucket variants), binning is a single
+    hash aggregation with map-side partials, and the bucket total uses
+    the exact decimal-sum discipline."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        dsum2(F.col("o_totalprice")).alias("total_price"),
+    )
