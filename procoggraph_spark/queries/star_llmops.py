@@ -258,6 +258,61 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tfidf_top_terms(d, id_col="doc_id", text_col="text", k=3)
 
 
+@q(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ),
+    fp AS (
+      SELECT term,
+             CAST(list_sum(list_transform(generate_series(1, least(length(term), 64)),
+                  i -> ascii(substr(term, i, 1)) * i)) % 2147483647 AS BIGINT) AS h
+      FROM tok
+    ),
+    cells AS (
+      SELECT r,
+             ((h * (2654435761 + r * 40503) + r * 1009) % 2147483648) % 64 AS bucket,
+             COUNT(*) AS cnt
+      FROM fp CROSS JOIN generate_series(0, 3) AS g(r)
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT term, h FROM fp),
+    est AS (
+      SELECT p.term, MIN(c.cnt) AS est_count
+      FROM probes p CROSS JOIN generate_series(0, 3) AS g(r)
+      JOIN cells c ON c.r = g.r
+       AND c.bucket = ((p.h * (2654435761 + g.r * 40503) + g.r * 1009)
+                       % 2147483648) % 64
+      GROUP BY p.term
+    )
+    SELECT term, est_count, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY est_count DESC, term) AS rank
+      FROM est
+    ) WHERE rank <= 10
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: sketch all term occurrences into a
+    4×64 mergeable count table, estimate every distinct term from the
+    broadcast sketch, report the top 10. The top-k is orderBy+limit
+    (TakeOrderedAndProject — no vocabulary-sized global window); the
+    rank column is computed over the surviving 10 rows only. The portable
+    bucket hash lets DuckDB rebuild the identical sketch, so even the
+    approximate counts hash-match exactly."""
+    from pyspark.sql import Window
+
+    from procoggraph_spark.operators import sketches as K
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+    sketch = K.cms_build(tok, "term", depth=4, width=64)
+    est = K.cms_estimate(sketch, tok, "term", depth=4, width=64)
+    top = est.orderBy(F.desc("est_count"), F.asc("term")).limit(10)
+    w = Window.orderBy(F.desc("est_count"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 @q("text_rolling_hash")
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint (oracle-less; verified by a

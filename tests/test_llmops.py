@@ -337,3 +337,46 @@ def test_ivf_trained_centroids_recall(spark):
     r_naive, r_trained = recall(naive), recall(trained)
     assert r_trained >= r_naive - 1e-9
     assert r_trained >= 0.5
+
+
+def test_cms_sketch_invariants(spark):
+    from collections import Counter
+
+    from procoggraph_spark.operators import sketches as K
+
+    words = (["the"] * 50 + ["spark"] * 20 + ["sketch"] * 5
+             + [f"rare{i}" for i in range(30)])
+    exact = Counter(words)
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+
+    sketch = K.cms_build(df, "term", depth=4, width=32)
+    cells = sketch.collect()
+    # every sketch row partitions the full multiset: per-row counts sum to N
+    row_sums = Counter()
+    for c in cells:
+        row_sums[c["row_id"]] += c["cnt"]
+    assert set(row_sums) == {0, 1, 2, 3}
+    assert all(v == len(words) for v in row_sums.values())
+
+    est = {
+        r["term"]: r["est_count"]
+        for r in K.cms_estimate(sketch, df, "term", depth=4, width=32).collect()
+    }
+    assert set(est) == set(exact)
+    # CMS never undercounts, and the planted heavy hitter wins the argmax
+    for term, n in exact.items():
+        assert est[term] >= n
+    assert max(est, key=lambda t: (est[t], t)) == "the"
+
+    # mergeability: sketches of two halves summed cell-wise == whole sketch
+    half_a = spark.createDataFrame([(w,) for w in words[:50]], "term string")
+    half_b = spark.createDataFrame([(w,) for w in words[50:]], "term string")
+    merged = (
+        K.cms_build(half_a, "term", depth=4, width=32)
+        .unionByName(K.cms_build(half_b, "term", depth=4, width=32))
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(c["row_id"], c["bucket"]): c["cnt"] for c in cells}
+    got = {(c["row_id"], c["bucket"]): c["cnt"] for c in merged.collect()}
+    assert got == whole
