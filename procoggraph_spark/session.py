@@ -61,6 +61,13 @@ def get_spark(
         # query at two scales. Workloads aggregating unsorted streams
         # can flip it back via SPARK_GRAFT_CONF.
         .config("spark.sql.execution.useObjectHashAggregateExec", "false")
+        # Long-lived sessions (the driver runs dozens of queries in one)
+        # degrade set-heavy aggregations 2-5x as dereferenced shuffle /
+        # broadcast state accumulates: the ContextCleaner only reclaims
+        # it after a driver GC, and an idle 16 GB heap can go 30+ min
+        # (the default periodicGC interval) without one. Force the cycle
+        # every 2 min; overridable via SPARK_GRAFT_CONF.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     if master.startswith("local"):
         # single-JVM shuffle never crosses a network and its files sit in
