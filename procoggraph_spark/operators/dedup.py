@@ -382,3 +382,51 @@ def dedup_clusters(
         F.min(id_col).over(w_size).alias("canonical_id"),
         F.count("*").over(w_size).alias("cluster_size"),
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: for every corpus document, the fraction
+    of its distinct word n-grams that also occur anywhere in the
+    benchmark (held-out / test) corpus — the contamination check a
+    training-data pipeline runs before a benchmark score means anything.
+
+    Scale shape: the corpus side explodes once and aggregates per doc;
+    the benchmark side collapses to its distinct-shingle set and is
+    broadcast (eval sets are small by construction — thousands of
+    documents against a 100 TB corpus), so the overlap probe is a
+    map-side broadcast join on the corpus scan with no corpus-sized
+    shuffle beyond the per-doc count. Documents shorter than ``n`` words
+    have no shingles and drop out (nothing to contaminate).
+    """
+    c_sh = _exploded_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+    b_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sh")
+        )
+        .distinct()
+    )
+    totals = c_sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "_sh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "_id", "left")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+    )

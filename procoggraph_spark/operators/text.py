@@ -241,3 +241,37 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model scoring: per-document mean negative log
+    probability (cross-entropy against the corpus's own unigram
+    distribution) — the cheap LM-perplexity proxy curation pipelines use
+    to rank documents as typical vs gibberish before a real LM scores
+    them.
+
+    Scale shape: one tokenize-explode feeding the corpus term-frequency
+    aggregation, a shuffle equi-join of tokens to their corpus frequency
+    (the vocabulary is corpus-sized — not broadcast), the corpus token
+    total as a broadcast 1-row aggregate, and a per-document average.
+    Entirely JVM-side arithmetic.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

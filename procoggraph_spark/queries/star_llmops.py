@@ -313,6 +313,79 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+@q(
+    "text_decontaminate",
+    """
+    WITH cw AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents WHERE doc_id >= 10
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, s FROM cw, LATERAL unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) AS u(s)
+    ),
+    bw AS (
+      SELECT string_split(trim(text), ' ') AS w
+      FROM documents WHERE doc_id < 10
+    ),
+    bsh AS (
+      SELECT DISTINCT s FROM bw, LATERAL unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) AS u(s)
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM csh JOIN bsh USING (s) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           ROUND(COALESCE(h.n_contaminated, 0) * 1.0 / t.n_shingles, 6)
+               AS contamination_ratio
+    FROM tot t LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-9 stand in for the held-out eval
+    set; every other document reports what fraction of its distinct
+    3-gram shingles leak from it (broadcast overlap probe — see
+    operators/dedup.benchmark_contamination for the scale shape)."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 10)
+    benchmark = d.filter(F.col("doc_id") < 10)
+    return D.benchmark_contamination(
+        corpus, benchmark, id_col="doc_id", text_col="text", n=3
+    )
+
+
+@q(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(cnt * 1.0 / total)), 6) AS avg_neg_logprob
+    FROM tok JOIN tf USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: mean negative log probability of each
+    document under the corpus's own unigram distribution (the cheap
+    perplexity proxy; see operators/text.unigram_logprob)."""
+    d = t(spark, sf_dir, "documents")
+    return X.unigram_logprob(d, id_col="doc_id", text_col="text")
+
+
 @q("text_rolling_hash")
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint (oracle-less; verified by a

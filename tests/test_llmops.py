@@ -380,3 +380,31 @@ def test_cms_sketch_invariants(spark):
     whole = {(c["row_id"], c["bucket"]): c["cnt"] for c in cells}
     got = {(c["row_id"], c["bucket"]): c["cnt"] for c in merged.collect()}
     assert got == whole
+
+
+def test_benchmark_contamination_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(0, "the secret eval question about spark shuffles and codegen")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim leak of the eval text inside a longer doc
+            (10, "intro words then the secret eval question about spark "
+                 "shuffles and codegen plus trailing text"),
+            # clean doc, no 3-gram overlap
+            (11, "completely unrelated content with its own distinct vocabulary"),
+            # too short for a 3-gram: must drop out, not divide by zero
+            (12, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    from procoggraph_spark.operators.dedup import benchmark_contamination
+
+    out = {r["doc_id"]: r for r in benchmark_contamination(
+        corpus, bench, id_col="doc_id", text_col="text", n=3).collect()}
+    assert set(out) == {10, 11}
+    assert out[11]["n_contaminated"] == 0
+    # the leaked doc contains every benchmark shingle (9 words -> 7 trigrams)
+    assert out[10]["n_contaminated"] == 7
+    assert 0 < out[10]["contamination_ratio"] < 1
