@@ -339,3 +339,59 @@ def streaming_dedup(
     dedup_exact batch operator; re-delivered events are dropped)."""
     stream = spark.readStream.schema(schema).parquet(events_path)
     return stream.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])
+
+
+def streaming_cms(
+    spark,
+    events_path: str,
+    schema,
+    *,
+    key_col: str,
+    sketch_dir: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 64,
+):
+    """Count-Min Sketch maintained incrementally over a stream: each
+    micro-batch sketches only its own rows (a bounded depth×width
+    partial) and merges cell-wise into the persistent sketch. This works
+    precisely because the sketch is mergeable by addition — streaming
+    state is O(depth × width) forever, with no per-key state store and
+    no growth with stream cardinality. The merged sketch round-trips
+    through the driver (≤ depth×width rows — the same bounded
+    model-only traffic as the k-means codebook), avoiding the
+    overwrite-while-reading hazard of rewriting a parquet dir from
+    itself. Caller awaits the returned query."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sketches import cms_build
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def merge(batch_df, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = cms_build(
+            batch_df.select(F.col(key_col).cast("string").alias("_k")),
+            "_k",
+            depth=depth,
+            width=width,
+        )
+        if os.path.exists(sketch_dir):
+            part = (
+                part.unionByName(sess.read.parquet(sketch_dir))
+                .groupBy("row_id", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        rows = part.collect()
+        sess.createDataFrame(rows, part.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

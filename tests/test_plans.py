@@ -95,3 +95,34 @@ def test_dedup_minhash_no_cartesian(spark):
     p = plan(spark, QUERIES["dedup_minhash_lsh"](spark, SF_ORACLE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_only(spark):
+    df = QUERIES["text_decontaminate"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    # the eval-set shingle probe must be a broadcast hash join (the
+    # benchmark side is small by construction); the per-doc totals join
+    # must NOT broadcast a corpus-sized side
+    assert "BroadcastHashJoin" in p
+
+
+def test_tfidf_vocab_join_not_hinted_broadcast(spark):
+    df = QUERIES["text_tfidf_top_terms"](spark, SF_ORACLE)
+    # At sf0.001 Catalyst may broadcast the DF table on size stats —
+    # correct, and it flips to a shuffle join when stats grow. The scale
+    # bug would be a FORCED broadcast hint on the vocabulary-sized join;
+    # only the 1-row n_docs aggregate may carry a hint.
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert logical.count("ResolvedHint") == 1
+    # and the hinted subtree is the global count, not the DF aggregation
+    hint_idx = logical.index("ResolvedHint")
+    assert "count(1) AS n_docs" in logical[hint_idx:hint_idx + 400]
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    df = QUERIES["sketch_cms_heavy_hitters"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    # the ≤ depth×width sketch must broadcast to the probe side, and the
+    # final top-10 must plan as TakeOrderedAndProject, not a global sort
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

@@ -270,3 +270,40 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_sink").collect()
     )
     assert got == expected
+
+
+def test_streaming_cms_converges_to_batch_sketch(spark, tmp_path):
+    """CMS over a stream in two arrivals/drains: the cell-wise merged
+    sketch must equal the batch sketch of all data (mergeability is
+    what makes the sketch streaming-native)."""
+    from procoggraph_spark.operators.sketches import cms_build
+    from procoggraph_spark.streaming.windows import streaming_cms
+
+    ev = t(spark, SF_SMOKE, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    inbox = str(tmp_path / "cms_inbox")
+    sketch_dir = str(tmp_path / "cms_sketch")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    first.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_cms(spark, inbox, ev.schema, key_col="user_id",
+                      sketch_dir=sketch_dir, checkpoint=ckpt, width=32)
+    q.awaitTermination(120)
+
+    second.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_cms(spark, inbox, ev.schema, key_col="user_id",
+                      sketch_dir=sketch_dir, checkpoint=ckpt, width=32)
+    q.awaitTermination(120)
+
+    got = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(sketch_dir).collect()
+    }
+    want = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            ev.select(F.col("user_id").cast("string").alias("_k")), "_k", width=32
+        ).collect()
+    }
+    assert got == want
