@@ -558,3 +558,31 @@ def a_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum2(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+# --- arbitrary grouping sets (completes A11: rollup / cube / pivot /
+# grouping sets). Spark's DataFrame API exposes only rollup()/cube();
+# arbitrary sets are SQL surface — fitting, since the engine registers
+# every table as a view (SURVEY §3.3). GROUPING() flags disambiguate
+# real NULL keys from subtotal rows, and the totals use exact DECIMAL
+# sums so subtotal rows hash-match.
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM {table}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
+@q("a11_grouping_sets", _GROUPING_SETS_SQL.format(table="orders"))
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status, per-priority, per-(status, priority), and grand-total
+    aggregates in ONE pass (Spark plans a single Expand + one shuffle,
+    not four scans). The oracle runs the literally identical SQL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="_gs_orders"))
