@@ -119,3 +119,37 @@ def test_hash_bucket_portable_arithmetic(spark, ids):
     }
     want = {i: ((i % 2147483648) * 2654435761) % 4294967296 % 100 for i in ids}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=40),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+def test_cms_bucket_matches_portable_arithmetic(spark, keys):
+    """Every CMS cell assignment must equal the pure-integer SQL formula
+    for arbitrary printable-ASCII keys — the property that lets any
+    engine rebuild the identical sketch (and the reason the approximate
+    counts can be hash-compared at all)."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sketches import _MOD, _MULT_BASE, _MULT_STEP, _ADD_STEP, _bucket
+    from procoggraph_spark.operators.text import positional_fingerprint
+
+    df = spark.createDataFrame([(k,) for k in keys], "term string")
+    h = positional_fingerprint(F.col("term"))
+    got = {
+        (r["term"], rr): r[f"b{rr}"]
+        for r in df.select(
+            "term", *[_bucket(h, rr, 64).alias(f"b{rr}") for rr in range(4)]
+        ).collect()
+        for rr in range(4)
+    }
+    for k in keys:
+        fp = sum(ord(c) * (i + 1) for i, c in enumerate(k[:64])) % 2147483647
+        for rr in range(4):
+            want = ((fp * (_MULT_BASE + rr * _MULT_STEP) + rr * _ADD_STEP) % _MOD) % 64
+            assert got[(k, rr)] == want
