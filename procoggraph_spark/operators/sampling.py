@@ -165,3 +165,30 @@ def pack_sequences(
         bin_col,
         ((cum - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic exactly-k sample per group (fraction-based
+    `stratified_sample` can't promise a count; eval-subset building
+    needs one). Rows are ranked inside each group by their fine-grained
+    portable hash bucket (1e6 buckets — pseudo-random order) with the
+    id as tiebreak, keeping the first ``k``. One shuffle on the group
+    key; the pick is a pure function of (group, id), so reruns,
+    repartitions, and re-ingests select the identical rows — and any
+    SQL engine reproduces it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), buckets=1_000_000), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -691,3 +691,31 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id")
     )
+
+
+@q(
+    "sample_exact_k_per_source",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000 AS bkt
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn
+      FROM b
+    )
+    SELECT source, doc_id FROM r WHERE rn <= 5
+    """,
+)
+def sample_exact_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-5-docs-per-source sample (the eval-subset
+    builder; see operators/sampling.exact_k_per_group). The oracle
+    recomputes the identical portable hash order."""
+    from procoggraph_spark.operators.sampling import exact_k_per_group
+
+    d = t(spark, sf_dir, "documents")
+    return exact_k_per_group(d, id_col="doc_id", group_col="source", k=5).select(
+        "source", "doc_id"
+    )

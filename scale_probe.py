@@ -151,6 +151,24 @@ def llmops_probe(spark) -> dict:
         "neardup_pairs": n_pairs,
     }
 
+    # corpus-scoring family at full corpus: TF-IDF (vocabulary-keyed
+    # shuffle join) and unigram-LM cross-entropy — the two ops whose
+    # vocabulary-sized intermediates only show their cost at corpus size
+    from procoggraph_spark.operators import text as X
+
+    t0 = _t.perf_counter()
+    n_tfidf = X.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3).count()
+    out["tfidf_fullcorpus"] = {
+        "sec": round(_t.perf_counter() - t0, 2),
+        "result_rows": n_tfidf,
+    }
+    t0 = _t.perf_counter()
+    n_lm = X.unigram_logprob(docs, id_col="doc_id", text_col="text").count()
+    out["unigram_lm_fullcorpus"] = {
+        "sec": round(_t.perf_counter() - t0, 2),
+        "result_rows": n_lm,
+    }
+
     emb = spark.read.parquet(os.path.join(PROBE_DIR, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 8)
     t0 = _t.perf_counter()

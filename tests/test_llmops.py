@@ -408,3 +408,23 @@ def test_benchmark_contamination_planted_leak(spark):
     # the leaked doc contains every benchmark shingle (9 words -> 7 trigrams)
     assert out[10]["n_contaminated"] == 7
     assert 0 < out[10]["contamination_ratio"] < 1
+
+
+def test_exact_k_per_group_count_and_stability(spark):
+    from procoggraph_spark.operators.sampling import exact_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    a = exact_k_per_group(df, id_col="doc_id", group_col="source", k=7)
+    counts = {r["source"]: r["n"] for r in
+              a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 7, "g1": 7, "g2": 7}
+    # pure function of (group, id): a repartitioned rerun picks identical rows
+    b = exact_k_per_group(
+        df.repartition(13), id_col="doc_id", group_col="source", k=7
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # k larger than the group returns the whole group, not an error
+    tiny = spark.createDataFrame([(1, "g")], "doc_id long, source string")
+    assert exact_k_per_group(tiny, id_col="doc_id", group_col="source", k=5).count() == 1
