@@ -719,3 +719,50 @@ def sample_exact_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_k_per_group(d, id_col="doc_id", group_col="source", k=5).select(
         "source", "doc_id"
     )
+
+
+@q(
+    "corpus_pareto_coverage",
+    """
+    WITH s AS (
+      SELECT source, SUM(len(string_split(trim(text), ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM s),
+    c AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source) AS cum
+      FROM s
+    )
+    SELECT source, n_tokens,
+           ROUND(cum * 1.0 / tot.total, 6) AS cum_share,
+           ((cum - n_tokens) * 1.0 / tot.total < 0.8) AS in_top80
+    FROM c CROSS JOIN tot
+    """,
+)
+def corpus_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage analysis: which sources cover 80% of corpus
+    tokens (sources ordered by size, cumulative token share, Pareto-cut
+    flag). The global window runs over SOURCE-level rows — bounded by
+    the number of sources, not the corpus (same bounded-global-window
+    justification as w3's distinct-key ranking); token counts are
+    integers so the cumulative sums are engine-exact."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("n_tokens")
+    )
+    tot = s.agg(F.sum("n_tokens").alias("total"))
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.withColumn("cum", F.sum("n_tokens").over(w)).crossJoin(F.broadcast(tot))
+    return c.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        (((F.col("cum") - F.col("n_tokens")) / F.col("total")) < 0.8).alias(
+            "in_top80"
+        ),
+    )

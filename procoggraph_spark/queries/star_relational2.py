@@ -586,3 +586,52 @@ def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     not four scans). The oracle runs the literally identical SQL."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
     return spark.sql(_GROUPING_SETS_SQL.format(table="_gs_orders"))
+
+
+# --- full outer join: reconcile two grouped ledgers ------------------------
+# The one join type the surface had only inside graph degrees; the
+# relational form is the classic two-ledger reconciliation (customers
+# with urgent-only, low-only, or both kinds of orders all survive).
+
+@q(
+    "j_full_outer_reconcile",
+    """
+    WITH u AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    l AS (
+      SELECT o_custkey, COUNT(*) AS n_low FROM orders
+      WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey
+    )
+    SELECT COALESCE(u.o_custkey, l.o_custkey) AS custkey,
+           COALESCE(n_urgent, 0) AS n_urgent,
+           COALESCE(n_low, 0) AS n_low,
+           COALESCE(n_urgent, 0) - COALESCE(n_low, 0) AS urgency_balance
+    FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+    """,
+)
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides: each side reduces to
+    one row per customer BEFORE the join, so the outer join shuffles
+    entity-sized inputs, never fact-sized ones."""
+    o = t(spark, sf_dir, "orders")
+    u = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    low = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_low"))
+    )
+    j = u.join(low, "o_custkey", "full_outer")
+    return j.select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.coalesce("n_low", F.lit(0)).alias("n_low"),
+        (F.coalesce("n_urgent", F.lit(0)) - F.coalesce("n_low", F.lit(0))).alias(
+            "urgency_balance"
+        ),
+    )
