@@ -635,3 +635,41 @@ def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "urgency_balance"
         ),
     )
+
+
+# --- fuzzy matching via edit distance --------------------------------------
+
+@q(
+    "f_fuzzy_match_levenshtein",
+    """
+    SELECT name_a, closest, dist FROM (
+      SELECT a.n_name AS name_a, b.n_name AS closest,
+             levenshtein(a.n_name, b.n_name) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY a.n_name
+                                ORDER BY levenshtein(a.n_name, b.n_name),
+                                         b.n_name) AS rn
+      FROM nation a JOIN nation b ON a.n_name <> b.n_name
+    ) WHERE rn = 1
+    """,
+)
+def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-name fuzzy match by Levenshtein edit distance over the
+    nation dimension. The all-pairs comparison is legitimate ONLY
+    because both sides are dimension-sized (broadcast nested loop over
+    25x25); at corpus scale the same primitive runs behind an LSH/
+    n-gram blocking stage (operators/dedup) so only co-blocked pairs
+    compare. Both engines implement standard edit distance, so the
+    oracle is integer-exact."""
+    from pyspark.sql import Window
+
+    n = t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("name_a") != F.col("name_b"))
+    scored = pairs.withColumn("dist", F.levenshtein("name_a", "name_b"))
+    w = Window.partitionBy("name_a").orderBy("dist", "name_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name_a", F.col("name_b").alias("closest"), "dist")
+    )
