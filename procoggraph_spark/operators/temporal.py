@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from procoggraph_spark.functions.timeutil import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -74,7 +76,7 @@ def asof_join(
     ).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("_ts").cast("long") - F.col("_c_ts").cast("long")
+            epoch_seconds(F.col("_ts")) - epoch_seconds(F.col("_c_ts"))
         ) <= tolerance_seconds
         carried = carried.select(
             "_l",
@@ -105,14 +107,14 @@ def range_join_intervals(
     replication (long intervals → more buckets) against probe fan-in;
     pick it near the median interval length."""
     ev = events.withColumn(
-        "_bucket", F.floor(F.col(ts_col).cast("long") / bucket_seconds)
+        "_bucket", F.floor(epoch_seconds(F.col(ts_col)) / bucket_seconds)
     )
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("long") / bucket_seconds),
-                F.floor(F.col(end_col).cast("long") / bucket_seconds),
+                F.floor(epoch_seconds(F.col(start_col)) / bucket_seconds),
+                F.floor(epoch_seconds(F.col(end_col)) / bucket_seconds),
             )
         ),
     )

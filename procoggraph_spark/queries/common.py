@@ -73,7 +73,21 @@ def t(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(path)
+    df = _ntz_to_ltz(df)
     _TABLE_MEMO[key] = df
+    return df
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (session-UTC).
+
+    Parquet written without timezone metadata reads as TIMESTAMP_NTZ in
+    Spark 4, which watermarks reject and numeric casts refuse. With the
+    session pinned to UTC the reinterpretation is value-identical to the
+    DuckDB oracle's naive timestamps."""
+    ntz = [name for name, dt in df.dtypes if dt == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from procoggraph_spark.functions.timeutil import epoch_seconds
 from procoggraph_spark.queries.common import t
 from procoggraph_spark.streaming import windows as W
 
@@ -169,7 +170,7 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = hourly_c.select(
         F.lit("hour").alias("granularity"),
-        F.col("bucket_ts").cast("long").alias("bucket_start"),
+        epoch_seconds(F.col("bucket_ts")).alias("bucket_start"),
         "event_type",
         "n",
         (F.col("_cents") / 100.0).alias("total"),
@@ -181,7 +182,7 @@ def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.sum("_cents").alias("_cents"))
         .select(
             F.lit("day").alias("granularity"),
-            F.col("day_ts").cast("long").alias("bucket_start"),
+            epoch_seconds(F.col("day_ts")).alias("bucket_start"),
             "event_type",
             "n",
             (F.col("_cents") / 100.0).alias("total"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from procoggraph_spark.functions.timeutil import epoch_seconds
 from procoggraph_spark.operators.temporal import asof_join, range_join_intervals
 from procoggraph_spark.queries.common import t
 
@@ -66,7 +67,7 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("ts_sec"),
+        epoch_seconds(F.col("ts")).alias("ts_sec"),
         F.col("right_value"),
     )
 
@@ -105,7 +106,7 @@ def range_join_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.col("start").cast("long").alias("window_start_sec"),
+        epoch_seconds(F.col("start")).alias("window_start_sec"),
     )
 
 
@@ -138,7 +139,7 @@ def w_frame_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_range = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds(F.col("ts")))
         .rangeBetween(-30 * 60, Window.currentRow)
     )
     return e.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from procoggraph_spark.functions.timeutil import epoch_seconds
 from procoggraph_spark.queries.common import dsum2
 
 
@@ -59,7 +60,7 @@ def session_windows_batch(
     Output: one row per (user_id, session): start, end, n_events.
     """
     w = Window.partitionBy("user_id").orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     with_sess = (
         events.withColumn("_gap", gap)
         .withColumn(
