@@ -189,6 +189,101 @@ def build_domain_nodes(combined_contacts: DataFrame) -> DataFrame:
     ).dropDuplicates(["domain", "type"])
 
 
+def _chain_key(combined_contacts: DataFrame):
+    """chainUniqueID = pdb_id + "_" + proteinStructAsymID
+    (`produce_neo4j_files.py:125-146`). Pipelines that only carry the
+    assembly chain id (e.g. "A_1") derive the struct asym by stripping
+    the assembly-copy suffix."""
+    if "proteinStructAsymID" in combined_contacts.columns:
+        asym = F.col("proteinStructAsymID")
+    else:
+        asym = F.regexp_extract("assembly_chain_id_protein", r"^([^_]+)", 1)
+    return F.concat_ws("_", F.col("pdb_id"), asym)
+
+
+def build_protein_chain_nodes(combined_contacts: DataFrame) -> DataFrame:
+    """proteinChain nodes (`produce_neo4j_files.py:125-146`): one row per
+    (chainUniqueID, originalEC); updatedEC flags a complete original EC
+    whose resolved ecList differs (transfer applied), partialEC flags a
+    dash-containing original annotation."""
+    cc = combined_contacts
+    if "protein_entity_ec" in cc.columns:
+        original = F.col("protein_entity_ec")
+    else:
+        original = F.array_join("ecList", ",")
+    base = cc.select(
+        _chain_key(cc).alias("pdbProteinChain"),
+        F.col("pdb_id").alias("pdbEntry"),
+        original.alias("_originalEC"),
+        F.col("ecList"),
+    ).dropDuplicates(["pdbProteinChain", "_originalEC"])
+    resolved = F.array_join("ecList", ",")
+    return base.select(
+        "pdbProteinChain",
+        "pdbEntry",
+        F.col("pdbProteinChain").alias("chainUniqueID"),
+        "ecList",
+        F.when(
+            (~F.col("_originalEC").contains("-")) & (F.col("_originalEC") != resolved),
+            "True",
+        )
+        .otherwise("False")
+        .alias("updatedEC"),
+        F.when(F.col("_originalEC").contains("-"), "True")
+        .otherwise("False")
+        .alias("partialEC"),
+    )
+
+
+def build_chain_edges(
+    combined_contacts: DataFrame, protein_chains: DataFrame
+) -> dict[str, DataFrame]:
+    """Chain relationship tables (`produce_neo4j_files.py:523-548`,
+    `import_neo4j_data.sh:62-77`):
+
+    - chain→entry   IS_IN_PDB (pdb_protein_rels)
+    - domain→chain  IS_IN_PROTEIN_CHAIN (7 *_protein_rels → one table)
+    - chain→EC      IS_IN_EC (protein_ec_rels; '?'/'' dropped)
+    """
+    cc = combined_contacts
+    chain = _chain_key(cc)
+    return {
+        "IS_IN_PDB": protein_chains.select(
+            F.col("pdbProteinChain").alias("src"),
+            F.col("pdbEntry").alias("dst"),
+            F.lit("proteinChain").alias("srcLabel"),
+        ).dropDuplicates(["src", "dst"]),
+        "IS_IN_PROTEIN_CHAIN": cc.select(
+            F.col("domain_accession").alias("src"), chain.alias("dst")
+        ).dropDuplicates(),
+        "IS_IN_EC": (
+            protein_chains.select(
+                F.col("pdbProteinChain").alias("src"),
+                F.explode("ecList").alias("ecID"),
+            )
+            .filter(~F.col("ecID").isin("?", "") & F.col("ecID").isNotNull())
+            .dropDuplicates()
+            .withColumn("srcLabel", F.lit("proteinChain"))
+        ),
+    }
+
+
+def build_cognate_ec_edges(similarity_edges: DataFrame) -> DataFrame:
+    """cognateLigand→ecID IS_IN_EC rows (`produce_neo4j_files.py:101-103`
+    `cognate_ligands_ec`). The reference reads the EC straight off the
+    cognate-ligand table; this engine's cognate input has no EC column,
+    so the association is recovered from the scored pairs' ecList —
+    the same (cognate, EC) universe restricted to cognates that matched."""
+    return (
+        similarity_edges.select(
+            F.col("cognateLigand").cast("string").alias("src"),
+            F.explode("ecList").alias("ecID"),
+        )
+        .dropDuplicates()
+        .withColumn("srcLabel", F.lit("cognateLigand"))
+    )
+
+
 def build_ec_nodes_and_edges(ec_records: DataFrame) -> dict[str, DataFrame]:
     """EC hierarchy nodes + IS_IN_* edges from resolved EC records
     (`produce_neo4j_files.py:30-68` equivalent; rollup via
@@ -254,6 +349,16 @@ def build_graph(
     )
 
     if "ecList" in combined_contacts.columns:
+        pcs = build_protein_chain_nodes(combined_contacts)
+        g.nodes["proteinChain"] = pcs
+        chain_edges = build_chain_edges(combined_contacts, pcs)
+        g.edges["IS_IN_PDB"] = g.edges["IS_IN_PDB"].unionByName(
+            chain_edges["IS_IN_PDB"]
+        )
+        g.edges["IS_IN_PROTEIN_CHAIN"] = chain_edges["IS_IN_PROTEIN_CHAIN"]
+        g.edges["IS_IN_EC"] = chain_edges["IS_IN_EC"]
+
+    if "ecList" in combined_contacts.columns:
         be_ec = (
             combined_contacts.select("uniqueID", "hetCode", "description", "descriptor", "ecList")
             .dropDuplicates(["uniqueID"])
@@ -262,6 +367,12 @@ def build_graph(
         )
         g.edges["HAS_SIMILARITY"] = build_similarity_edges(
             parity_scores, be_ec, threshold=parity_threshold
+        )
+        cog_ec = build_cognate_ec_edges(g.edges["HAS_SIMILARITY"])
+        g.edges["IS_IN_EC"] = (
+            g.edges["IS_IN_EC"].unionByName(cog_ec)
+            if "IS_IN_EC" in g.edges
+            else cog_ec
         )
 
     if ec_records is not None:

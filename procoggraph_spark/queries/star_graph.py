@@ -170,3 +170,63 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_hop_neighborhood(edges, start, k=3).select(
         "id", F.col("hops").cast("long").alias("hops")
     )
+
+
+# --- proteinChain pipeline shape over the star schema ---------------------
+# Drives the ACTUAL chain builders (pipeline/build_graph.py:
+# build_protein_chain_nodes + build_chain_edges, the Spark re-expression
+# of produce_neo4j_files.py:125-150,523-548) on a part-table projection:
+# entry=p_brand, chain asym=p_size, ecList=the p_type tokens. The oracle
+# replays the same dedup→explode→sentinel-filter→two-level-rollup chain.
+
+_CHAIN_ROLLUP_SQL = """
+WITH cc AS (
+  SELECT p_brand AS pdb_id, CAST(p_size AS VARCHAR) AS asym,
+         string_split(p_type, ' ') AS ecl
+  FROM part
+),
+chains AS (
+  SELECT DISTINCT pdb_id, pdb_id || '_' || asym AS chain FROM cc
+),
+ec_edges AS (
+  SELECT DISTINCT chain, ec FROM (
+    SELECT pdb_id || '_' || asym AS chain, UNNEST(ecl) AS ec FROM cc
+  ) WHERE ec NOT IN ('?', '')
+)
+SELECT chains.pdb_id AS entry,
+       COUNT(DISTINCT chains.chain) AS n_chains,
+       COUNT(DISTINCT ec_edges.ec) AS n_ecs
+FROM chains JOIN ec_edges ON chains.chain = ec_edges.chain
+GROUP BY chains.pdb_id
+"""
+
+
+@q("chain_ec_rollup", _CHAIN_ROLLUP_SQL)
+def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.pipeline.build_graph import (
+        build_chain_edges,
+        build_protein_chain_nodes,
+    )
+
+    cc = t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("pdb_id"),
+        F.concat(F.col("p_size").cast("string"), F.lit("_1")).alias(
+            "assembly_chain_id_protein"
+        ),
+        F.col("p_partkey").cast("string").alias("domain_accession"),
+        F.split("p_type", " ").alias("ecList"),
+    )
+    pcs = build_protein_chain_nodes(cc)
+    edges = build_chain_edges(cc, pcs)
+    chains = pcs.select("pdbEntry", "pdbProteinChain").distinct()
+    return (
+        chains.join(
+            edges["IS_IN_EC"],
+            chains.pdbProteinChain == edges["IS_IN_EC"].src,
+        )
+        .groupBy(F.col("pdbEntry").alias("entry"))
+        .agg(
+            F.countDistinct("pdbProteinChain").alias("n_chains"),
+            F.countDistinct("ecID").alias("n_ecs"),
+        )
+    )

@@ -182,3 +182,72 @@ def test_stats_node(spark):
         == g.nodes["boundEntity"].select("uniqueID").distinct().count()
     )
     assert row["num_cognate_ligands"] > 0
+
+
+def test_protein_chain_nodes_and_edges(spark):
+    """proteinChain emitters (produce_neo4j_files.py:125-150, 523-548):
+    chain nodes keyed pdb_id+_+asym, chain->entry IS_IN_PDB,
+    domain->chain IS_IN_PROTEIN_CHAIN, chain->EC + cognate->EC IS_IN_EC."""
+    cc, parity, cognate, ec_records = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate, ec_records=resolve_transfers(ec_records))
+
+    pcs = {r["pdbProteinChain"]: r for r in g.nodes["proteinChain"].collect()}
+    assert set(pcs) == {"1abc_A", "2xyz_A", "2xyz_B", "3pqr_A"}
+    assert list(pcs["1abc_A"]["ecList"]) == ["1.1.1.1"]
+    assert pcs["1abc_A"]["chainUniqueID"] == "1abc_A"
+    # fixture originalEC == resolved ecList: neither updated nor partial
+    assert pcs["1abc_A"]["updatedEC"] == "False"
+    assert pcs["1abc_A"]["partialEC"] == "False"
+
+    in_pdb = g.edges["IS_IN_PDB"]
+    chain_rows = {
+        (r["src"], r["dst"])
+        for r in in_pdb.filter(F.col("srcLabel") == "proteinChain").collect()
+    }
+    assert ("1abc_A", "1abc") in chain_rows
+    assert ("2xyz_B", "2xyz") in chain_rows
+    # boundEntity IS_IN_PDB rows are still present alongside
+    assert in_pdb.filter(F.col("srcLabel") == "boundEntity").count() == 4
+
+    dom_chain = {
+        (r["src"], r["dst"]) for r in g.edges["IS_IN_PROTEIN_CHAIN"].collect()
+    }
+    assert ("1abc:A:c1", "1abc_A") in dom_chain
+    assert ("2xyz:B:p1", "2xyz_B") in dom_chain
+
+    ec_edges = g.edges["IS_IN_EC"]
+    chain_ec = {
+        (r["src"], r["ecID"])
+        for r in ec_edges.filter(F.col("srcLabel") == "proteinChain").collect()
+    }
+    assert ("1abc_A", "1.1.1.1") in chain_ec
+    assert ("3pqr_A", "9.9.9.9") in chain_ec
+    cog_ec = {
+        (r["src"], r["ecID"])
+        for r in ec_edges.filter(F.col("srcLabel") == "cognateLigand").collect()
+    }
+    # cognate 101 matched under both ECs; sub-threshold/errored pairs absent
+    assert ("101", "1.1.1.1") in cog_ec and ("101", "2.2.2.4") in cog_ec
+    assert ("104", "1.1.1.1") not in cog_ec
+
+
+def test_protein_chain_ec_flags(spark):
+    """updatedEC/partialEC tri-state per the reference's fillna logic."""
+    from procoggraph_spark.pipeline.build_graph import build_protein_chain_nodes
+
+    cc = spark.createDataFrame(
+        [
+            ("9abc", "A_1", "1.1.1.1", ["1.1.1.1"]),        # unchanged
+            ("9abc", "B_1", "2.2.2.2", ["2.2.2.4"]),        # transferred -> updated
+            ("9abc", "C_1", "3.4.-.-", ["3.4.1.1", "3.4.1.2"]),  # partial
+        ],
+        "pdb_id string, assembly_chain_id_protein string,"
+        " protein_entity_ec string, ecList array<string>",
+    )
+    got = {r["pdbProteinChain"]: r for r in build_protein_chain_nodes(cc).collect()}
+    assert got["9abc_A"]["updatedEC"] == "False"
+    assert got["9abc_A"]["partialEC"] == "False"
+    assert got["9abc_B"]["updatedEC"] == "True"
+    assert got["9abc_B"]["partialEC"] == "False"
+    assert got["9abc_C"]["updatedEC"] == "False"
+    assert got["9abc_C"]["partialEC"] == "True"

@@ -155,3 +155,51 @@ def test_raw_files_to_graph_query(spark, raw):
     assert report["uniqueID"] == "9zzz_bm1_B"
     assert report["n_domains"] == 1
     assert report["domains"] == "9zzz:A:3.40.50.720"
+
+    # --- graph build from the pipeline rows (not fixtures) -------------
+    # entity/ligand metadata the real pipeline joins from the mmCIF and
+    # the SIFTS EC annotations (one structure, so literals suffice here)
+    cc_full = (
+        owned.withColumn("pdb_descriptor", F.lit("Test enzyme complex"))
+        .withColumn("pdb_title", F.lit("A test structure"))
+        .withColumn("pdb_keywords", F.lit("TEST"))
+        .withColumn("xref_db_acc", F.lit("3.40.50.720"))
+        .withColumn("hetCode", F.lit("LIG"))
+        .withColumn("descriptor", F.lit("CCO"))
+        .withColumn("description", F.lit("Test ligand"))
+        .withColumn("type", F.lit("ligand"))
+        .withColumn("ecList", F.array(F.lit("1.1.1.1")))
+    )
+    from procoggraph_spark.graph import queries as Q
+    from procoggraph_spark.pipeline.build_graph import build_graph
+
+    parity = spark.createDataFrame(
+        [],
+        "ec string, pdb_ligand long, cognate_ligand long, score double,"
+        " pdbl_subparity double, parity_smarts string, error string",
+    )
+    cognate = spark.createDataFrame(
+        [],
+        "uniqueID long, canonical_smiles string, compound_name string,"
+        " ligand_db string, compound_reaction string, isCofactor string",
+    )
+    g = build_graph(cc_full, parity, cognate)
+
+    # Q12 over the BUILT chains: the 9zzz chain A carries EC 1.1.1.1
+    chains = Q.q12_chains_for_ec(g, "1.1.1.1").collect()
+    assert [(r["pdbProteinChain"], r["pdbEntry"]) for r in chains] == [
+        ("9zzz_A", "9zzz")
+    ]
+    # domain→chain and chain→entry edges reach the same chain
+    assert g.edges["IS_IN_PROTEIN_CHAIN"].collect()[0]["dst"] == "9zzz_A"
+    pdb_edges = {
+        (r["src"], r["dst"], r["srcLabel"]) for r in g.edges["IS_IN_PDB"].collect()
+    }
+    assert ("9zzz_A", "9zzz", "proteinChain") in pdb_edges
+    assert ("9zzz_bm1_B", "9zzz", "boundEntity") in pdb_edges
+
+    # Q4 report card on the built graph (no cognate data → 0 matches)
+    card = {r["pdbEntry"]: r for r in Q.q4_report_card(g).collect()}
+    assert card["9zzz"]["n_bound_entities"] == 1
+    assert card["9zzz"]["n_domains"] == 1
+    assert card["9zzz"]["n_cognate_matches"] == 0

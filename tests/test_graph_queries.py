@@ -16,13 +16,8 @@ from tests import fixtures
 @pytest.fixture(scope="module")
 def graph(spark):
     cc, parity, cognate, ec_records = fixtures.graph_inputs(spark)
-    g = build_graph(cc, parity, cognate, ec_records=resolve_transfers(ec_records))
-    # proteinChain fixture for Q12
-    g.nodes["proteinChain"] = spark.createDataFrame(
-        [("1abc_A", "1abc", ["1.1.1.1"]), ("2xyz_A", "2xyz", ["2.2.2.4"])],
-        "pdbProteinChain string, pdbEntry string, ecList array<string>",
-    )
-    return g
+    # proteinChain nodes/edges come from the builder itself now
+    return build_graph(cc, parity, cognate, ec_records=resolve_transfers(ec_records))
 
 
 def test_q1_counts(graph):
@@ -113,7 +108,8 @@ def test_q11_ec_walk(graph):
 
 def test_q12_array_membership(graph):
     rows = Q.q12_chains_for_ec(graph, "1.1.1.1").collect()
-    assert [r["pdbProteinChain"] for r in rows] == ["1abc_A"]
+    # chains built by the pipeline: 1abc chain A and the 2xyz Pfam chain B
+    assert {r["pdbProteinChain"] for r in rows} == {"1abc_A", "2xyz_B"}
 
 
 def test_q13_compare_groups(graph):
