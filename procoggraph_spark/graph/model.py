@@ -53,7 +53,15 @@ DOMAIN_KINDS: dict[str, DomainKind] = {
         ),
         DomainKind("Pfam", "pfamDomain", "pfamAccession", ("pfamClan",)),
         DomainKind("SuperFamily", "superfamilyDomain", "superfamilyAccession", ()),
-        DomainKind("G3DSA", "gene3dDomain", "gene3dAccession", ()),
+        # gene3d accessions resolve to CATH superfamilies but attach to the
+        # CATH chain at topology level (produce_neo4j_files.py:348-361):
+        # their hierarchy is the 3-level topology→architecture→class tail.
+        DomainKind(
+            "G3DSA",
+            "gene3dDomain",
+            "gene3dAccession",
+            ("cathTopology", "cathArchitecture", "cathClass"),
+        ),
         DomainKind(
             "SCOP2_SuperFamily",
             "scop2sfDomain",
@@ -68,6 +76,15 @@ DOMAIN_KINDS: dict[str, DomainKind] = {
         ),
     )
 }
+
+def hierarchy_edge_name(level_table: str) -> str:
+    """Relationship-type name for edges whose dst is ``level_table``
+    (`import_neo4j_data.sh:24-66` naming): cathHomologousSuperfamily →
+    IS_IN_CATH_HOMOLOGOUS_SUPERFAMILY, scop2Fold → IS_IN_SCOP2_FOLD."""
+    import re
+
+    return "IS_IN_" + re.sub(r"(?<!^)(?=[A-Z])", "_", level_table).upper()
+
 
 # --- core node/edge schemas (keys per SURVEY §1.3) ------------------------
 

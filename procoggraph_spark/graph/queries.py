@@ -286,6 +286,32 @@ def q11_ec_walk(g: ProCogGraph) -> DataFrame:
     return walk.select("ecClass", "ecSubClass", "ecSubSubClass", "ecID")
 
 
+# Q11b: classification-hierarchy walk — the CATH/SCOP/SCOP2/Pfam analog
+# of the EC walk (domain-browse pages; import_neo4j_data.sh:24-66 chains)
+def q11_domain_hierarchy_walk(g: ProCogGraph, *, domain_kind: str) -> DataFrame:
+    """Root→leaf rollup over one domain database's hierarchy: one row
+    per full classification path with its distinct-domain count. Level
+    tables are dimension-sized → every edge join broadcasts; the only
+    shuffle is the final rollup."""
+    from procoggraph_spark.graph.model import DOMAIN_KINDS, hierarchy_edge_name
+
+    kind = DOMAIN_KINDS[domain_kind]
+    levels = list(kind.hierarchy)
+    if not levels:
+        raise ValueError(f"{domain_kind} declares no hierarchy")
+    walk = g.edges[hierarchy_edge_name(levels[0])].select(
+        F.col("src").alias("domain"), F.col("dst").alias(levels[0])
+    )
+    for child, parent in zip(levels, levels[1:]):
+        e = g.edges[hierarchy_edge_name(parent)].select(
+            F.col("src").alias(child), F.col("dst").alias(parent)
+        )
+        walk = walk.join(F.broadcast(e), child)
+    return walk.groupBy(*reversed(levels)).agg(
+        F.countDistinct("domain").alias("n_domains")
+    )
+
+
 # Q12: enzyme-focus — chains whose ecList contains $ec (dashboard.json:1833)
 def q12_chains_for_ec(g: ProCogGraph, ec: str) -> DataFrame:
     pc = g.nodes["proteinChain"]

@@ -284,6 +284,78 @@ def build_cognate_ec_edges(similarity_edges: DataFrame) -> DataFrame:
     )
 
 
+# domain databases whose accessions encode their hierarchy as dotted
+# prefixes (CATH "2.40.110.10" → 2 / 2.40 / 2.40.110 / 2.40.110.10;
+# SCOP sccs likewise). Pfam clans and SCOP2 levels are opaque ids and
+# need an explicit mapping table (reference: pfam clan_acc columns,
+# get_scop2_domains_info).
+_DOTTED_KINDS = {"CATH", "SCOP", "G3DSA"}
+
+
+def build_classification_hierarchy(
+    domains: DataFrame, kind, *, mapping: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """One domain database's classification-hierarchy node tables and
+    IS_IN_* edges (`produce_neo4j_files.py:288-361,363-368` ×4 families
+    → ONE parameterized builder; edge naming per
+    `import_neo4j_data.sh:24-66`).
+
+    ``domains``: the domain node slice (columns domain, groupAccession).
+    Levels come from ``kind.hierarchy`` (leaf-first). Dotted-accession
+    kinds derive each level as a dot-prefix of groupAccession; other
+    kinds join ``mapping`` (groupAccession → level columns, optional
+    ``<level>_description`` columns).
+
+    Edges are (src=child, dst=parent), named after the parent level:
+    domain→leaf gets IS_IN_<leaf>, level_i→level_{i+1} gets
+    IS_IN_<level_{i+1}> — so a walk follows dst pointers rootward.
+    """
+    from procoggraph_spark.graph.model import hierarchy_edge_name
+
+    levels = list(kind.hierarchy)
+    if not levels:
+        return {}
+    if mapping is not None:
+        base = domains.select("domain", "groupAccession").join(
+            F.broadcast(mapping), "groupAccession"
+        )
+    elif kind.key in _DOTTED_KINDS:
+        n = len(levels)
+        parts = F.split(F.col("groupAccession"), r"\.")
+        base = (
+            domains.filter(
+                F.col("groupAccession").isNotNull() & (F.size(parts) >= n)
+            ).select(
+                "domain",
+                "groupAccession",
+                *[
+                    F.array_join(F.slice(parts, 1, n - i), ".").alias(levels[i])
+                    for i in range(n)
+                ],
+            )
+        )
+    else:
+        return {}
+
+    out: dict[str, DataFrame] = {}
+    for lvl in levels:
+        desc = f"{lvl}_description"
+        out[lvl] = base.select(
+            F.col(lvl),
+            (
+                F.col(desc) if desc in base.columns else F.lit(None).cast("string")
+            ).alias("description"),
+        ).dropDuplicates([lvl])
+    out[hierarchy_edge_name(levels[0])] = base.select(
+        F.col("domain").alias("src"), F.col(levels[0]).alias("dst")
+    ).dropDuplicates()
+    for child, parent in zip(levels, levels[1:]):
+        out[hierarchy_edge_name(parent)] = base.select(
+            F.col(child).alias("src"), F.col(parent).alias("dst")
+        ).dropDuplicates()
+    return out
+
+
 def build_ec_nodes_and_edges(ec_records: DataFrame) -> dict[str, DataFrame]:
     """EC hierarchy nodes + IS_IN_* edges from resolved EC records
     (`produce_neo4j_files.py:30-68` equivalent; rollup via
@@ -322,8 +394,14 @@ def build_graph(
     ec_records: DataFrame | None = None,
     *,
     parity_threshold: float = 0.40,
+    hierarchy_mappings: dict[str, DataFrame] | None = None,
 ) -> ProCogGraph:
-    """Assemble the full graph from pipeline intermediates."""
+    """Assemble the full graph from pipeline intermediates.
+
+    ``hierarchy_mappings``: optional per-kind (key = DomainKind.key)
+    accession→level tables for the non-dotted classification families
+    (Pfam clans, SCOP2); dotted families (CATH/SCOP/G3DSA) derive their
+    hierarchies from the accessions directly."""
     g = ProCogGraph()
     g.nodes["entry"] = build_entry_nodes(combined_contacts)
     bes = build_bound_entity_nodes(combined_contacts)
@@ -378,6 +456,25 @@ def build_graph(
     if ec_records is not None:
         for name, df in build_ec_nodes_and_edges(ec_records).items():
             (g.edges if name.startswith("IS_IN") else g.nodes)[name] = df
+
+    # classification hierarchies: one builder call per domain database;
+    # same-named outputs merge (CATH and G3DSA share the cath* chain,
+    # as in the reference's pd.concat node builds)
+    from procoggraph_spark.graph.model import DOMAIN_KINDS
+
+    mappings = hierarchy_mappings or {}
+    for kind in DOMAIN_KINDS.values():
+        slice_ = g.nodes["domain"].filter(F.col("type") == kind.key)
+        built = build_classification_hierarchy(
+            slice_, kind, mapping=mappings.get(kind.key)
+        )
+        for name, df in built.items():
+            coll = g.edges if name.startswith("IS_IN") else g.nodes
+            coll[name] = (
+                coll[name].unionByName(df).dropDuplicates()
+                if name in coll
+                else df
+            )
     g.nodes["procoggraph"] = build_stats_node(g)
     return g
 

@@ -230,3 +230,53 @@ def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ecID").alias("n_ecs"),
         )
     )
+
+
+# --- classification-hierarchy walk over the star schema -------------------
+# Drives build_classification_hierarchy + q11_domain_hierarchy_walk (the
+# parameterized CATH/SCOP/SCOP2/Pfam family, produce_neo4j_files.py:
+# 288-361) on a part-table projection: domain=p_partkey, dotted
+# accession=p_type.brandnum.size — a 3-level G3DSA-shaped chain.
+
+_HIER_WALK_SQL = """
+WITH doms AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS dom,
+         p_type || '.' || regexp_extract(p_brand, '#(\d+)', 1) || '.' ||
+             CAST(p_size AS VARCHAR) AS acc
+  FROM part
+)
+SELECT split_part(acc, '.', 1) AS cath_class,
+       split_part(acc, '.', 1) || '.' || split_part(acc, '.', 2)
+           AS cath_architecture,
+       acc AS cath_topology,
+       COUNT(DISTINCT dom) AS n_domains
+FROM doms
+GROUP BY 1, 2, 3
+"""
+
+
+@q("hier_topology_walk", _HIER_WALK_SQL)
+def hier_topology_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.graph.model import DOMAIN_KINDS, ProCogGraph
+    from procoggraph_spark.graph.queries import q11_domain_hierarchy_walk
+    from procoggraph_spark.pipeline.build_graph import (
+        build_classification_hierarchy,
+    )
+
+    domains = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("domain"),
+        F.concat_ws(
+            ".",
+            F.col("p_type"),
+            F.regexp_extract("p_brand", r"#(\d+)", 1),
+            F.col("p_size").cast("string"),
+        ).alias("groupAccession"),
+    )
+    built = build_classification_hierarchy(domains, DOMAIN_KINDS["G3DSA"])
+    g = ProCogGraph(edges={k: v for k, v in built.items() if k.startswith("IS_IN")})
+    return q11_domain_hierarchy_walk(g, domain_kind="G3DSA").select(
+        F.col("cathClass").alias("cath_class"),
+        F.col("cathArchitecture").alias("cath_architecture"),
+        F.col("cathTopology").alias("cath_topology"),
+        "n_domains",
+    )

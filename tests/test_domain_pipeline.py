@@ -251,3 +251,107 @@ def test_protein_chain_ec_flags(spark):
     assert got["9abc_B"]["partialEC"] == "False"
     assert got["9abc_C"]["updatedEC"] == "False"
     assert got["9abc_C"]["partialEC"] == "True"
+
+
+def test_classification_hierarchy_dotted(spark):
+    """CATH chain derived from dotted accessions: node tables per level,
+    IS_IN_* edges child→parent, built by the one parameterized family."""
+    cc, parity, cognate, _ = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate)
+
+    assert {r["cathClass"] for r in g.nodes["cathClass"].collect()} == {"2", "3"}
+    assert {r["cathArchitecture"] for r in g.nodes["cathArchitecture"].collect()} == {
+        "2.40",
+        "3.20",
+    }
+    assert {r["cathTopology"] for r in g.nodes["cathTopology"].collect()} == {
+        "2.40.110",
+        "3.20.20",
+    }
+    hsf = {
+        r["cathHomologousSuperfamily"]
+        for r in g.nodes["cathHomologousSuperfamily"].collect()
+    }
+    assert hsf == {"2.40.110.10", "3.20.20.100"}
+
+    # domain→leaf edges (named after the parent level)
+    leaf = {
+        (r["src"], r["dst"])
+        for r in g.edges["IS_IN_CATH_HOMOLOGOUS_SUPERFAMILY"].collect()
+    }
+    assert ("1abc:A:c1", "2.40.110.10") in leaf
+    assert ("3pqr:A:c1", "2.40.110.10") in leaf
+    # level→level edges
+    assert {
+        (r["src"], r["dst"]) for r in g.edges["IS_IN_CATH_CLASS"].collect()
+    } == {("2.40", "2"), ("3.20", "3")}
+
+
+def test_classification_hierarchy_mapping_and_walk(spark):
+    """Pfam clans attach via an explicit mapping table; the q11-style
+    walk rolls domains up through every level of each family."""
+    from procoggraph_spark.graph import queries as Q
+
+    cc, parity, cognate, _ = fixtures.graph_inputs(spark)
+    clans = spark.createDataFrame(
+        [("PF00001", "CL0192", "GPCR clan")],
+        "groupAccession string, pfamClan string, pfamClan_description string",
+    )
+    g = build_graph(cc, parity, cognate, hierarchy_mappings={"Pfam": clans})
+
+    clan_nodes = g.nodes["pfamClan"].collect()
+    assert [(r["pfamClan"], r["description"]) for r in clan_nodes] == [
+        ("CL0192", "GPCR clan")
+    ]
+    assert {(r["src"], r["dst"]) for r in g.edges["IS_IN_PFAM_CLAN"].collect()} == {
+        ("2xyz:B:p1", "CL0192")
+    }
+
+    cath_walk = {
+        (r["cathClass"], r["cathArchitecture"], r["cathTopology"],
+         r["cathHomologousSuperfamily"]): r["n_domains"]
+        for r in Q.q11_domain_hierarchy_walk(g, domain_kind="CATH").collect()
+    }
+    # fixture CATH domains: c1 appears for 1abc/2xyz/3pqr (3 distinct),
+    # c2 for 1abc only
+    assert cath_walk[("2", "2.40", "2.40.110", "2.40.110.10")] == 3
+    assert cath_walk[("3", "3.20", "3.20.20", "3.20.20.100")] == 1
+
+    pfam_walk = Q.q11_domain_hierarchy_walk(g, domain_kind="Pfam").collect()
+    assert [(r["pfamClan"], r["n_domains"]) for r in pfam_walk] == [("CL0192", 1)]
+
+
+def test_classification_hierarchy_scop2_mapping(spark):
+    """SCOP2 5-level chain through an opaque-id mapping (the shape
+    get_scop2_domains_info feeds in the reference)."""
+    from procoggraph_spark.graph import queries as Q
+    from procoggraph_spark.graph.model import DOMAIN_KINDS
+    from procoggraph_spark.pipeline.build_graph import (
+        build_classification_hierarchy,
+    )
+
+    domains = spark.createDataFrame(
+        [("1aaa:A:sf1", "8012345"), ("1aaa:A:sf2", "8012345"),
+         ("2bbb:B:sf3", "8098765")],
+        "domain string, groupAccession string",
+    )
+    mapping = spark.createDataFrame(
+        [
+            ("8012345", "3000001", "2000001", "1000001", "4"),
+            ("8098765", "3000002", "2000001", "1000001", "4"),
+        ],
+        "groupAccession string, scop2Superfamily string, scop2Fold string,"
+        " scop2Class string, scop2ProteinType string",
+    )
+    built = build_classification_hierarchy(
+        domains, DOMAIN_KINDS["SCOP2_SuperFamily"], mapping=mapping
+    )
+    assert built["scop2Superfamily"].count() == 2
+    assert built["scop2Class"].count() == 1
+    assert {
+        (r["src"], r["dst"]) for r in built["IS_IN_SCOP2_SUPERFAMILY"].collect()
+    } == {("1aaa:A:sf1", "3000001"), ("1aaa:A:sf2", "3000001"),
+          ("2bbb:B:sf3", "3000002")}
+    assert {
+        (r["src"], r["dst"]) for r in built["IS_IN_SCOP2_FOLD"].collect()
+    } == {("3000001", "2000001"), ("3000002", "2000001")}
