@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -74,8 +75,28 @@ def ngram_jaccard_pairs(
     co-shingled pairs shuffle) → per-pair intersection count → join the
     per-doc distinct-shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_df``: the hot-shingle guard (the Jaccard analog of
+    minhash_lsh_pairs' max_bucket_size). The self-join is quadratic in
+    per-shingle document frequency — at corpus scale one boilerplate
+    bigram ("of the") co-shingles millions of docs and a single join key
+    explodes O(df²). Shingles with document frequency above the cap are
+    dropped BEFORE the join and excluded from the per-doc sizes, so the
+    similarity is exact Jaccard over the retained (informative) shingle
+    universe — the standard stopword-shingle treatment; such shingles
+    carry ~zero IDF signal anyway. None = no cap (exact full-universe
+    Jaccard; only safe when df is known to be bounded).
     """
     sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        # broadcast anti-join: the hot set is tiny by construction
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
     a = sh.select(F.col("_id").alias("id_a"), "_sh")

@@ -54,10 +54,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(trim(text), ' ') AS w
       FROM documents WHERE doc_id < 150
     ),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, s FROM ws,
         LATERAL unnest(list_transform(generate_series(1, len(w) - 1),
                                       i -> w[i] || ' ' || w[i+1])) AS u(s)
+    ),
+    -- hot-shingle guard twin: shingles in >50 of the 150 docs are
+    -- boilerplate and excluded from numerator AND denominator
+    sh AS (
+      SELECT * FROM sh0
+      WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 50)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -76,7 +82,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return D.ngram_jaccard_pairs(
-        d, id_col="doc_id", text_col="text", n=2, threshold=0.2
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.2, max_shingle_df=50
     )
 
 

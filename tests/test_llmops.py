@@ -428,3 +428,35 @@ def test_exact_k_per_group_count_and_stability(spark):
     # k larger than the group returns the whole group, not an error
     tiny = spark.createDataFrame([(1, "g")], "doc_id long, source string")
     assert exact_k_per_group(tiny, id_col="doc_id", group_col="source", k=5).count() == 1
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """max_shingle_df is the Jaccard twin of max_bucket_size: a
+    boilerplate shingle shared by every doc must not create O(df^2)
+    join pairs, while a genuine near-dup pair (overlapping in rare
+    shingles) keeps a high score."""
+    from procoggraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the "common footer" boilerplate bigrams; only
+    # 1000/1001 share informative content
+    boiler = "common footer text appended to every document"
+    corpus = [(i, f"unique{i} payload{i} " + boiler) for i in range(40)] + [
+        (1000, "alpha beta gamma delta epsilon " + boiler),
+        (1001, "alpha beta gamma delta zeta " + boiler),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, n=2, threshold=0.2)
+    assert uncapped.count() >= 40 * 39 / 2  # boilerplate blowup present
+
+    capped = ngram_jaccard_pairs(df, n=2, threshold=0.2, max_shingle_df=10)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (1000, 1001) in rows           # genuine near-dup survives
+    assert all(a >= 1000 for a, _ in rows)  # boilerplate-only pairs gone
+    # retained universe: 5 bigrams each (content + the one bridge into
+    # the boilerplate), 3 shared → 3/(5+5-3)
+    assert rows[(1000, 1001)] == round(3 / 7, 6)
+
+    # the guard must stay an equi-join: no cartesian product in the plan
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
