@@ -166,17 +166,36 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("mm_feature_neardup")
 def mm_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal near-dup: binary payload → mapInPandas
-    features → cosine pair filter. Oracle-less (feature fake); pytest
-    checks every emitted pair against a pandas recomputation."""
+    features → hyperplane-SimHash blocking → exact cosine rerank.
+
+    The candidate stage reuses the text path's machinery: a 64-plane
+    hyperplane signature per feature vector, then the pigeonhole-block
+    equi-join (dedup.simhash_near_pairs) — so work scales with
+    per-block co-residents, never O(n²); the final cosine is exact on
+    candidates only. A 0.9-cosine pair differs on ~9 of 64 planes in
+    expectation, so the 20-bit Hamming gate keeps recall ≈ 1.
+    Oracle-less (feature fake); pytest checks every emitted pair against
+    a pandas recomputation."""
+    from procoggraph_spark.operators import dedup as D
+
     feats = M.attach_fake_features(
         _assets(spark, sf_dir).filter(F.col("asset_id") < 100)
+    )
+    sigs = feats.select(
+        "asset_id",
+        S.hyperplane_signature(
+            F.col("features"), n_planes=64, dim=M.FEATURE_DIM
+        ).alias("simhash"),
+    )
+    cand = D.simhash_near_pairs(sigs, id_col="asset_id", max_hamming=20).select(
+        "id_a", "id_b"
     )
     a = feats.select(F.col("asset_id").alias("id_a"), F.col("features").alias("_va"))
     b = feats.select(F.col("asset_id").alias("id_b"), F.col("features").alias("_vb"))
     sim = S.cosine(F.col("_va"), F.col("_vb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine_sim", F.round(sim, 6))
         .filter(F.col("cosine_sim") >= 0.9)
         .select("id_a", "id_b", "cosine_sim")

@@ -57,14 +57,17 @@ def test_frame_sample_plan(spark):
 
 
 def test_mm_feature_neardup_vs_pandas(spark):
-    """Every pair the Spark plan emits must agree with a pandas
-    recomputation of the same fake features + cosine."""
+    """The blocked plan (hyperplane SimHash bands + exact rerank) must
+    emit EXACTLY the pandas all-pairs ground truth — full recall through
+    the blocking stage, exact scores from the rerank — and must not
+    contain a cartesian product."""
     import numpy as np
 
-    got = {
-        (r["id_a"], r["id_b"]): r["cosine_sim"]
-        for r in Q.mm_feature_neardup(spark, SF_ORACLE).collect()
-    }
+    df = Q.mm_feature_neardup(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in df.collect()}
     assert got, "expected at least one near-dup pair at sf0.01"
     d = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
     d = d[d.doc_id < 100]
@@ -77,11 +80,18 @@ def test_mm_feature_neardup_vs_pandas(spark):
             }
         )
     ).set_index("asset_id")["features"]
-    for (a, b), sim in got.items():
-        va, vb = np.array(feats[a]), np.array(feats[b])
-        want = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
-        assert sim == pytest.approx(round(want, 6), abs=2e-6)
-        assert want >= 0.899
+    ids = sorted(feats.index)
+    want = {}
+    for i, a in enumerate(ids):
+        va = np.array(feats[a])
+        for b in ids[i + 1 :]:
+            vb = np.array(feats[b])
+            cs = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if round(cs, 6) >= 0.9:
+                want[(a, b)] = round(cs, 6)
+    assert set(got) == set(want)
+    for k, sim in got.items():
+        assert sim == pytest.approx(want[k], abs=2e-6)
 
 
 def test_ivf_recall_vs_bruteforce(spark):
