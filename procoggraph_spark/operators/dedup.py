@@ -278,6 +278,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash: sign-sum of per-token hash bits → one 64-bit fingerprint
     per document. Near-dups are pairs within small Hamming distance.
@@ -285,18 +286,46 @@ def simhash(
     Pure column algebra: explode tokens → per-bit ±1 votes via bit
     extraction of xxhash64(token) → sum per (id, bit) is avoided by
     summing vote arrays with `aggregate` at the id level.
+
+    ``portable=True`` swaps xxhash64 for the repo's portable-arithmetic
+    discipline (positional token fingerprint + the CMS affine mixers,
+    all plain int64 ops), so a DuckDB oracle can rebuild the identical
+    fingerprints — the same trick operators/sketches uses. Default stays
+    xxhash64 (better mixing, JVM-hashed).
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
     )
-    h = F.xxhash64(F.col("_tok"))
-    votes = F.array(
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for i in range(bits)
-        ]
-    )
+    if portable:
+        from procoggraph_spark.operators.sketches import (
+            _ADD_STEP,
+            _MOD,
+            _MULT_BASE,
+            _MULT_STEP,
+        )
+        from procoggraph_spark.operators.text import positional_fingerprint
+
+        h = positional_fingerprint(F.col("_tok"))
+        votes = F.array(
+            *[
+                F.when(
+                    (h * F.lit(_MULT_BASE + i * _MULT_STEP) + F.lit(i * _ADD_STEP))
+                    % F.lit(_MOD)
+                    < F.lit(_MOD // 2),
+                    1,
+                ).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
+    else:
+        h = F.xxhash64(F.col("_tok"))
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
     summed = (
         toks.withColumn("_v", votes)
         .groupBy("_id")

@@ -98,6 +98,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SimHash near-dup: portable-hash twin (oracle-backed) -----------------
+# Same vote-sum fingerprint + pigeonhole banding, but per-token hashes
+# use the portable positional-fingerprint + CMS affine mixers, so DuckDB
+# rebuilds identical fingerprints and checks the emitted pairs exactly
+# (the all-pairs Hamming in SQL equals the banded equi-join by the
+# pigeonhole guarantee).
+
+_SIMHASH_PORTABLE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+      FROM documents WHERE doc_id < 150
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, least(length(tk), 64)),
+                  i -> ascii(substr(tk, i, 1)) * i)) % 2147483647 AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h * (2654435761 + i * 40503) + i * 1009) % 2147483648
+                           < 1073741824 THEN 1 ELSE -1 END) AS v
+      FROM fp CROSS JOIN generate_series(0, 63) AS g(i)
+      GROUP BY doc_id, i
+    ),
+    bits AS (
+      SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY i) AS b
+      FROM votes GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_sum(list_transform(generate_series(1, 64),
+                  i -> CASE WHEN a.b[i] <> b.b[i] THEN 1 ELSE 0 END)) AS ham
+      FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(ham AS BIGINT) AS hamming
+    FROM pairs WHERE ham <= 16
+"""
+
+
+@q("dedup_simhash_portable", _SIMHASH_PORTABLE_SQL)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    fp = D.simhash(d, id_col="doc_id", text_col="text", portable=True)
+    pairs = D.simhash_near_pairs(fp, id_col="doc_id", max_hamming=16)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
 # --- SimHash near-dup (oracle-less) ---------------------------------------
 
 @q("dedup_simhash")
@@ -392,10 +440,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob(d, id_col="doc_id", text_col="text")
 
 
-@q("text_rolling_hash")
+@q(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, least(length(text), 64)),
+                              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rabin-Karp rolling-hash fingerprint (oracle-less; verified by a
-    pytest golden test against a pure-Python reimplementation)."""
+    """Rabin-Karp rolling-hash fingerprint. The polynomial fold uses only
+    portable 64-bit integer arithmetic, so the DuckDB oracle replays it
+    exactly (list_reduce with a prepended 0 seed); a pytest golden test
+    additionally pins a pure-Python reimplementation."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -431,10 +492,57 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)
 
 
-@q("sim_lsh_ann")
+def _lsh_oracle_sql(*, n_tables: int = 8, n_planes: int = 4, dim: int = 64,
+                    k: int = 10) -> str:
+    """DuckDB twin of lsh_topk: the hyperplane coefficients are
+    deterministic integers (sha256 of the plane/dim coordinate), so they
+    inline as literals and the oracle rebuilds the identical buckets,
+    candidate set, and exact-cosine rerank."""
+    from procoggraph_spark.operators.similarity import _det_plane_component
+
+    selects = []
+    for tbl in range(n_tables):
+        bits = []
+        for pl in range(n_planes):
+            plane = tbl * n_planes + pl
+            coeffs = ", ".join(
+                str(float(_det_plane_component(plane, d))) for d in range(dim)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{coeffs}]) >= 0"
+                f" THEN {1 << pl} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, v, {tbl} AS tbl, " + " + ".join(bits) + " AS sig FROM e"
+        )
+    buckets = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      {buckets}
+    ),
+    qb AS (SELECT * FROM b WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS cosine_sim
+      FROM qb q JOIN b c ON q.tbl = c.tbl AND q.sig = c.sig
+                        AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@q("sim_lsh_ann", _lsh_oracle_sql())
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (oracle-less; pytest
-    checks recall ≥ 0.5 vs brute force on the same data)."""
+    """LSH-bucketed approximate nearest neighbors, hash-compared against
+    the coefficient-inlined DuckDB twin; pytest additionally checks
+    recall >= 0.5 vs brute force on the same data."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return S.lsh_topk(
@@ -473,6 +581,71 @@ def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.array_min("embedding")), 6).alias("avg_min"),
         F.round(F.avg(F.array_max("embedding")), 6).alias("avg_max"),
     )
+
+
+# --- oracle-backed cluster canonicalization (portable pair source) --------
+# Same connected-components + keep-min-id canonicalization, but fed from
+# the portable n-gram Jaccard pairs so DuckDB can replay the ENTIRE
+# chain: shingle join -> pair list -> transitive closure (recursive CTE)
+# -> canonical assignment -> cluster sizes.
+
+_CLUSTER_JACCARD_SQL = """
+    WITH ws AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents WHERE doc_id < 150
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id, s FROM ws,
+        LATERAL unnest(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS u(s)
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 50)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+      )
+      SELECT a, b FROM r
+    ),
+    canon AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+      FROM ws d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    cs AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM canon GROUP BY canonical_id)
+    SELECT c.doc_id, c.canonical_id, cs.cluster_size
+    FROM canon c JOIN cs ON c.canonical_id = cs.canonical_id
+"""
+
+
+@q("dedup_cluster_canonical_jaccard", _CLUSTER_JACCARD_SQL)
+def dedup_cluster_canonical_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = D.ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.5, max_shingle_df=50
+    )
+    return D.dedup_clusters(pairs, d, id_col="doc_id")
 
 
 @q("dedup_cluster_canonical")
