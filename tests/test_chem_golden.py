@@ -1,0 +1,114 @@
+"""Golden best-cognate validation against the reference's curated
+pair list (`/root/reference/cognate_ligand_pairs.csv`): for a subset of
+those (pdb ligand, expected cognate) rows with well-known public
+structures, the full pipeline — candidate_pairs → score_with_cache →
+best-per-ligand — must pick the curated cognate over decoys.
+
+RDKit is absent in this container, so the scores come from the
+documented deterministic fallback kernel (SMILES character-bigram
+Jaccard); the test pins that the fallback's score algebra still ranks
+the curated cognate first for structurally-distinctive pairs. The
+RDKit-gated twin asserts the real kernel's identity property when the
+library is present.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from procoggraph_spark.functions.chem import HAVE_RDKIT, _parity_fallback
+from procoggraph_spark.pipeline.parity import candidate_pairs, score_with_cache
+
+# public textbook SMILES (simplified, non-isomeric)
+ATP = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)OP(=O)(O)O)C(O)C1O"
+ATF = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)C(F)(F)P(=O)(O)O)C(O)C1O"
+AMP = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)O)C(O)C1O"
+GTP = "Nc1nc2c(ncn2C2OC(COP(=O)(O)OP(=O)(O)OP(=O)(O)O)C(O)C2O)c(=O)[nH]1"
+GNP = "Nc1nc2c(ncn2C2OC(COP(=O)(O)NP(=O)(O)OP(=O)(O)O)C(O)C2O)c(=O)[nH]1"
+NAD = (
+    "NC(=O)c1ccc[n+](C2OC(COP(=O)(O)OP(=O)(O)OCC3OC(n4cnc5c(N)ncnc54)"
+    "C(O)C3O)C(O)C2O)c1"
+)
+SULFATE = "OS(=O)(=O)O"
+PHOSPHATE = "OP(=O)(O)O"
+PYRUVATE = "CC(=O)C(=O)O"
+BENZENE = "c1ccccc1"
+
+# (pdb_id, hetCode, pdb SMILES, expected dbxref, cognate SMILES) — rows
+# from cognate_ligand_pairs.csv whose structures are distinctive enough
+# for a string-similarity fallback to rank correctly
+GOLDEN = [
+    ("5h1y", "SO4", SULFATE, "C00009", PHOSPHATE),
+    ("1dvr", "ATF", ATF, "C00002", ATP),
+    ("5cg2", "NAD", NAD, "C00003", NAD),
+    ("1ktg", "AMP", AMP, "C00020", AMP),
+    ("1a8r", "GTP", GTP, "C00044", GTP),
+    ("6e6p", "GNP", GNP, "C00044", GTP),
+]
+
+
+def test_fallback_golden_best_cognate(spark, tmp_path):
+    """Each golden ligand's curated cognate must win bestCognate against
+    two structurally-unrelated decoys sharing its EC pool."""
+    ecs = {row[0]: f"9.9.9.{i}" for i, row in enumerate(GOLDEN)}
+    bd = spark.createDataFrame(
+        [
+            (f"{pdb}_{het}", smiles, [ecs[pdb]])
+            for pdb, het, smiles, _, _ in GOLDEN
+        ],
+        "ligand_entity_id string, descriptor string, ec_list array<string>",
+    )
+    cognate_rows = []
+    for pdb, het, _, dbxref, cog_smiles in GOLDEN:
+        cognate_rows.append((ecs[pdb], dbxref, cog_smiles))
+        cognate_rows.append((ecs[pdb], "DECOY_PYR", PYRUVATE))
+        cognate_rows.append((ecs[pdb], "DECOY_BNZ", BENZENE))
+    cl = spark.createDataFrame(
+        cognate_rows, "entry string, uniqueID string, canonical_smiles string"
+    )
+
+    pairs = candidate_pairs(bd, cl)
+    scored = score_with_cache(spark, pairs, str(tmp_path / "parity_cache"))
+    w = Window.partitionBy("ligand_entity_id")
+    best = (
+        scored.withColumn("_max", F.max("score").over(w))
+        .filter(F.col("score") == F.col("_max"))
+        .select("ligand_entity_id", "cognate_ligand", "score")
+        .collect()
+    )
+    got = {}
+    for r in best:
+        got.setdefault(r["ligand_entity_id"], set()).add(r["cognate_ligand"])
+
+    for pdb, het, _, dbxref, _ in GOLDEN:
+        key = f"{pdb}_{het}"
+        assert got[key] == {dbxref}, f"{key}: expected {dbxref}, got {got[key]}"
+
+    # identical structures score exactly 1.0 under the fallback kernel
+    identical = {
+        r["ligand_entity_id"]: r["score"]
+        for r in scored.filter(F.col("cognate_ligand") == F.col("cognate_ligand"))
+        .collect()
+        if r["pdb_smiles"] == r["cognate_smiles"]
+    }
+    assert identical["5cg2_NAD"] == 1.0
+    assert identical["1ktg_AMP"] == 1.0
+
+
+def test_fallback_kernel_properties():
+    """Score algebra the downstream plan relies on: symmetric, bounded,
+    identity at 1.0, and analog > decoy for the golden ATP row."""
+    assert _parity_fallback(ATP, ATP) == 1.0
+    assert _parity_fallback(ATF, ATP) == _parity_fallback(ATP, ATF)
+    assert 0.0 <= _parity_fallback(SULFATE, BENZENE) <= 1.0
+    assert _parity_fallback(ATF, ATP) > _parity_fallback(ATF, PYRUVATE)
+    assert _parity_fallback(None, ATP) == 0.0
+
+
+@pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not in this container")
+def test_rdkit_kernel_golden(spark, tmp_path):  # pragma: no cover
+    """With RDKit present the real PARITY kernel must also rank the
+    curated cognates first (same harness, real chemistry)."""
+    test_fallback_golden_best_cognate(spark, tmp_path)
