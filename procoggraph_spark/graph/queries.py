@@ -299,11 +299,21 @@ def q11_domain_hierarchy_walk(g: ProCogGraph, *, domain_kind: str) -> DataFrame:
     levels = list(kind.hierarchy)
     if not levels:
         raise ValueError(f"{domain_kind} declares no hierarchy")
-    walk = g.edges[hierarchy_edge_name(levels[0])].select(
+    # Merged hierarchy tables mix source types (IS_IN_CATH_TOPOLOGY holds
+    # both gene3dDomain leaf rows and cathHomologousSuperfamily level
+    # rows); filter each hop to the expected src label — the Neo4j-label
+    # disambiguation the reference gets for free.
+    def _hop(name: str, src_label: str) -> DataFrame:
+        e = g.edges[name]
+        if "srcLabel" in e.columns:
+            e = e.filter(F.col("srcLabel") == src_label)
+        return e
+
+    walk = _hop(hierarchy_edge_name(levels[0]), kind.node_table).select(
         F.col("src").alias("domain"), F.col("dst").alias(levels[0])
     )
     for child, parent in zip(levels, levels[1:]):
-        e = g.edges[hierarchy_edge_name(parent)].select(
+        e = _hop(hierarchy_edge_name(parent), child).select(
             F.col("src").alias(child), F.col("dst").alias(parent)
         )
         walk = walk.join(F.broadcast(e), child)

@@ -346,12 +346,20 @@ def build_classification_hierarchy(
                 F.col(desc) if desc in base.columns else F.lit(None).cast("string")
             ).alias("description"),
         ).dropDuplicates([lvl])
+    # srcLabel disambiguates merged tables: IS_IN_CATH_TOPOLOGY holds both
+    # gene3dDomain→topology (G3DSA leaf) and cathHomologousSuperfamily→
+    # topology (CATH level) rows — the reference separates them via Neo4j
+    # node labels, so walks must filter on the src's label here.
     out[hierarchy_edge_name(levels[0])] = base.select(
-        F.col("domain").alias("src"), F.col(levels[0]).alias("dst")
+        F.col("domain").alias("src"),
+        F.col(levels[0]).alias("dst"),
+        F.lit(kind.node_table).alias("srcLabel"),
     ).dropDuplicates()
     for child, parent in zip(levels, levels[1:]):
         out[hierarchy_edge_name(parent)] = base.select(
-            F.col(child).alias("src"), F.col(parent).alias("dst")
+            F.col(child).alias("src"),
+            F.col(parent).alias("dst"),
+            F.lit(child).alias("srcLabel"),
         ).dropDuplicates()
     return out
 

@@ -238,7 +238,7 @@ def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 288-361) on a part-table projection: domain=p_partkey, dotted
 # accession=p_type.brandnum.size — a 3-level G3DSA-shaped chain.
 
-_HIER_WALK_SQL = """
+_HIER_WALK_SQL = r"""
 WITH doms AS (
   SELECT CAST(p_partkey AS VARCHAR) AS dom,
          p_type || '.' || regexp_extract(p_brand, '#(\d+)', 1) || '.' ||

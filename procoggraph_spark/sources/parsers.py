@@ -236,6 +236,55 @@ def read_sifts_xrefs(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return _wholetext_source(spark, paths, parse_sifts_xrefs, SIFTS_XREF_SCHEMA)
 
 
+def normalize_domain_xrefs(df: DataFrame) -> DataFrame:
+    """Map raw SIFTS xref rows onto the engine's DomainKind keys
+    (`process_pdb_contacts.py:196-203,300-336`):
+
+    - InterPro rows whose accession is a Gene3D signature become
+      ``xref_db='G3DSA'`` with the ``G3DSA:`` prefix stripped, so the
+      dotted accession mints the SAME cathTopology/Architecture/Class
+      level ids as CATH-sourced domains (the shared cath* chain);
+    - InterPro + ``SSF*`` accession → ``SuperFamily``;
+    - SCOP2B/SCOP2 rows split on the accession's SF/FA prefix into
+      ``SCOP2_SuperFamily`` / ``SCOP2_Family``, recording SCOP2B
+      provenance in ``derived_from`` and stripping the
+      ``SF-DOMID:`` / ``FA-DOMID:`` wrappers.
+
+    All predicates evaluate against the ORIGINAL columns (the SF/FA
+    test must see the un-stripped accession), then the renames land in
+    one select — pure column algebra, no shuffle.
+    """
+    db, acc = F.col("xref_db"), F.col("xref_db_acc")
+    new_db = (
+        F.when((db == "InterPro") & acc.startswith("G3DSA"), F.lit("G3DSA"))
+        .when((db == "InterPro") & acc.startswith("SSF"), F.lit("SuperFamily"))
+        .when(
+            db.isin("SCOP2B", "SCOP2") & acc.startswith("SF"),
+            F.lit("SCOP2_SuperFamily"),
+        )
+        .when(
+            db.isin("SCOP2B", "SCOP2") & acc.startswith("FA"), F.lit("SCOP2_Family")
+        )
+        .otherwise(db)
+    )
+    new_acc = F.regexp_replace(acc, r"^(G3DSA:|SF-DOMID:|FA-DOMID:)", "")
+    prior_derived = (
+        F.col("derived_from")
+        if "derived_from" in df.columns
+        else F.lit(None).cast("string")
+    )
+    new_derived = F.when(db == "SCOP2B", F.lit("SCOP2B")).otherwise(prior_derived)
+    others = [
+        c for c in df.columns if c not in ("xref_db", "xref_db_acc", "derived_from")
+    ]
+    return df.select(
+        *others,
+        new_db.alias("xref_db"),
+        new_acc.alias("xref_db_acc"),
+        new_derived.alias("derived_from"),
+    )
+
+
 SIFTS_DB_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

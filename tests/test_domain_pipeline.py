@@ -355,3 +355,129 @@ def test_classification_hierarchy_scop2_mapping(spark):
     assert {
         (r["src"], r["dst"]) for r in built["IS_IN_SCOP2_FOLD"].collect()
     } == {("3000001", "2000001"), ("3000002", "2000001")}
+
+
+SIFTS_MIXED_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<entry xmlns="http://www.ebi.ac.uk/pdbe/docs/sifts/eFamily.xsd">
+  <entity entityId="A">
+    <segment>
+      <listResidue>
+        <residue dbResNum="10">
+          <crossRefDb dbSource="CATH" dbAccessionId="3.40.50.720"/>
+          <crossRefDb dbSource="InterPro" dbAccessionId="IPR036291"
+                      dbEvidence="G3DSA:3.40.50.720"/>
+          <crossRefDb dbSource="InterPro" dbAccessionId="IPR036188"
+                      dbEvidence="SSF51735"/>
+          <crossRefDb dbSource="SCOP2B" dbAccessionId="SF-DOMID:8033045"/>
+          <crossRefDb dbSource="SCOP2" dbAccessionId="FA-DOMID:4000119"/>
+        </residue>
+      </listResidue>
+    </segment>
+  </entity>
+</entry>
+"""
+
+
+def test_sifts_xref_normalization(spark):
+    """ADVICE r3: parse_sifts_xrefs output normalizes onto the DomainKind
+    keys (process_pdb_contacts.py:300-336) — InterPro/G3DSA evidence →
+    G3DSA with the prefix stripped, InterPro/SSF → SuperFamily, SCOP2B/
+    SCOP2 split on SF/FA with DOMID wrappers stripped."""
+    from procoggraph_spark.sources.parsers import (
+        SIFTS_XREF_SCHEMA,
+        normalize_domain_xrefs,
+        parse_sifts_xrefs,
+    )
+
+    raw = spark.createDataFrame(
+        parse_sifts_xrefs("9zzz.xml", SIFTS_MIXED_XML), SIFTS_XREF_SCHEMA
+    )
+    out = normalize_domain_xrefs(raw)
+    got = {
+        (r["xref_db"], r["xref_db_acc"], r["derived_from"]) for r in out.collect()
+    }
+    assert got == {
+        ("CATH", "3.40.50.720", None),
+        ("G3DSA", "3.40.50.720", "IPR036291"),
+        ("SuperFamily", "SSF51735", "IPR036188"),
+        ("SCOP2_SuperFamily", "8033045", "SCOP2B"),
+        ("SCOP2_Family", "4000119", None),
+    }
+
+
+def test_sifts_ingest_drives_shared_cath_chain(spark):
+    """build_graph from normalized SIFTS xrefs: a G3DSA domain and a CATH
+    domain with the same superfamily accession mint the SAME cathTopology
+    node (shared cath* chain), and the per-kind walks count only their
+    own domains (srcLabel disambiguation)."""
+    from procoggraph_spark.graph import queries as Q
+    from procoggraph_spark.sources.parsers import (
+        SIFTS_XREF_SCHEMA,
+        normalize_domain_xrefs,
+        parse_sifts_xrefs,
+    )
+
+    xrefs = normalize_domain_xrefs(
+        spark.createDataFrame(
+            parse_sifts_xrefs("9zzz.xml", SIFTS_MIXED_XML), SIFTS_XREF_SCHEMA
+        )
+    ).filter(F.col("xref_db").isin("CATH", "G3DSA"))
+
+    # contacts carrying the SIFTS-derived domain annotations (one bound
+    # entity contacting both domains), through the full graph build
+    cc = (
+        xrefs.select(
+            F.lit("9zzz").alias("pdb_id"),
+            F.lit("d").alias("pdb_descriptor"),
+            F.lit("t").alias("pdb_title"),
+            F.lit("k").alias("pdb_keywords"),
+            F.lit("9zzz_bm1_A").alias("uniqueID"),
+            "xref_db",
+            "xref_db_acc",
+            F.concat(
+                F.lit("9zzz:A:"), F.col("xref_db"), F.lit(":"), F.col("xref_db_acc")
+            ).alias("domain_accession"),
+            F.lit("ATP").alias("hetCode"),
+            F.lit("CC(=O)N").alias("descriptor"),
+            F.lit("adenosine triphosphate").alias("description"),
+            F.lit("ligand").alias("type"),
+            F.concat(F.col("proteinStructAsymID"), F.lit("_1")).alias(
+                "assembly_chain_id_protein"
+            ),
+            F.lit(8).cast("long").alias("domain_contact_counts"),
+            F.lit(1).cast("long").alias("domain_hbond_counts"),
+            F.lit(0).cast("long").alias("domain_covalent_counts"),
+            F.lit("401|402").alias("bound_ligand_residue_interactions"),
+            F.lit("99|100").alias("domain_residue_interactions"),
+            F.array(F.lit("1.1.1.1")).alias("ecList"),
+        )
+    )
+    cc = assign_ownership(cc, unique_id="uniqueID", database_type="xref_db")
+    _, parity, cognate, _ = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate)
+
+    # both kinds are sliced into real domain nodes
+    kinds = {r["type"] for r in g.nodes["domain"].collect()}
+    assert {"CATH", "G3DSA"} <= kinds
+
+    # the shared chain: ONE '3.40.50' topology node serves both kinds
+    topo = [r["cathTopology"] for r in g.nodes["cathTopology"].collect()]
+    assert topo == ["3.40.50"]
+
+    # IS_IN_CATH_TOPOLOGY mixes gene3d leaf rows and CATH level rows,
+    # disambiguated by srcLabel
+    labels = {
+        r["srcLabel"] for r in g.edges["IS_IN_CATH_TOPOLOGY"].collect()
+    }
+    assert labels == {"gene3dDomain", "cathHomologousSuperfamily"}
+
+    # each walk counts exactly its own single domain — no cross-kind
+    # inflation (ADVICE r3 medium #2)
+    g3_walk = Q.q11_domain_hierarchy_walk(g, domain_kind="G3DSA").collect()
+    assert [(r["cathTopology"], r["n_domains"]) for r in g3_walk] == [
+        ("3.40.50", 1)
+    ]
+    cath_walk = Q.q11_domain_hierarchy_walk(g, domain_kind="CATH").collect()
+    assert [
+        (r["cathHomologousSuperfamily"], r["n_domains"]) for r in cath_walk
+    ] == [("3.40.50.720", 1)]
