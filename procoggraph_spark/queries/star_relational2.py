@@ -279,38 +279,83 @@ def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dedup family: embedding-cosine near-dup pairs --------------------------
+# The synthetic embeddings are near-orthogonal random vectors (max natural
+# pairwise cosine ~0.48), so the true near-dup operating point (0.9) would
+# be vacuous on the raw table. The entry therefore plants deterministic
+# perturbed twins (vec_id+1000, per-dim factor 1 + 0.003*k with k an
+# integer hash of (vec_id, dim) in [-3, 3]) — the same planted-dup
+# evaluation the MinHash path uses — and runs the SCALE shape on the
+# corpus: hyperplane-SimHash signatures → pigeonhole-block equi-join
+# candidates (operators.dedup.simhash_near_pairs) → exact cosine rerank.
+# A planted pair flips ≤1 of 64 planes (measured over both SFs; expected
+# 0.1 bits), so the 8-bit Hamming gate has >10σ recall margin while
+# keeping blocking genuinely selective (9 blocks of ~7 bits). The DuckDB
+# oracle is the EXACT all-pairs twin (no gate): recall 1 is checked, not
+# assumed. No CartesianProduct in the Spark plan (tests/test_plans.py).
+
+
+def _emb_twins(e: DataFrame) -> DataFrame:
+    """Deterministic near-dup twins for vec_id < 40: identical integer
+    arithmetic to the oracle's list_transform, bit-identical doubles."""
+    k = lambda d: ((F.col("vec_id") * 17 + d * 13) % 7 - 3).cast("double")
+    return (
+        e.filter(F.col("vec_id") < 40)
+        .select(
+            "vec_id",
+            F.transform(
+                "v", lambda x, d: x * (F.lit(1.0) + F.lit(0.003) * k(d))
+            ).alias("v"),
+        )
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "v")
+    )
+
 
 @q(
     "dedup_embedding_cosine",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE vec_id < 200)
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 200),
+    twins AS (
+      SELECT vec_id + 1000 AS vec_id, vv AS v FROM (
+        SELECT vec_id, list_transform(range(0, 64), d ->
+          v[d + 1] * (1.0 + 0.003 * CAST((vec_id * 17 + d * 13) % 7 - 3 AS DOUBLE)))
+            AS vv
+        FROM base WHERE vec_id < 40)),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                  6) AS cosine_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from procoggraph_spark.operators.similarity import cosine
+    from procoggraph_spark.operators import dedup as D
+    from procoggraph_spark.operators.similarity import cosine, hyperplane_signature
 
-    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    corpus = base.unionByName(_emb_twins(base))
+    sigs = corpus.select(
+        "vec_id",
+        hyperplane_signature(F.col("v"), n_planes=64, dim=64).alias("simhash"),
+    )
+    cand = D.simhash_near_pairs(sigs, id_col="vec_id", max_hamming=8).select(
+        "id_a", "id_b"
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
     sim = cosine(F.col("_va"), F.col("_vb"))
     return (
-        pairs.withColumn("cosine_sim", F.round(sim, 6))
-        # 0.4: the synthetic embeddings are near-orthogonal random
-        # vectors (max pairwise cosine ~0.44), so a 0.9 near-dup cutoff
-        # matches nothing and the oracle row would be vacuously green;
-        # this cutoff keeps a real (non-empty) comparison surface
-        .filter(sim >= 0.4)
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .filter(sim >= 0.9)
         .select("id_a", "id_b", "cosine_sim")
     )
 

@@ -97,6 +97,16 @@ def test_dedup_minhash_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_dedup_embedding_cosine_blocked_not_crossjoin(spark):
+    """Round-3 verdict #2: the registry's embedding near-dup entry must
+    run the scale shape — SimHash-blocked candidate equi-join + exact
+    cosine rerank — not the all-pairs crossJoin (which survives only as
+    the DuckDB oracle twin)."""
+    p = plan(spark, QUERIES["dedup_embedding_cosine"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_decontaminate_broadcasts_benchmark_only(spark):
     df = QUERIES["text_decontaminate"](spark, SF_ORACLE)
     p = plan(spark, df)
