@@ -293,7 +293,11 @@ _DOTTED_KINDS = {"CATH", "SCOP", "G3DSA"}
 
 
 def build_classification_hierarchy(
-    domains: DataFrame, kind, *, mapping: DataFrame | None = None
+    domains: DataFrame,
+    kind,
+    *,
+    mapping: DataFrame | None = None,
+    level_names: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One domain database's classification-hierarchy node tables and
     IS_IN_* edges (`produce_neo4j_files.py:288-361,363-368` ×4 families
@@ -309,6 +313,13 @@ def build_classification_hierarchy(
     Edges are (src=child, dst=parent), named after the parent level:
     domain→leaf gets IS_IN_<leaf>, level_i→level_{i+1} gets
     IS_IN_<level_{i+1}> — so a walk follows dst pointers rootward.
+
+    ``level_names``: optional (accession, description) table — the shape
+    of cath-names / scop des files (sources/readers.py:read_cath_names,
+    scop_level_names) — broadcast-joined onto every level's node table,
+    the reference's name decoration (`produce_neo4j_files.py:288-361`,
+    cath_*_name / *_description joins). A mapping-supplied
+    ``<level>_description`` wins over the names file where both exist.
     """
     from procoggraph_spark.graph.model import hierarchy_edge_name
 
@@ -337,15 +348,31 @@ def build_classification_hierarchy(
     else:
         return {}
 
+    names = (
+        level_names.select(
+            F.col("accession").alias("_acc"), F.col("description").alias("_ndesc")
+        ).dropDuplicates(["_acc"])
+        if level_names is not None
+        else None
+    )
     out: dict[str, DataFrame] = {}
     for lvl in levels:
         desc = f"{lvl}_description"
-        out[lvl] = base.select(
+        node = base.select(
             F.col(lvl),
             (
                 F.col(desc) if desc in base.columns else F.lit(None).cast("string")
             ).alias("description"),
         ).dropDuplicates([lvl])
+        if names is not None:
+            node = (
+                node.join(F.broadcast(names), node[lvl] == names["_acc"], "left")
+                .select(
+                    F.col(lvl),
+                    F.coalesce("description", "_ndesc").alias("description"),
+                )
+            )
+        out[lvl] = node
     # srcLabel disambiguates merged tables: IS_IN_CATH_TOPOLOGY holds both
     # gene3dDomain→topology (G3DSA leaf) and cathHomologousSuperfamily→
     # topology (CATH level) rows — the reference separates them via Neo4j
@@ -403,13 +430,18 @@ def build_graph(
     *,
     parity_threshold: float = 0.40,
     hierarchy_mappings: dict[str, DataFrame] | None = None,
+    hierarchy_names: dict[str, DataFrame] | None = None,
 ) -> ProCogGraph:
     """Assemble the full graph from pipeline intermediates.
 
     ``hierarchy_mappings``: optional per-kind (key = DomainKind.key)
     accession→level tables for the non-dotted classification families
     (Pfam clans, SCOP2); dotted families (CATH/SCOP/G3DSA) derive their
-    hierarchies from the accessions directly."""
+    hierarchies from the accessions directly.
+
+    ``hierarchy_names``: optional per-kind (accession, description)
+    tables (cath-names / scop des / scop2 des via sources/readers) that
+    decorate the level node tables with display names."""
     g = ProCogGraph()
     g.nodes["entry"] = build_entry_nodes(combined_contacts)
     bes = build_bound_entity_nodes(combined_contacts)
@@ -471,18 +503,30 @@ def build_graph(
     from procoggraph_spark.graph.model import DOMAIN_KINDS
 
     mappings = hierarchy_mappings or {}
+    names = hierarchy_names or {}
     for kind in DOMAIN_KINDS.values():
         slice_ = g.nodes["domain"].filter(F.col("type") == kind.key)
         built = build_classification_hierarchy(
-            slice_, kind, mapping=mappings.get(kind.key)
+            slice_, kind, mapping=mappings.get(kind.key),
+            level_names=names.get(kind.key),
         )
         for name, df in built.items():
             coll = g.edges if name.startswith("IS_IN") else g.nodes
-            coll[name] = (
-                coll[name].unionByName(df).dropDuplicates()
-                if name in coll
-                else df
-            )
+            if name not in coll:
+                coll[name] = df
+            elif name.startswith("IS_IN"):
+                coll[name] = coll[name].unionByName(df).dropDuplicates()
+            else:
+                # shared level tables (CATH+G3DSA both mint cathTopology):
+                # one row per accession, non-null description wins (max
+                # skips nulls) — mirrors the reference's pd.concat +
+                # drop_duplicates over name-decorated frames
+                coll[name] = (
+                    coll[name]
+                    .unionByName(df)
+                    .groupBy(name)
+                    .agg(F.max("description").alias("description"))
+                )
     g.nodes["procoggraph"] = build_stats_node(g)
     return g
 

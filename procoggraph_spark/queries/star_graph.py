@@ -249,14 +249,19 @@ SELECT split_part(acc, '.', 1) AS cath_class,
        split_part(acc, '.', 1) || '.' || split_part(acc, '.', 2)
            AS cath_architecture,
        acc AS cath_topology,
+       'CATH ' || acc AS topology_description,
        COUNT(DISTINCT dom) AS n_domains
 FROM doms
-GROUP BY 1, 2, 3
+GROUP BY 1, 2, 3, 4
 """
 
 
 @q("hier_topology_walk", _HIER_WALK_SQL)
 def hier_topology_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives build_classification_hierarchy WITH a level_names table
+    (the cath-names decoration path, `produce_neo4j_files.py:288-361`):
+    the walk result carries the topology node's description, proving
+    names land on hierarchy nodes through the builder."""
     from procoggraph_spark.graph.model import DOMAIN_KINDS, ProCogGraph
     from procoggraph_spark.graph.queries import q11_domain_hierarchy_walk
     from procoggraph_spark.pipeline.build_graph import (
@@ -272,11 +277,28 @@ def hier_topology_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("string"),
         ).alias("groupAccession"),
     )
-    built = build_classification_hierarchy(domains, DOMAIN_KINDS["G3DSA"])
+    parts = F.split("groupAccession", r"\.")
+    names = (
+        domains.select(
+            F.explode(
+                F.array(
+                    *[F.array_join(F.slice(parts, 1, n), ".") for n in (1, 2, 3)]
+                )
+            ).alias("accession")
+        )
+        .distinct()
+        .withColumn("description", F.concat(F.lit("CATH "), F.col("accession")))
+    )
+    built = build_classification_hierarchy(
+        domains, DOMAIN_KINDS["G3DSA"], level_names=names
+    )
     g = ProCogGraph(edges={k: v for k, v in built.items() if k.startswith("IS_IN")})
-    return q11_domain_hierarchy_walk(g, domain_kind="G3DSA").select(
+    walk = q11_domain_hierarchy_walk(g, domain_kind="G3DSA")
+    topo = built["cathTopology"]
+    return walk.join(F.broadcast(topo), "cathTopology").select(
         F.col("cathClass").alias("cath_class"),
         F.col("cathArchitecture").alias("cath_architecture"),
         F.col("cathTopology").alias("cath_topology"),
+        F.col("description").alias("topology_description"),
         "n_domains",
     )

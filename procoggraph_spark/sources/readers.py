@@ -86,6 +86,65 @@ def read_skip_rows(
     return body.select(*[parts.getItem(i).alias(c) for i, c in enumerate(columns)])
 
 
+def read_cath_names(spark: SparkSession, path: str) -> DataFrame:
+    """cath-names.txt: ``cath_code<4sp>representative_domain<4sp>:name``
+    with '#' comments; the leading ':' on the name is stripped
+    (`process_all_pdb_contacts.py:272-273`). Returns the generic
+    level-description shape (accession, description) consumed by
+    ``build_classification_hierarchy(level_names=...)``."""
+    raw = read_multichar_sep(
+        spark,
+        path,
+        sep_regex=r" {4}",
+        columns=["cath_code", "representative_domain", "name"],
+    )
+    return raw.filter(F.col("cath_code").isNotNull()).select(
+        F.col("cath_code").alias("accession"),
+        F.regexp_replace("name", r"^:", "").alias("description"),
+    )
+
+
+def read_scop_descriptions(spark: SparkSession, path: str) -> DataFrame:
+    """dir.des.scop.txt: TSV with '#' comments, columns sunid / level /
+    sccs / sid / description (`utils.py:224`). ``scop_level_names``
+    projects it to the (accession, description) shape keyed by sccs."""
+    return read_tsv(
+        spark,
+        path,
+        header=False,
+        comment="#",
+        schema=(
+            "level_sunid string, level string, level_sccs string,"
+            " level_sid string, level_description string"
+        ),
+    )
+
+
+def scop_level_names(des: DataFrame) -> DataFrame:
+    """(accession, description) for the sccs-keyed SCOP hierarchy levels
+    (cl/cf/sf/fa — the dotted chain this engine derives); dm/sp/px rows
+    and placeholder sccs values are dropped."""
+    return (
+        des.filter(F.col("level").isin("cl", "cf", "sf", "fa"))
+        .filter(F.col("level_sccs").isNotNull() & (F.col("level_sccs") != "-"))
+        .select(
+            F.col("level_sccs").alias("accession"),
+            F.col("level_description").alias("description"),
+        )
+        .dropDuplicates(["accession"])
+    )
+
+
+def read_scop2_descriptions(spark: SparkSession, path: str) -> DataFrame:
+    """SCOP2 node descriptions: ``<node_id> <name>`` lines with '#'
+    comments (`utils.py:393-400`) → (accession, description)."""
+    text = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    return text.select(
+        F.regexp_extract("value", r"^(\d+) (.+)", 1).alias("accession"),
+        F.regexp_extract("value", r"^(\d+) (.+)", 2).alias("description"),
+    ).filter(F.col("accession") != "")
+
+
 def read_record_format(
     spark: SparkSession,
     path: str,

@@ -124,3 +124,72 @@ def test_neo4j_tsv_roundtrip(spark, tmp_path):
     rows = {r["uniqueID"]: r for r in back.collect()}
     assert rows["u1"]["arr"] == "x|y"
     assert rows["u1"][":LABEL"] == "boundEntity|domain"
+
+
+def test_cath_names_reader(spark, tmp_path):
+    from procoggraph_spark.sources.readers import read_cath_names
+
+    p = tmp_path / "cath-names.txt"
+    p.write_text(
+        "# CATH names file\n"
+        "1    1oaiA00    :Mainly Alpha\n"
+        "1.10    1oaiA00    :Orthogonal Bundle\n"
+        "1.10.510    1oksA00    :Transferase(Phosphotransferase) domain 1\n"
+    )
+    got = {
+        (r["accession"], r["description"])
+        for r in read_cath_names(spark, str(p)).collect()
+    }
+    assert got == {
+        ("1", "Mainly Alpha"),
+        ("1.10", "Orthogonal Bundle"),
+        ("1.10.510", "Transferase(Phosphotransferase) domain 1"),
+    }
+
+
+def test_scop_descriptions_reader(spark, tmp_path):
+    from procoggraph_spark.sources.readers import (
+        read_scop_descriptions,
+        scop_level_names,
+    )
+
+    p = tmp_path / "dir.des.scop.txt"
+    p.write_text(
+        "# dir.des.scop.txt\n"
+        "46456\tcl\ta\t-\tAll alpha proteins\n"
+        "46457\tcf\ta.1\t-\tGlobin-like\n"
+        "46458\tsf\ta.1.1\t-\tGlobin-like\n"
+        "46459\tfa\ta.1.1.1\t-\tTruncated hemoglobin\n"
+        "46460\tdm\ta.1.1.1\td1dlwa_\tProtozoan/bacterial hemoglobin\n"
+        "116748\tpx\t-\ts0001\tdummy\n"
+    )
+    names = {
+        (r["accession"], r["description"])
+        for r in scop_level_names(read_scop_descriptions(spark, str(p))).collect()
+    }
+    # cl/cf/sf/fa keyed by sccs; dm (duplicate sccs) and px ('-') dropped
+    assert names == {
+        ("a", "All alpha proteins"),
+        ("a.1", "Globin-like"),
+        ("a.1.1", "Globin-like"),
+        ("a.1.1.1", "Truncated hemoglobin"),
+    }
+
+
+def test_scop2_descriptions_reader(spark, tmp_path):
+    from procoggraph_spark.sources.readers import read_scop2_descriptions
+
+    p = tmp_path / "scop2-des.txt"
+    p.write_text(
+        "# SCOP2 descriptions\n"
+        "1000001 All alpha proteins\n"
+        "3000001 Globin-like superfamily\n"
+    )
+    got = {
+        (r["accession"], r["description"])
+        for r in read_scop2_descriptions(spark, str(p)).collect()
+    }
+    assert got == {
+        ("1000001", "All alpha proteins"),
+        ("3000001", "Globin-like superfamily"),
+    }
