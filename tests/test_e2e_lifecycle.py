@@ -203,3 +203,44 @@ def test_raw_files_to_graph_query(spark, raw):
     assert card["9zzz"]["n_bound_entities"] == 1
     assert card["9zzz"]["n_domains"] == 1
     assert card["9zzz"]["n_cognate_matches"] == 0
+
+    # --- classification hierarchy on the BUILT graph -------------------
+    # build_graph derived the CATH chain from the raw-contact-built
+    # domain nodes: domain→HSF→topology→architecture→class edges exist
+    # and the Q11 walk rolls the one domain up the full dotted path
+    # (domain-browse pages, dashboard.json:1010 block)
+    leaf = {
+        (r["src"], r["dst"], r["srcLabel"])
+        for r in g.edges["IS_IN_CATH_HOMOLOGOUS_SUPERFAMILY"].collect()
+    }
+    assert leaf == {("9zzz:A:3.40.50.720", "3.40.50.720", "cathDomain")}
+    assert {
+        (r["src"], r["dst"]) for r in g.edges["IS_IN_CATH_CLASS"].collect()
+    } == {("3.40", "3")}
+
+    walk = Q.q11_domain_hierarchy_walk(g, domain_kind="CATH").collect()
+    assert [
+        (r["cathClass"], r["cathArchitecture"], r["cathTopology"],
+         r["cathHomologousSuperfamily"], r["n_domains"])
+        for r in walk
+    ] == [("3", "3.40", "3.40.50", "3.40.50.720", 1)]
+
+    # Q7/Q8-style group rollup on the built graph (no cognate data in
+    # this fixture, so the rollup grounds in the hierarchy + interaction
+    # edges): superfamily group → its domains → bound entities
+    leaf_e = g.edges["IS_IN_CATH_HOMOLOGOUS_SUPERFAMILY"].select(
+        F.col("src").alias("domain"), F.col("dst").alias("group")
+    )
+    iwl = g.edges["INTERACTS_WITH_LIGAND"].select("domain", "uniqueID")
+    rollup = (
+        leaf_e.join(iwl, "domain")
+        .groupBy("group")
+        .agg(
+            F.countDistinct("domain").alias("n_domains"),
+            F.countDistinct("uniqueID").alias("n_bound_entities"),
+        )
+        .collect()
+    )
+    assert [(r["group"], r["n_domains"], r["n_bound_entities"]) for r in rollup] == [
+        ("3.40.50.720", 1, 1)
+    ]
