@@ -98,12 +98,16 @@ def _det_plane_component(plane: int, dim: int) -> int:
     return int.from_bytes(h[:4], "big") % 13 - 6
 
 
-def hyperplane_signature(vec: Column, *, n_planes: int, dim: int) -> Column:
+def hyperplane_signature(
+    vec: Column, *, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
     """Sign pattern of the vector against ``n_planes`` deterministic
-    integer hyperplanes, packed as a long bitmask."""
+    integer hyperplanes, packed as a long bitmask. ``plane_offset``
+    selects an independent plane family (offset 64 → planes 64..127),
+    for multi-table blocking with independent miss probabilities."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        coeffs = [_det_plane_component(p, d) for d in range(dim)]
+        coeffs = [_det_plane_component(plane_offset + p, d) for d in range(dim)]
         proj = F.aggregate(
             F.zip_with(
                 vec,

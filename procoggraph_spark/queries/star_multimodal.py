@@ -168,28 +168,35 @@ def mm_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal near-dup: binary payload → mapInPandas
     features → hyperplane-SimHash blocking → exact cosine rerank.
 
-    The candidate stage reuses the text path's machinery: a 64-plane
-    hyperplane signature per feature vector, then the pigeonhole-block
-    equi-join (dedup.simhash_near_pairs) — so work scales with
+    The candidate stage reuses the text path's machinery: TWO independent
+    64-plane hyperplane signatures per feature vector (plane families
+    0..63 and 64..127), each through the pigeonhole-block equi-join
+    (dedup.simhash_near_pairs), candidates unioned — so work scales with
     per-block co-residents, never O(n²); the final cosine is exact on
-    candidates only. A 0.9-cosine pair differs on ~9 of 64 planes in
-    expectation, so the 20-bit Hamming gate keeps recall ≈ 1.
-    Oracle-less (feature fake); pytest checks every emitted pair against
-    a pandas recomputation."""
+    candidates only. Recall is approximate by construction: a 0.9-cosine
+    pair differs on ~9.2 of 64 planes (σ≈2.8), so one 20-bit Hamming
+    gate misses with p≈3e-5 (4σ); two independent tables bound the miss
+    at p≈1e-9 at the 0.9 operating point. Oracle-less (feature fake);
+    pytest checks every emitted pair against a pandas recomputation."""
     from procoggraph_spark.operators import dedup as D
 
     feats = M.attach_fake_features(
         _assets(spark, sf_dir).filter(F.col("asset_id") < 100)
     )
-    sigs = feats.select(
-        "asset_id",
-        S.hyperplane_signature(
-            F.col("features"), n_planes=64, dim=M.FEATURE_DIM
-        ).alias("simhash"),
-    )
-    cand = D.simhash_near_pairs(sigs, id_col="asset_id", max_hamming=20).select(
-        "id_a", "id_b"
-    )
+    cands = []
+    for off in (0, 64):
+        sigs = feats.select(
+            "asset_id",
+            S.hyperplane_signature(
+                F.col("features"), n_planes=64, dim=M.FEATURE_DIM, plane_offset=off
+            ).alias("simhash"),
+        )
+        cands.append(
+            D.simhash_near_pairs(sigs, id_col="asset_id", max_hamming=20).select(
+                "id_a", "id_b"
+            )
+        )
+    cand = cands[0].unionByName(cands[1]).distinct()
     a = feats.select(F.col("asset_id").alias("id_a"), F.col("features").alias("_va"))
     b = feats.select(F.col("asset_id").alias("id_b"), F.col("features").alias("_vb"))
     sim = S.cosine(F.col("_va"), F.col("_vb"))
