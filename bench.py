@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from procoggraph_spark.queries import registry
-from procoggraph_spark.session import get_spark
+from procoggraph_spark.session import apply_adaptive_policy, get_spark
 
 HEADLINE = [
     "a1_pricing_summary",
@@ -40,6 +40,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("procoggraph_bench")
+    # size-gated AQE: off under 1 GB of input (interactive serving), on
+    # at scale — see session.apply_adaptive_policy
+    apply_adaptive_policy(spark, sf_dir)
     qs, _ = registry()
 
     # JVM/codegen warmup outside the measurement: one shuffle + one scan
