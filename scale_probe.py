@@ -58,10 +58,11 @@ def generate(spark) -> None:
             F.array(F.lit("O"), F.lit("F")),
             (F.pmod(F.col("id"), F.lit(2)) + 1).cast("int"),
         ).alias("l_linestatus"),
-        F.date_format(
-            F.date_add(F.lit("1995-01-01").cast("date"), F.pmod(F.col("id"), F.lit(2400)).cast("int")),
-            "yyyy-MM-dd",
-        ).alias("l_shipdate"),
+        # timestamp like the driver testdata (the a1 oracle compares
+        # against a TIMESTAMP literal on both engines)
+        F.date_add(
+            F.lit("1995-01-01").cast("date"), F.pmod(F.col("id"), F.lit(2400)).cast("int")
+        ).cast("timestamp").alias("l_shipdate"),
     )
     orders = spark.range(n_ord).select(
         F.col("id").alias("o_orderkey"),
@@ -183,6 +184,52 @@ def llmops_probe(spark) -> dict:
     return out
 
 
+def crossover_probe(spark) -> dict:
+    """The sf1 crossover record (round-1 task 8): the four queries whose
+    sf0.1 ratios are floor-dominated (a1/w5/dedup_exact/sim_bruteforce),
+    Spark vs DuckDB running the SAME oracle SQL on the SAME probe
+    parquet, best-of-3 interleaved in one process. At 10x data the
+    fixed per-query scheduling constant amortizes and the ratio reflects
+    engine throughput, not launch overhead."""
+    import duckdb
+
+    from procoggraph_spark.queries import registry as _registry
+
+    qs, oracles = _registry()
+    names = [
+        "a1_pricing_summary",
+        "w5_topk_per_group",
+        "dedup_exact",
+        "sim_bruteforce_topk",
+    ]
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for tbl in ("lineitem", "orders", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{PROBE_DIR}/{tbl}.parquet/*.parquet')"
+        )
+    out = {}
+    spark_best = {n: float("inf") for n in names}
+    duck_best = {n: float("inf") for n in names}
+    for _ in range(3):
+        for n in names:
+            df = qs[n](spark, PROBE_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            spark_best[n] = min(spark_best[n], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.execute(oracles[n]).fetchall()
+            duck_best[n] = min(duck_best[n], time.perf_counter() - t0)
+    for n in names:
+        out[n] = {
+            "spark_sec": round(spark_best[n], 3),
+            "duckdb_sec": round(duck_best[n], 3),
+            "ratio": round(spark_best[n] / max(duck_best[n], 1e-9), 2),
+        }
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale_probe")
     if not os.path.isdir(os.path.join(PROBE_DIR, "lineitem.parquet")):
@@ -214,9 +261,16 @@ def main() -> None:
     if not os.path.isdir(os.path.join(PROBE_DIR, "embeddings.parquet")):
         generate_embeddings(spark)
     llm = llmops_probe(spark)
+    crossover = crossover_probe(spark)
     print(
         json.dumps(
-            {"timings": out, "xdata_time_ratio": ratios, "xdata": SCALE, "llmops": llm}
+            {
+                "timings": out,
+                "xdata_time_ratio": ratios,
+                "xdata": SCALE,
+                "llmops": llm,
+                "crossover_vs_duckdb": crossover,
+            }
         )
     )
     spark.stop()
