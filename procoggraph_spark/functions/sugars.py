@@ -161,3 +161,41 @@ def sugar_smiles_from_wurcs(
         .join(s, "csdb", "left")
         .select("WURCS", "glycoct", "csdb", "descriptor")
     )
+
+
+def enrich_sugar_descriptors(
+    spark: SparkSession,
+    contacts: DataFrame,
+    *,
+    cache_root: str,
+    **converters,
+) -> DataFrame:
+    """The pipeline attach point (`process_all_pdb_contacts.py:153-160`):
+    sugar-type bound entities carry WURCS in ``descriptor``; convert the
+    distinct WURCS set through the cached chain and overwrite the column
+    for those rows — unconditionally, as the reference does (a failed
+    conversion nulls the descriptor rather than leaving WURCS behind).
+    Non-sugar rows pass through untouched. The mapping side is the
+    distinct sugar set — dimension-sized, broadcast."""
+    wurcs = (
+        contacts.filter(F.col("type") == "sugar")
+        .select(F.col("descriptor").alias("WURCS"))
+        .distinct()
+    )
+    mapping = sugar_smiles_from_wurcs(
+        spark, wurcs, cache_root=cache_root, **converters
+    ).select(F.col("WURCS").alias("_wurcs"), F.col("descriptor").alias("_smiles"))
+    return (
+        contacts.join(
+            F.broadcast(mapping),
+            (F.col("type") == "sugar") & (F.col("descriptor") == F.col("_wurcs")),
+            "left",
+        )
+        .withColumn(
+            "descriptor",
+            F.when(F.col("type") == "sugar", F.col("_smiles")).otherwise(
+                F.col("descriptor")
+            ),
+        )
+        .drop("_wurcs", "_smiles")
+    )

@@ -109,3 +109,27 @@ def test_sugar_chain_null_propagation(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["glycoct"] is None
     assert out[0]["descriptor"] is None
+
+
+def test_enrich_sugar_descriptors(spark, tmp_path):
+    """Pipeline attach point (process_all_pdb_contacts.py:153-160):
+    sugar rows get their WURCS descriptor overwritten with the converted
+    SMILES (null on conversion failure — never WURCS left behind);
+    ligand rows pass through untouched."""
+    cc = spark.createDataFrame(
+        [
+            ("1gxo_bm1_A", "sugar", WURCS_3RES),
+            ("1gxo_bm2_B", "sugar", "garbage-not-wurcs"),
+            ("5h1y_bm1_A", "ligand", "OS(=O)(=O)O"),
+        ],
+        "uniqueID string, type string, descriptor string",
+    )
+    out = {
+        r["uniqueID"]: r["descriptor"]
+        for r in S.enrich_sugar_descriptors(
+            spark, cc, cache_root=str(tmp_path / "c")
+        ).collect()
+    }
+    assert out["1gxo_bm1_A"] == "O".join([S._RING] * 3)
+    assert out["1gxo_bm2_B"] is None          # failed conversion → null
+    assert out["5h1y_bm1_A"] == "OS(=O)(=O)O"  # non-sugar untouched
