@@ -46,7 +46,10 @@ def wurcs_counts(wurcs: str | None) -> tuple[int, int, int] | None:
 
 
 def _tag(value: str) -> str:
-    return hashlib.sha1(value.encode()).hexdigest()[:10]
+    # sha256, not sha1: DuckDB ships sha256() so the whole fallback
+    # chain is SQL-replicable and the u8_sugar_chain registry query can
+    # carry a real hash-compared oracle
+    return hashlib.sha256(value.encode()).hexdigest()[:10]
 
 
 def glycoct_fallback(wurcs: str | None) -> str | None:

@@ -722,3 +722,81 @@ def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("name_a", F.col("name_b").alias("closest"), "dist")
     )
+
+
+# --- U8 sugar conversion chain, oracle-backed --------------------------------
+# Drives functions/sugars.sugar_smiles_from_wurcs (the reference's
+# WURCS→GlycoCT→CSDB→SMILES chain behind three S16 caches,
+# process_all_pdb_contacts.py:13-32) on part-derived WURCS strings.
+# The offline fallback kernels are pure deterministic string/hash
+# algebra (sha256-tagged), so DuckDB replays the ENTIRE chain and the
+# driver hash-compares every stage's output column.
+
+_U8_RING = "C1OC(O)C(O)C(O)C1O"
+
+_U8_SQL = rf"""
+WITH src AS (
+  SELECT DISTINCT CASE WHEN p_partkey % 7 = 0 THEN 'SMILES:' || p_name
+    ELSE 'WURCS=2.0/' || CAST(p_size % 3 + 1 AS VARCHAR) || ',' ||
+         CAST(p_size % 5 + 1 AS VARCHAR) || ',' ||
+         CAST(p_size % 5 AS VARCHAR) || '/[u]/' END AS WURCS
+  FROM part WHERE p_partkey < 300
+),
+g AS (
+  SELECT WURCS,
+    CASE WHEN regexp_matches(WURCS, '^WURCS=[^/]+/\d+,\d+,\d+/')
+      THEN 'FAKE-GLYCOCT/res='
+        || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 2)
+        || '/lin='
+        || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 3)
+        || '/' || substr(sha256(WURCS), 1, 10)
+      ELSE NULL END AS glycoct
+  FROM src
+),
+c AS (
+  SELECT WURCS, glycoct,
+    CASE WHEN glycoct IS NULL THEN NULL
+      ELSE 'FAKE-CSDB:res='
+        || regexp_extract(glycoct, 'res=(\d+)', 1)
+        || ':' || substr(sha256(glycoct), 1, 10) END AS csdb
+  FROM g
+)
+SELECT WURCS, glycoct, csdb,
+  CASE WHEN csdb IS NULL THEN NULL
+    ELSE array_to_string(
+      list_transform(
+        range(GREATEST(1, CAST(regexp_extract(csdb, 'res=(\d+)', 1) AS INT))),
+        x -> '{_U8_RING}'),
+      'O') END AS descriptor
+FROM c
+"""
+
+
+@q("u8_sugar_chain", _U8_SQL)
+def u8_sugar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from procoggraph_spark.functions.sugars import sugar_smiles_from_wurcs
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    wurcs = p.select(
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(F.lit("SMILES:"), F.col("p_name")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("WURCS=2.0/"),
+                (F.col("p_size") % 3 + 1).cast("string"),
+                F.lit(","),
+                (F.col("p_size") % 5 + 1).cast("string"),
+                F.lit(","),
+                (F.col("p_size") % 5).cast("string"),
+                F.lit("/[u]/"),
+            )
+        )
+        .alias("WURCS")
+    ).distinct()
+    return sugar_smiles_from_wurcs(
+        spark, wurcs, cache_root=tempfile.mkdtemp(prefix="u8_sugar_cache_")
+    )
