@@ -800,3 +800,45 @@ def u8_sugar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sugar_smiles_from_wurcs(
         spark, wurcs, cache_root=tempfile.mkdtemp(prefix="u8_sugar_cache_")
     )
+
+
+# --- S13 ingestion fetch manifest, oracle-backed -----------------------------
+# Drives sources/fetchers.fetch_manifest (the download_mmcif.py control
+# structure) with a deterministic in-process service: 1-in-7 ids get a
+# per-id service error (dead-letter), the rest a payload derived from
+# the id. Output keeps only the partitioning-independent columns
+# (id/payload/error) — attempts and chunk_size_used depend on how ids
+# land in partitions and are pytest-verified instead.
+
+_S13_SQL = """
+SELECT 'pdb' || CAST(p_partkey AS VARCHAR) AS id,
+       CASE WHEN p_partkey % 7 = 0 THEN NULL
+            ELSE 'cif::pdb' || CAST(p_partkey AS VARCHAR) END AS payload,
+       CASE WHEN p_partkey % 7 = 0 THEN 'model_server_error' END AS error
+FROM part WHERE p_partkey < 200
+"""
+
+
+@q("s13_fetch_manifest", _S13_SQL)
+def s13_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.sources.fetchers import fetch_manifest
+
+    ids = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(F.concat(F.lit("pdb"), F.col("p_partkey").cast("string")).alias("id"))
+    )
+
+    def service(batch):
+        out = []
+        for x in batch:
+            n = int(x[3:])
+            if n % 7 == 0:
+                out.append({"id": x, "payload": None, "error": "model_server_error"})
+            else:
+                out.append({"id": x, "payload": f"cif::{x}"})
+        return out
+
+    return fetch_manifest(ids, fetcher=service, chunk_size=50).select(
+        "id", "payload", "error"
+    )
