@@ -466,9 +466,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search ----------------------------------------------------
 
-@q(
-    "sim_bruteforce_topk",
-    """
+_BRUTEFORCE_SQL = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -484,8 +482,10 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine_sim DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@q("sim_bruteforce_topk", _BRUTEFORCE_SQL)
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
@@ -945,3 +945,13 @@ def corpus_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_top80"
         ),
     )
+
+
+@q("sim_bruteforce_gemm", _BRUTEFORCE_SQL)
+def sim_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k via Arrow-batched BLAS GEMM
+    (operators/similarity.gemm_topk) — same oracle as the JVM fold
+    variant, demonstrating the when-Python-wins UDF discipline."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.gemm_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)

@@ -460,3 +460,26 @@ def test_ngram_jaccard_hot_shingle_guard(spark):
     # the guard must stay an equi-join: no cartesian product in the plan
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_gemm_topk_matches_fold_with_ties(spark):
+    """gemm_topk must equal brute_force_topk exactly, including the
+    (sim desc, id asc) tie-break at the k boundary — duplicate vectors
+    force ties, and a 4-partition layout forces cross-partition merge."""
+    from procoggraph_spark.operators.similarity import brute_force_topk, gemm_topk
+
+    rows = []
+    for i in range(40):
+        base = [float((i % 5) + d) for d in range(8)]  # 5 duplicate groups
+        rows.append((i, base))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    queries = corpus.filter("vec_id < 3")
+    a = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in brute_force_topk(corpus, queries, id_col="vec_id", vec_col="embedding", k=7).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in gemm_topk(corpus, queries, id_col="vec_id", vec_col="embedding", k=7).collect()
+    }
+    assert a == b
