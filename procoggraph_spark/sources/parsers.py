@@ -267,7 +267,15 @@ def normalize_domain_xrefs(df: DataFrame) -> DataFrame:
         )
         .otherwise(db)
     )
-    new_acc = F.regexp_replace(acc, r"^(G3DSA:|SF-DOMID:|FA-DOMID:)", "")
+    # strip wrappers only where the mapping actually fires — a row that
+    # stays unmapped passes through byte-identical (property-tested)
+    strips = ((db == "InterPro") & acc.startswith("G3DSA:")) | (
+        db.isin("SCOP2B", "SCOP2")
+        & (acc.startswith("SF-DOMID:") | acc.startswith("FA-DOMID:"))
+    )
+    new_acc = F.when(
+        strips, F.regexp_replace(acc, r"^(G3DSA:|SF-DOMID:|FA-DOMID:)", "")
+    ).otherwise(acc)
     prior_derived = (
         F.col("derived_from")
         if "derived_from" in df.columns

@@ -153,3 +153,59 @@ def test_cms_bucket_matches_portable_arithmetic(spark, keys):
         for rr in range(4):
             want = ((fp * (_MULT_BASE + rr * _MULT_STEP) + rr * _ADD_STEP) % _MOD) % 64
             assert got[(k, rr)] == want
+
+
+@given(
+    u=st.integers(1, 99),
+    r=st.integers(1, 99),
+    s=st.integers(0, 99),
+    body=st.from_regex(r"[A-Za-z0-9\-_\[\]]{0,20}", fullmatch=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_wurcs_counts_property(u, r, s, body):
+    """wurcs_counts parses any well-formed header and rejects anything
+    without one; the offline chain preserves the residue count into the
+    final ring-polymer descriptor (pure-Python kernels — no Spark)."""
+    from procoggraph_spark.functions import sugars as S
+
+    w = f"WURCS=2.0/{u},{r},{s}/{body}"
+    assert S.wurcs_counts(w) == (u, r, s)
+    assert S.wurcs_counts(body if not body.startswith("WURCS=") else "x") is None
+
+    desc = S.smiles_fallback(S.csdb_fallback(S.glycoct_fallback(w)))
+    assert desc is not None
+    assert desc.count(S._RING) == max(1, r)
+    # bracket-balanced (the U5 fallback parse filter)
+    assert desc.count("(") == desc.count(")")
+
+
+@given(
+    db=st.sampled_from(["CATH", "SCOP", "Pfam", "InterPro", "SCOP2", "SCOP2B", "Other"]),
+    kind=st.sampled_from(["G3DSA:3.40.50.720", "SSF51735", "SF-DOMID:8033045",
+                          "FA-DOMID:4000119", "PF00069", "2.40.110.10"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_normalize_domain_xrefs_property(spark, db, kind):
+    """normalize_domain_xrefs invariants on arbitrary (db, acc) combos:
+    output db is always a DomainKind key or an untouched pass-through;
+    no G3DSA:/SF-DOMID:/FA-DOMID: wrapper survives on a mapped row; rows
+    are never dropped or duplicated."""
+    from procoggraph_spark.graph.model import DOMAIN_KINDS
+    from procoggraph_spark.sources.parsers import normalize_domain_xrefs
+
+    df = spark.createDataFrame(
+        [(db, kind, None)], "xref_db string, xref_db_acc string, derived_from string"
+    )
+    out = normalize_domain_xrefs(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    if row["xref_db"] != db:
+        # remapped rows land on a DomainKind key with wrappers stripped
+        assert row["xref_db"] in DOMAIN_KINDS
+        assert not row["xref_db_acc"].startswith(("G3DSA:", "SF-DOMID:", "FA-DOMID:"))
+    else:
+        # un-remapped rows pass through byte-identical (even nonsense
+        # combos like CATH + a stray G3DSA: accession)
+        assert row["xref_db_acc"] == kind
+    if db == "SCOP2B":
+        assert row["derived_from"] == "SCOP2B"
