@@ -513,3 +513,34 @@ def test_hierarchy_level_names_dotted(spark):
         for r in g.nodes["cathHomologousSuperfamily"].collect()
     }
     assert hsf["2.40.110.10"] == "Butyryl-CoA Dehydrogenase; subunit A"
+
+
+def test_cath_names_file_to_named_hierarchy(spark, tmp_path):
+    """Raw cath-names file → read_cath_names → build_graph: the level
+    nodes carry the file's display names (the full reference path,
+    process_all_pdb_contacts.py:272-273 + produce_neo4j_files.py:331-344)."""
+    from procoggraph_spark.sources.readers import read_cath_names
+
+    p = tmp_path / "cath-names.txt"
+    p.write_text(
+        "# header\n"
+        "2    1abcA00    :Mainly Beta\n"
+        "2.40    1abcA00    :Beta Barrel\n"
+        "2.40.110    1abcA00    :Thrombin subunit H\n"
+        "2.40.110.10    1abcA00    :Butyryl-CoA Dehydrogenase\n"
+    )
+    names = read_cath_names(spark, str(p))
+    cc, parity, cognate, _ = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate, hierarchy_names={"CATH": names})
+    topo = {
+        r["cathTopology"]: r["description"]
+        for r in g.nodes["cathTopology"].collect()
+    }
+    assert topo["2.40.110"] == "Thrombin subunit H"
+    hsf = {
+        r["cathHomologousSuperfamily"]: r["description"]
+        for r in g.nodes["cathHomologousSuperfamily"].collect()
+    }
+    assert hsf["2.40.110.10"] == "Butyryl-CoA Dehydrogenase"
+    cls = {r["cathClass"]: r["description"] for r in g.nodes["cathClass"].collect()}
+    assert cls == {"2": "Mainly Beta", "3": None}
