@@ -102,19 +102,31 @@ def _cached_convert(
     """One chain step: split hits/misses against the cache, convert ONLY
     the misses (Arrow-batched pandas UDF — the reference converts one
     key at a time over HTTP, `utils.py:109-129`), upsert, return the full
-    (key, value) mapping. Work is bounded by the miss set."""
+    (key, value) mapping. Work is bounded by the miss set.
+
+    Side-effect discipline (mirrors ``fetchers.fetch_manifest``): the
+    emptiness check runs on the MISS KEYS, before the converter is ever
+    attached, and the converted frame is ``localCheckpoint``-ed so the
+    converter runs exactly once per miss — with real HTTP clients wired
+    in, lazy re-evaluation across the upsert write and the join-back
+    read would otherwise issue duplicate remote calls."""
     hits, misses = cache.split_hits_misses(keys)
+
+    if misses.isEmpty():
+        if hits is not None:
+            return hits
+        # no cache yet and no keys: empty frame with the mapping schema
+        return misses.withColumn(out_col, F.lit(None).cast(T.StringType()))
 
     @F.pandas_udf(T.StringType())
     def conv(s):  # pragma: no cover - executed on workers
         return s.map(fn)
 
-    fresh = misses.withColumn(out_col, conv(F.col(key_col)))
-    if not fresh.isEmpty():
-        cache.upsert(fresh)
-        fresh = cache.read().join(keys, [key_col], "left_semi")
-        return fresh
-    return hits if hits is not None else fresh
+    fresh = misses.withColumn(out_col, conv(F.col(key_col))).localCheckpoint(
+        eager=True
+    )
+    cache.upsert(fresh)
+    return cache.read().join(keys, [key_col], "left_semi")
 
 
 def sugar_smiles_from_wurcs(

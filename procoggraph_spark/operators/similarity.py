@@ -131,18 +131,20 @@ def gemm_topk(
             S = (V @ Q.T) / np.outer(Vn, Qn)
             out = []
             for j, qid in enumerate(qids):
-                s = S[:, j]
+                # round BEFORE the local cut: the global window and the
+                # SQL oracle rank by the 6-decimal value with id-asc
+                # tie-break, so the local top-k must use the identical
+                # key or a k-boundary tie can keep the row the oracle
+                # drops
+                s = np.round(S[:, j], 6)
                 mask = ids != qid
-                # local top-k MUST break ties exactly like the global
-                # window (sim desc, id asc), or a k-boundary tie keeps
-                # the wrong row
                 idx = np.lexsort((ids[mask], -s[mask]))[:k]
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
                             "neighbor_id": ids[mask][idx],
-                            "cosine_sim": np.round(s[mask][idx], 6),
+                            "cosine_sim": s[mask][idx],
                         }
                     )
                 )

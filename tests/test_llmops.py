@@ -483,3 +483,49 @@ def test_gemm_topk_matches_fold_with_ties(spark):
         for r in gemm_topk(corpus, queries, id_col="vec_id", vec_col="embedding", k=7).collect()
     }
     assert a == b
+
+
+def test_embedding_cosine_simhash_gate_margin(spark):
+    """dedup_embedding_cosine gates candidate pairs at Hamming<=8 over 64
+    hyperplanes while its DuckDB oracle is exact all-pairs at the 0.9
+    cosine cutoff, so driver-gate equality rests on every exact-qualifying
+    pair flipping well under 8 planes. Recompute the flips for ALL pairs
+    the exact oracle keeps (at the driver's sf0.01, same corpus incl.
+    planted twins) and assert the measured maximum leaves a >=3-bit
+    margin — a change to embedding generation or the perturbation factor
+    fails here in CI rather than silently at the driver gate (r04
+    ADVICE)."""
+    import numpy as np
+
+    from procoggraph_spark.operators.similarity import hyperplane_signature
+    from procoggraph_spark.queries.star_relational2 import _emb_twins
+    from tests.conftest import SF_ORACLE
+
+    base = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    corpus = base.unionByName(_emb_twins(base))
+    rows = corpus.select(
+        "vec_id",
+        "v",
+        hyperplane_signature(F.col("v"), n_planes=64, dim=64).alias("sig"),
+    ).collect()
+    V = np.array([r["v"] for r in rows], dtype=np.float64)
+    sig = np.array([r["sig"] for r in rows], dtype=np.int64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    iu = np.triu_indices(len(rows), k=1)
+    qualifying = np.nonzero(cos[iu] >= 0.9)[0]
+    # the 40 planted twins must be among the exact-qualifying pairs
+    assert len(qualifying) >= 40
+    flips = [
+        int(bin((int(sig[iu[0][q]]) ^ int(sig[iu[1][q]])) & (2**64 - 1)).count("1"))
+        for q in qualifying
+    ]
+    assert max(flips) <= 5, (
+        f"max plane flips {max(flips)} eats the margin under the "
+        f"max_hamming=8 gate — the SimHash blocking no longer safely "
+        f"covers the exact 0.9-cosine oracle on this data"
+    )
