@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -38,7 +39,11 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # scale factor from the dir name only when it actually looks like
+    # sf<number>; otherwise report the dir name verbatim
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", base)
+    sf: float | str = float(m.group(1)) if m else base
     spark = get_spark("procoggraph_bench")
     # size-gated AQE: off under 1 GB of input (interactive serving), on
     # at scale — see session.apply_adaptive_policy
