@@ -104,7 +104,17 @@ def apply_adaptive_policy(
     and always on a real cluster, where skew-join and partition
     coalescing are load-bearing — leave it on. Returns the resulting
     AQE state. The decision is by DATA SIZE, not a bench flag, so the
-    same session serves sf0.01 interactively and sf1+ adaptively."""
+    same session serves sf0.01 interactively and sf1+ adaptively.
+
+    Below the gate the policy also applies AQE's partition-coalescing
+    rule STATICALLY: a shuffle moving a few MB does not need one task
+    per core — launching 32 tasks per exchange costs more scheduling
+    than the work they carry (measured at sf0.1, best-of-3 interleaved:
+    full 12-query suite 3.47→3.08 s at 8 partitions; the floor-bound
+    a1/p6/stream_session each ~0.24→~0.15 s). One shuffle partition per
+    ~2 MB of input, clamped to [4, cores]; at/above the gate the static
+    count returns to cores and AQE coalesces from runtime statistics
+    instead."""
     total = 0
     try:
         for root, _dirs, files in os.walk(sf_dir):
@@ -114,6 +124,13 @@ def apply_adaptive_policy(
         total = threshold_bytes  # unknown input: keep AQE on
     enabled = total >= threshold_bytes
     spark.conf.set("spark.sql.adaptive.enabled", "true" if enabled else "false")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    base = int(cpus) if cpus.isdigit() else 32
+    if enabled:
+        spark.conf.set("spark.sql.shuffle.partitions", str(base))
+    else:
+        target = max(4, min(base, total // (2 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
     return enabled
 
 
