@@ -93,45 +93,63 @@ def get_spark(
 
 
 def apply_adaptive_policy(
-    spark: SparkSession, sf_dir: str, *, threshold_bytes: int = 1 << 30
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    threshold_bytes: int = 1 << 30,
+    interactive_bytes: int = 1 << 26,
 ) -> bool:
-    """Size-gated AQE: adaptive execution pays for itself by re-planning
-    shuffles from runtime statistics, but on sub-GB interactive inputs
-    its per-query re-optimization rounds cost more than they save
-    (measured: 30-40% of wall-clock on the sub-0.3 s dashboard queries,
-    a1 0.25→0.16 s at sf0.1). Below ``threshold_bytes`` of total input
-    under ``sf_dir``, turn AQE off for the session; at or above it —
-    and always on a real cluster, where skew-join and partition
-    coalescing are load-bearing — leave it on. Returns the resulting
-    AQE state. The decision is by DATA SIZE, not a bench flag, so the
-    same session serves sf0.01 interactively and sf1+ adaptively.
+    """Size-aware session tuning, three regimes by TOTAL INPUT SIZE
+    under ``sf_dir`` (data size, not a bench flag — the same session
+    serves sf0.01 interactively and 100 TB adaptively):
 
-    Below the gate the policy also applies AQE's partition-coalescing
-    rule STATICALLY: a shuffle moving a few MB does not need one task
-    per core — launching 32 tasks per exchange costs more scheduling
-    than the work they carry (measured at sf0.1, best-of-3 interleaved:
-    full 12-query suite 3.47→3.08 s at 8 partitions; the floor-bound
-    a1/p6/stream_session each ~0.24→~0.15 s). One shuffle partition per
-    ~2 MB of input, clamped to [4, cores]; at/above the gate the static
-    count returns to cores and AQE coalesces from runtime statistics
-    instead."""
+    1. **Interactive** (< ``interactive_bytes``, 64 MB): sub-second
+       dashboard serving. AQE off — its per-query re-optimization
+       rounds cost 30-40% of wall-clock on sub-0.3 s queries (a1
+       0.25→0.16 s at sf0.1) — and AQE's partition-coalescing rule is
+       applied STATICALLY instead: one shuffle partition per ~2 MB of
+       input, clamped [4, cores] (a shuffle moving a few MB must not
+       launch one task per core; measured best-of-3 interleaved at
+       sf0.1: 12-query suite 3.47→3.08 s, the floor-bound
+       a1/p6/stream_session each ~0.24→~0.15 s).
+    2. **Single-node crossover** (64 MB – 1 GB): queries run 0.3-3 s,
+       AQE's planning cost is noise and its runtime coalescing pays;
+       the binding constraint becomes SCAN parallelism — the 128 MB
+       split target packs a ~250 MB table into 2 tasks, serializing
+       scan-heavy plans on one core. ``files.minPartitionNum = 2×cores``
+       re-splits row groups so every core engages (measured at the 10×
+       probe, best-of-3 interleaved: a1 2.0→0.26 s, w5 1.25→0.40 s,
+       text_quality 0.91→0.14 s, j7 0.55→0.50 s; nothing regressed).
+    3. **Cluster scale** (≥ 1 GB, and any real deployment): stock
+       posture — AQE on, 128 MB split targets, shuffle partitions at
+       cores as the starting point AQE re-plans from. minPartitionNum
+       is left at its default: at many-executor scale the file count
+       already exceeds total cores and forced fine splits only add
+       scheduling overhead.
+
+    Returns the resulting AQE state."""
     total = 0
     try:
         for root, _dirs, files in os.walk(sf_dir):
             for f in files:
                 total += os.path.getsize(os.path.join(root, f))
     except OSError:
-        total = threshold_bytes  # unknown input: keep AQE on
-    enabled = total >= threshold_bytes
-    spark.conf.set("spark.sql.adaptive.enabled", "true" if enabled else "false")
+        total = threshold_bytes  # unknown input: assume cluster regime
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     base = int(cpus) if cpus.isdigit() else 32
-    if enabled:
-        spark.conf.set("spark.sql.shuffle.partitions", str(base))
-    else:
+    if total < interactive_bytes:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         target = max(4, min(base, total // (2 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    return enabled
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+        return False
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(base))
+    if total < threshold_bytes:
+        spark.conf.set("spark.sql.files.minPartitionNum", str(2 * base))
+    else:
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+    return True
 
 
 def register_sql_functions(spark: SparkSession) -> None:
