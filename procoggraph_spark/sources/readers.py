@@ -219,3 +219,78 @@ def parse_cddf_records(text: str) -> list[dict]:
     if domain:
         out.append({"domain": domain, "cathcode": cathcode, "n_segments": len(segments)})
     return out
+
+
+# Pfam clan-info file layout (the headerless 16-column TSV the reference
+# reads at `utils.py:235`); only acc/description/comment feed the graph.
+PFAM_CLAN_INFO_COLUMNS = [
+    "clan_acc", "clan_id", "previous_id", "clan_description", "clan_author",
+    "deposited_by", "clan_comment", "updated", "created", "version",
+    "number_structures", "number_archs", "number_species", "number_sequences",
+    "competed", "uniprot_competed",
+]
+
+
+def pfam_annotations(
+    spark: SparkSession,
+    pfam_a_path: str,
+    clan_membership_path: str,
+    clan_info_path: str,
+) -> DataFrame:
+    """Pfam annotation assembly (`utils.py:232-241` get_pfam_annotations):
+    pfam-A accessions/names/descriptions left-joined with clan
+    membership and clan info. All three inputs are headerless TSVs
+    ('#' comments in clan info); textual "NA" survives (S1 discipline).
+    Output: one row per Pfam accession with its clan columns, null
+    where unclanned — the frame the clan node/edge builders consume.
+    Clan tables are dimension-sized → broadcast joins, no shuffle."""
+    pfam_a = read_tsv(
+        spark,
+        pfam_a_path,
+        header=False,
+        comment="#",
+        schema=(
+            "pfam_accession string, pfam_name string, _unused string,"
+            " pfam_description string"
+        ),
+    ).select("pfam_accession", "pfam_name", "pfam_description")
+    membership = read_tsv(
+        spark, clan_membership_path, header=False, schema="clan string, pfam string"
+    )
+    info_schema = ", ".join(f"{c} string" for c in PFAM_CLAN_INFO_COLUMNS)
+    clans = read_tsv(
+        spark, clan_info_path, header=False, comment="#", schema=info_schema
+    ).select("clan_acc", "clan_description", "clan_comment")
+    clan_df = membership.join(
+        F.broadcast(clans), membership.clan == clans.clan_acc, "left"
+    )
+    return pfam_a.join(
+        F.broadcast(clan_df), pfam_a.pfam_accession == clan_df.pfam, "left"
+    ).select(
+        "pfam_accession",
+        "pfam_name",
+        "pfam_description",
+        "clan_acc",
+        "clan_description",
+        "clan_comment",
+    )
+
+
+def pfam_clan_mapping(annotations: DataFrame) -> DataFrame:
+    """Project ``pfam_annotations`` output onto the hierarchy-mapping
+    shape ``build_classification_hierarchy`` consumes for Pfam
+    (`produce_neo4j_files.py:363-368`: clan nodes keyed clan_acc, named
+    by clan_description; clan_comment kept as an extra column for flat
+    exports): one row per clanned Pfam accession."""
+    return (
+        annotations.filter(
+            F.col("clan_acc").isNotNull() & (F.col("clan_acc") != "")
+        )
+        .select(
+            F.col("pfam_accession").alias("groupAccession"),
+            F.col("clan_acc").alias("pfamClan"),
+            F.col("clan_description").alias("pfamClan_description"),
+            F.col("clan_comment").alias("pfamClan_comment"),
+        )
+        .dropDuplicates(["groupAccession", "pfamClan"])
+    )

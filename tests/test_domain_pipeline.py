@@ -544,3 +544,53 @@ def test_cath_names_file_to_named_hierarchy(spark, tmp_path):
     assert hsf["2.40.110.10"] == "Butyryl-CoA Dehydrogenase"
     cls = {r["cathClass"]: r["description"] for r in g.nodes["cathClass"].collect()}
     assert cls == {"2": "Mainly Beta", "3": None}
+
+
+def test_pfam_clan_files_to_named_clan_nodes(spark, tmp_path):
+    """Raw Pfam flat files → readers.pfam_annotations → clan mapping →
+    build_graph: the pfamClan node carries the clan_description name and
+    the clanned domain gets its IS_IN_PFAM_CLAN edge — the reference's
+    get_pfam_annotations (utils.py:232-241) + clan node build
+    (produce_neo4j_files.py:363-368) path driven from fixture FILES, not
+    an inline mapping frame (r04 verdict next-round #6)."""
+    from procoggraph_spark.sources.readers import pfam_annotations, pfam_clan_mapping
+
+    (tmp_path / "pfam_a.tsv").write_text(
+        "PF00001\t7tm_1\tDomain\t7 transmembrane receptor (rhodopsin family)\n"
+        "PF99999\tOrphan\tDomain\tNo clan membership\n"
+    )
+    (tmp_path / "clan_membership.tsv").write_text("CL0192\tPF00001\n")
+    info = [
+        "CL0192", "GPCR_A", "None", "GPCR clan", "someone", "x",
+        "G-protein-coupled receptor superfamily", "2020-01-01", "2004-01-01",
+        "1", "10", "2", "3", "4", "0", "0",
+    ]
+    (tmp_path / "clan_info.tsv").write_text(
+        "# clan info release X\n" + "\t".join(info) + "\n"
+    )
+
+    ann = pfam_annotations(
+        spark,
+        str(tmp_path / "pfam_a.tsv"),
+        str(tmp_path / "clan_membership.tsv"),
+        str(tmp_path / "clan_info.tsv"),
+    )
+    got = {r["pfam_accession"]: r for r in ann.collect()}
+    assert got["PF00001"]["clan_acc"] == "CL0192"
+    assert got["PF00001"]["clan_description"] == "GPCR clan"
+    assert got["PF00001"]["clan_comment"] == (
+        "G-protein-coupled receptor superfamily"
+    )
+    # "None" literal → null (S1 discipline); unclanned pfam keeps nulls
+    assert got["PF99999"]["clan_acc"] is None
+
+    mapping = pfam_clan_mapping(ann)
+    cc, parity, cognate, _ = fixtures.graph_inputs(spark)
+    g = build_graph(cc, parity, cognate, hierarchy_mappings={"Pfam": mapping})
+    clan_nodes = g.nodes["pfamClan"].collect()
+    assert [(r["pfamClan"], r["description"]) for r in clan_nodes] == [
+        ("CL0192", "GPCR clan")
+    ]
+    assert {(r["src"], r["dst"]) for r in g.edges["IS_IN_PFAM_CLAN"].collect()} == {
+        ("2xyz:B:p1", "CL0192")
+    }
