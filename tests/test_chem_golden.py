@@ -107,8 +107,63 @@ def test_fallback_kernel_properties():
     assert _parity_fallback(None, ATP) == 0.0
 
 
-@pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not in this container")
+# --- real-kernel twins (U1-U6) ------------------------------------------
+# Auto-skipped here (RDKit absent in the build container); a deployment
+# with chemistry validates them against the SAME goldens with:
+#     pip install rdkit && python -m pytest -m rdkit
+# The assertions target real-chemistry behavior the fallbacks cannot
+# exhibit (aromatic-form canonical equality, MolFromSmiles rejection),
+# so a green `-m rdkit` run certifies the real kernels, not the stubs.
+
+rdkit_twin = pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not in this container")
+
+
+@pytest.mark.rdkit
+@rdkit_twin
 def test_rdkit_kernel_golden(spark, tmp_path):  # pragma: no cover
     """With RDKit present the real PARITY kernel must also rank the
     curated cognates first (same harness, real chemistry)."""
     test_fallback_golden_best_cognate(spark, tmp_path)
+
+
+@pytest.mark.rdkit
+@rdkit_twin
+def test_rdkit_canonicalisation_dedups_tautomeric_forms(spark):  # pragma: no cover
+    """U4: kekulized and aromatic benzene must canonicalise to ONE dedup
+    key — the property the cognate-ligand dedup relies on and the string
+    fallback cannot provide (`get_ec_information.py:285-289`)."""
+    from procoggraph_spark.functions.chem import canonical_smiles
+
+    df = spark.createDataFrame([("C1=CC=CC=C1",), ("c1ccccc1",)], "smiles string")
+    keys = df.select(canonical_smiles("smiles").alias("k")).distinct().collect()
+    assert len(keys) == 1
+
+
+@pytest.mark.rdkit
+@rdkit_twin
+def test_rdkit_parse_filter_and_descriptors(spark):  # pragma: no cover
+    """U5/U6: MolFromSmiles really rejects malformed input (the fallback
+    only balance-checks brackets), and the descriptor struct reports
+    RDKit-true heavy-atom/ring counts for benzene."""
+    from procoggraph_spark.functions.chem import (
+        is_parseable_smiles,
+        molecular_descriptors,
+    )
+
+    df = spark.createDataFrame(
+        [(ATP,), (BENZENE,), ("C1CC",)], "smiles string"  # unclosed ring
+    )
+    got = {
+        r["smiles"]: r["ok"]
+        for r in df.select(
+            "smiles", is_parseable_smiles("smiles").alias("ok")
+        ).collect()
+    }
+    assert got[ATP] and got[BENZENE] and not got["C1CC"]
+    d = (
+        df.filter(F.col("smiles") == BENZENE)
+        .select(molecular_descriptors("smiles").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert d["n_heavy_atoms"] == 6
+    assert d["n_rings"] == 1
