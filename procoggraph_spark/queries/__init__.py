@@ -26,18 +26,20 @@ def registry():
     # the first 50 registry keys each round. Rounds 1-4 led with the
     # relational modules, so those rows all have recorded driver checks;
     # this round the union leads with the llmops / multimodal /
-    # streaming / temporal families so their rows (green in
-    # tests/test_oracle_parity.py since they landed) get the same
-    # external verification. Module order alone decides the window — no
-    # per-name promote/demote lists, so a renamed or removed query
-    # simply moves with its module instead of raising.
+    # streaming / temporal families (46 rows) plus the head of
+    # star_relational2 (whose first three registrations are the only
+    # other never-sampled rows) so every query that has never had a
+    # driver row gets external verification — all were already green in
+    # tests/test_oracle_parity.py. Module order alone decides the
+    # window — no per-name promote/demote lists, so a renamed or
+    # removed query simply moves with its module instead of raising.
     for mod in (
         star_llmops,
         star_multimodal,
         star_streaming,
         star_temporal,
-        star_relational,
         star_relational2,
+        star_relational,
         star_graph,
     ):
         queries.update(mod.QUERIES)

@@ -25,6 +25,181 @@ def q(name: str, oracle: str | None = None):
     return wrap
 
 
+# NOTE on registration order: the three blocks below (fuzzy match, U8
+# sugar chain, S13 fetch manifest) registered last historically and so
+# never fell inside the driver correctness gate's first-50 sampling
+# window; they are registered FIRST in this module (the advisor-
+# sanctioned mechanism: module-internal definition order, no post-hoc
+# list surgery) so the round-5 window rotation gives them external
+# driver verification too.
+
+# --- fuzzy matching via edit distance --------------------------------------
+
+@q(
+    "f_fuzzy_match_levenshtein",
+    """
+    SELECT name_a, closest, dist FROM (
+      SELECT a.n_name AS name_a, b.n_name AS closest,
+             levenshtein(a.n_name, b.n_name) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY a.n_name
+                                ORDER BY levenshtein(a.n_name, b.n_name),
+                                         b.n_name) AS rn
+      FROM nation a JOIN nation b ON a.n_name <> b.n_name
+    ) WHERE rn = 1
+    """,
+)
+def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-name fuzzy match by Levenshtein edit distance over the
+    nation dimension. The all-pairs comparison is legitimate ONLY
+    because both sides are dimension-sized (broadcast nested loop over
+    25x25); at corpus scale the same primitive runs behind an LSH/
+    n-gram blocking stage (operators/dedup) so only co-blocked pairs
+    compare. Both engines implement standard edit distance, so the
+    oracle is integer-exact."""
+    from pyspark.sql import Window
+
+    n = t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("name_a") != F.col("name_b"))
+    scored = pairs.withColumn("dist", F.levenshtein("name_a", "name_b"))
+    w = Window.partitionBy("name_a").orderBy("dist", "name_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name_a", F.col("name_b").alias("closest"), "dist")
+    )
+
+
+# --- U8 sugar conversion chain, oracle-backed --------------------------------
+# Drives functions/sugars.sugar_smiles_from_wurcs (the reference's
+# WURCS→GlycoCT→CSDB→SMILES chain behind three S16 caches,
+# process_all_pdb_contacts.py:13-32) on part-derived WURCS strings.
+# The offline fallback kernels are pure deterministic string/hash
+# algebra (sha256-tagged), so DuckDB replays the ENTIRE chain and the
+# driver hash-compares every stage's output column.
+
+_U8_RING = "C1OC(O)C(O)C(O)C1O"
+
+_U8_SQL = rf"""
+WITH src AS (
+  SELECT DISTINCT CASE WHEN p_partkey % 7 = 0 THEN 'SMILES:' || p_name
+    ELSE 'WURCS=2.0/' || CAST(p_size % 3 + 1 AS VARCHAR) || ',' ||
+         CAST(p_size % 5 + 1 AS VARCHAR) || ',' ||
+         CAST(p_size % 5 AS VARCHAR) || '/[u]/' END AS WURCS
+  FROM part WHERE p_partkey < 300
+),
+g AS (
+  SELECT WURCS,
+    CASE WHEN regexp_matches(WURCS, '^WURCS=[^/]+/\d+,\d+,\d+/')
+      THEN 'FAKE-GLYCOCT/res='
+        || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 2)
+        || '/lin='
+        || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 3)
+        || '/' || substr(sha256(WURCS), 1, 10)
+      ELSE NULL END AS glycoct
+  FROM src
+),
+c AS (
+  SELECT WURCS, glycoct,
+    CASE WHEN glycoct IS NULL THEN NULL
+      ELSE 'FAKE-CSDB:res='
+        || regexp_extract(glycoct, 'res=(\d+)', 1)
+        || ':' || substr(sha256(glycoct), 1, 10) END AS csdb
+  FROM g
+)
+SELECT WURCS, glycoct, csdb,
+  CASE WHEN csdb IS NULL THEN NULL
+    ELSE array_to_string(
+      list_transform(
+        range(GREATEST(1, CAST(regexp_extract(csdb, 'res=(\d+)', 1) AS INT))),
+        x -> '{_U8_RING}'),
+      'O') END AS descriptor
+FROM c
+"""
+
+
+@q("u8_sugar_chain", _U8_SQL)
+def u8_sugar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from procoggraph_spark.functions.sugars import sugar_smiles_from_wurcs
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    wurcs = p.select(
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(F.lit("SMILES:"), F.col("p_name")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("WURCS=2.0/"),
+                (F.col("p_size") % 3 + 1).cast("string"),
+                F.lit(","),
+                (F.col("p_size") % 5 + 1).cast("string"),
+                F.lit(","),
+                (F.col("p_size") % 5).cast("string"),
+                F.lit("/[u]/"),
+            )
+        )
+        .alias("WURCS")
+    ).distinct()
+    # stable per-session cache root (keyed by Spark application id, not
+    # a fresh mkdtemp per call): repeat invocations within a bench /
+    # correctness session hit the three S16 caches instead of
+    # re-converting everything, and temp dirs don't accumulate — one per
+    # session, reclaimed with the OS tempdir. Extra keys from other sf
+    # dirs are harmless: the chain semi-joins back to the requested set.
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"u8_sugar_cache_{spark.sparkContext.applicationId}",
+    )
+    return sugar_smiles_from_wurcs(spark, wurcs, cache_root=root)
+
+
+# --- S13 ingestion fetch manifest, oracle-backed -----------------------------
+# Drives sources/fetchers.fetch_manifest (the download_mmcif.py control
+# structure) with a deterministic in-process service: 1-in-7 ids get a
+# per-id service error (dead-letter), the rest a payload derived from
+# the id. Output keeps only the partitioning-independent columns
+# (id/payload/error) — attempts and chunk_size_used depend on how ids
+# land in partitions and are pytest-verified instead.
+
+_S13_SQL = """
+SELECT 'pdb' || CAST(p_partkey AS VARCHAR) AS id,
+       CASE WHEN p_partkey % 7 = 0 THEN NULL
+            ELSE 'cif::pdb' || CAST(p_partkey AS VARCHAR) END AS payload,
+       CASE WHEN p_partkey % 7 = 0 THEN 'model_server_error' END AS error
+FROM part WHERE p_partkey < 200
+"""
+
+
+@q("s13_fetch_manifest", _S13_SQL)
+def s13_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procoggraph_spark.sources.fetchers import fetch_manifest
+
+    ids = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(F.concat(F.lit("pdb"), F.col("p_partkey").cast("string")).alias("id"))
+    )
+
+    def service(batch):
+        out = []
+        for x in batch:
+            n = int(x[3:])
+            if n % 7 == 0:
+                out.append({"id": x, "payload": None, "error": "model_server_error"})
+            else:
+                out.append({"id": x, "payload": f"cif::{x}"})
+        return out
+
+    return fetch_manifest(ids, fetcher=service, chunk_size=50).select(
+        "id", "payload", "error"
+    )
+
+
 # --- J1/T7: referential-integrity check via anti-join ---------------------
 # The reference asserts merge(indicator=True) mismatches == 0 after every
 # join (SURVEY §5.1). The distributed form: anti-join counts per side.
@@ -686,168 +861,3 @@ def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- fuzzy matching via edit distance --------------------------------------
-
-@q(
-    "f_fuzzy_match_levenshtein",
-    """
-    SELECT name_a, closest, dist FROM (
-      SELECT a.n_name AS name_a, b.n_name AS closest,
-             levenshtein(a.n_name, b.n_name) AS dist,
-             ROW_NUMBER() OVER (PARTITION BY a.n_name
-                                ORDER BY levenshtein(a.n_name, b.n_name),
-                                         b.n_name) AS rn
-      FROM nation a JOIN nation b ON a.n_name <> b.n_name
-    ) WHERE rn = 1
-    """,
-)
-def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closest-name fuzzy match by Levenshtein edit distance over the
-    nation dimension. The all-pairs comparison is legitimate ONLY
-    because both sides are dimension-sized (broadcast nested loop over
-    25x25); at corpus scale the same primitive runs behind an LSH/
-    n-gram blocking stage (operators/dedup) so only co-blocked pairs
-    compare. Both engines implement standard edit distance, so the
-    oracle is integer-exact."""
-    from pyspark.sql import Window
-
-    n = t(spark, sf_dir, "nation")
-    a = n.select(F.col("n_name").alias("name_a"))
-    b = n.select(F.col("n_name").alias("name_b"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("name_a") != F.col("name_b"))
-    scored = pairs.withColumn("dist", F.levenshtein("name_a", "name_b"))
-    w = Window.partitionBy("name_a").orderBy("dist", "name_b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("name_a", F.col("name_b").alias("closest"), "dist")
-    )
-
-
-# --- U8 sugar conversion chain, oracle-backed --------------------------------
-# Drives functions/sugars.sugar_smiles_from_wurcs (the reference's
-# WURCS→GlycoCT→CSDB→SMILES chain behind three S16 caches,
-# process_all_pdb_contacts.py:13-32) on part-derived WURCS strings.
-# The offline fallback kernels are pure deterministic string/hash
-# algebra (sha256-tagged), so DuckDB replays the ENTIRE chain and the
-# driver hash-compares every stage's output column.
-
-_U8_RING = "C1OC(O)C(O)C(O)C1O"
-
-_U8_SQL = rf"""
-WITH src AS (
-  SELECT DISTINCT CASE WHEN p_partkey % 7 = 0 THEN 'SMILES:' || p_name
-    ELSE 'WURCS=2.0/' || CAST(p_size % 3 + 1 AS VARCHAR) || ',' ||
-         CAST(p_size % 5 + 1 AS VARCHAR) || ',' ||
-         CAST(p_size % 5 AS VARCHAR) || '/[u]/' END AS WURCS
-  FROM part WHERE p_partkey < 300
-),
-g AS (
-  SELECT WURCS,
-    CASE WHEN regexp_matches(WURCS, '^WURCS=[^/]+/\d+,\d+,\d+/')
-      THEN 'FAKE-GLYCOCT/res='
-        || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 2)
-        || '/lin='
-        || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 3)
-        || '/' || substr(sha256(WURCS), 1, 10)
-      ELSE NULL END AS glycoct
-  FROM src
-),
-c AS (
-  SELECT WURCS, glycoct,
-    CASE WHEN glycoct IS NULL THEN NULL
-      ELSE 'FAKE-CSDB:res='
-        || regexp_extract(glycoct, 'res=(\d+)', 1)
-        || ':' || substr(sha256(glycoct), 1, 10) END AS csdb
-  FROM g
-)
-SELECT WURCS, glycoct, csdb,
-  CASE WHEN csdb IS NULL THEN NULL
-    ELSE array_to_string(
-      list_transform(
-        range(GREATEST(1, CAST(regexp_extract(csdb, 'res=(\d+)', 1) AS INT))),
-        x -> '{_U8_RING}'),
-      'O') END AS descriptor
-FROM c
-"""
-
-
-@q("u8_sugar_chain", _U8_SQL)
-def u8_sugar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    from procoggraph_spark.functions.sugars import sugar_smiles_from_wurcs
-
-    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
-    wurcs = p.select(
-        F.when(
-            F.col("p_partkey") % 7 == 0,
-            F.concat(F.lit("SMILES:"), F.col("p_name")),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("WURCS=2.0/"),
-                (F.col("p_size") % 3 + 1).cast("string"),
-                F.lit(","),
-                (F.col("p_size") % 5 + 1).cast("string"),
-                F.lit(","),
-                (F.col("p_size") % 5).cast("string"),
-                F.lit("/[u]/"),
-            )
-        )
-        .alias("WURCS")
-    ).distinct()
-    # stable per-session cache root (keyed by Spark application id, not
-    # a fresh mkdtemp per call): repeat invocations within a bench /
-    # correctness session hit the three S16 caches instead of
-    # re-converting everything, and temp dirs don't accumulate — one per
-    # session, reclaimed with the OS tempdir. Extra keys from other sf
-    # dirs are harmless: the chain semi-joins back to the requested set.
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"u8_sugar_cache_{spark.sparkContext.applicationId}",
-    )
-    return sugar_smiles_from_wurcs(spark, wurcs, cache_root=root)
-
-
-# --- S13 ingestion fetch manifest, oracle-backed -----------------------------
-# Drives sources/fetchers.fetch_manifest (the download_mmcif.py control
-# structure) with a deterministic in-process service: 1-in-7 ids get a
-# per-id service error (dead-letter), the rest a payload derived from
-# the id. Output keeps only the partitioning-independent columns
-# (id/payload/error) — attempts and chunk_size_used depend on how ids
-# land in partitions and are pytest-verified instead.
-
-_S13_SQL = """
-SELECT 'pdb' || CAST(p_partkey AS VARCHAR) AS id,
-       CASE WHEN p_partkey % 7 = 0 THEN NULL
-            ELSE 'cif::pdb' || CAST(p_partkey AS VARCHAR) END AS payload,
-       CASE WHEN p_partkey % 7 = 0 THEN 'model_server_error' END AS error
-FROM part WHERE p_partkey < 200
-"""
-
-
-@q("s13_fetch_manifest", _S13_SQL)
-def s13_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from procoggraph_spark.sources.fetchers import fetch_manifest
-
-    ids = (
-        t(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") < 200)
-        .select(F.concat(F.lit("pdb"), F.col("p_partkey").cast("string")).alias("id"))
-    )
-
-    def service(batch):
-        out = []
-        for x in batch:
-            n = int(x[3:])
-            if n % 7 == 0:
-                out.append({"id": x, "payload": None, "error": "model_server_error"})
-            else:
-                out.append({"id": x, "payload": f"cif::{x}"})
-        return out
-
-    return fetch_manifest(ids, fetcher=service, chunk_size=50).select(
-        "id", "payload", "error"
-    )
