@@ -130,6 +130,11 @@ def apply_adaptive_policy(
     Returns the resulting AQE state."""
     total = 0
     try:
+        if not os.path.isdir(sf_dir):
+            # os.walk on a missing path yields NOTHING rather than
+            # raising — without this check an unknown input would fall
+            # into the interactive regime and throttle a real run
+            total = threshold_bytes
         for root, _dirs, files in os.walk(sf_dir):
             for f in files:
                 total += os.path.getsize(os.path.join(root, f))

@@ -145,3 +145,51 @@ def test_range_compress_pre_clustered_flag_equivalent(spark):
     )
     assert a == b
     assert dict(a)[1] == "1-3,7,9"
+
+
+def test_adaptive_policy_regimes(spark, tmp_path):
+    """The three size regimes of session.apply_adaptive_policy are
+    load-bearing (they decide AQE, shuffle width, and scan splitting per
+    session) — pin the selection against synthetic input dirs so a
+    threshold or formula change fails loudly."""
+    import os
+
+    from procoggraph_spark.session import apply_adaptive_policy
+
+    def make_dir(name, n_bytes):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data.parquet").write_bytes(b"\0" * n_bytes)
+        return str(d)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    base = int(cpus) if cpus.isdigit() else 32
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # interactive: AQE off, shuffle = size/2MB clamped [4, cores]
+        assert apply_adaptive_policy(spark, make_dir("tiny", 10 << 20)) is False
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+        assert (
+            spark.conf.get("spark.sql.files.minPartitionNum", None) is None
+        )
+        # floor clamp
+        apply_adaptive_policy(spark, make_dir("micro", 1 << 20))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # crossover: AQE on, cores-wide shuffles, forced scan splitting
+        assert apply_adaptive_policy(spark, make_dir("mid", 200 << 20)) is True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(base)
+        assert spark.conf.get("spark.sql.files.minPartitionNum") == str(2 * base)
+        # cluster: stock posture, no forced split floor
+        assert apply_adaptive_policy(spark, make_dir("big", 1 << 30)) is True
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert (
+            spark.conf.get("spark.sql.files.minPartitionNum", None) is None
+        )
+        # unknown dir: assume cluster regime (never degrade a real run)
+        assert apply_adaptive_policy(spark, str(tmp_path / "nope")) is True
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+        spark.conf.unset("spark.sql.files.minPartitionNum")
