@@ -480,3 +480,97 @@ def benchmark_contamination(
             ),
         )
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level exact-substring dedup: every ``window``-word
+    passage that recurs across >= ``min_docs`` documents, with its
+    cross-document count and the first document carrying it — the
+    substring-granular complement to document-level dedup (catches
+    shared boilerplate, licence blocks, and templated spans that
+    whole-document hashing never sees; the ExactSubstr setting of
+    Lee et al. 2022, re-expressed as shingle aggregation).
+
+    Scale shape: one explode of O(tokens) passage rows (~tens of bytes
+    each, the same bandwidth class as the MinHash shingle explode),
+    then a single groupBy on the passage. ``array_distinct`` runs
+    per-document BEFORE the explode, so each (doc, passage) pair is
+    emitted once and the cross-document count is a plain
+    ``count(*)`` — partial aggregation absorbs hot boilerplate
+    passages map-side, with no count-distinct state and no skewed
+    reduce-side set."""
+    wins = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), window))
+        ).alias("passage"),
+    )
+    return (
+        wins.groupBy("passage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("_id").alias(f"first_{id_col}"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def semantic_cluster_dedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iterations: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+    embedding space, then compare pairs ONLY within a cluster and
+    collapse groups above the cosine ``threshold`` to one canonical
+    survivor per connected component (min id, the engine-wide
+    keep-first rule). Output: (id_col, canonical_id, cluster_size).
+
+    Scale shape: clustering bounds the candidate space — the pairwise
+    stage is an equi-join on the cell id, so work is sum over cells of
+    |cell|^2, not corpus^2; ``n_cells`` is the knob that keeps cells
+    executor-sized as the corpus grows (SemDeDup's own deployment used
+    ~100k clusters for web scale). Centroid training moves only the
+    n_cells x dim model through the driver (`train_centroids`); the
+    component pass is the same hash-min iteration every near-dup
+    family here ends with."""
+    from procoggraph_spark.operators.similarity import (
+        cosine,
+        ivf_assign_numpy,
+        train_centroids,
+    )
+
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    crows = train_centroids(
+        v, id_col="_id", vec_col="_v", n_cells=n_cells, iterations=iterations
+    )
+    assigned = ivf_assign_numpy(v, crows, id_col="_id", n_probe=1)
+    left = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_cell"
+    )
+    right = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_cell"
+    )
+    pairs = (
+        left.join(right, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    docs = v.select(F.col("_id").alias(id_col))
+    return dedup_clusters(pairs, docs, id_col=id_col)

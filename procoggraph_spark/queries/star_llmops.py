@@ -962,3 +962,32 @@ def sim_bruteforce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return S.brute_force_topk(e, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+# --- passage-level exact-substring dedup (oracle-backed) ------------------
+
+@q(
+    "dedup_repeated_passages",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS passage
+      FROM ws, LATERAL unnest(generate_series(1, len(w) - 7)) AS g(i)
+      WHERE len(w) >= 8
+    )
+    SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+    FROM wins GROUP BY passage HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 8-word passage shared by >=2 documents — substring-granular
+    dedup (boilerplate/licence/template spans) that document-level
+    hashing cannot see; one shingle explode + one passage groupBy
+    (operators/dedup.repeated_passages)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.repeated_passages(
+        d, id_col="doc_id", text_col="text", window=8, min_docs=2
+    )

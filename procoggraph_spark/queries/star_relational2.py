@@ -861,3 +861,27 @@ def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- SemDeDup-style semantic cluster dedup (oracle-less: k-means cell
+# boundaries are engine-specific; verified by the planted-twin pytest in
+# tests/test_llmops.py instead) ---------------------------------------------
+
+@q("dedup_semantic_cluster")
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) composition: k-means cells bound the
+    candidate space, exact cosine within cells, connected components to
+    one canonical survivor per semantic-duplicate group. Same planted
+    twins as dedup_embedding_cosine; the pairwise stage is an equi-join
+    on the cell id so work is sum(|cell|^2), never corpus^2."""
+    from procoggraph_spark.operators.dedup import semantic_cluster_dedup
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    corpus = e.unionByName(_emb_twins(e).select("vec_id", "v"))
+    return semantic_cluster_dedup(
+        corpus, id_col="vec_id", vec_col="v", n_cells=8, iterations=2, threshold=0.9
+    )

@@ -529,3 +529,69 @@ def test_embedding_cosine_simhash_gate_margin(spark):
         f"max_hamming=8 gate — the SimHash blocking no longer safely "
         f"covers the exact 0.9-cosine oracle on this data"
     )
+
+
+def test_repeated_passages_planted(spark):
+    """Passage-level dedup finds exactly the planted shared span and
+    nothing else; within-doc repetition does not inflate the count."""
+    from procoggraph_spark.operators.dedup import repeated_passages
+
+    boiler = "all rights reserved do not redistribute this file"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon zeta eta theta iota kappa"),
+            # doc 3 repeats the boilerplate twice: still ONE doc
+            (3, f"{boiler} and again {boiler}"),
+            (4, "nothing shared here at all nine distinct words today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_passages(
+        docs, id_col="doc_id", text_col="text", window=8, min_docs=2
+    ).collect()
+    hits = {r["passage"]: (r["n_docs"], r["first_doc_id"]) for r in out}
+    assert hits[boiler] == (3, 1)
+    # no other 8-gram is shared by two docs
+    assert all(p == boiler for p in hits)
+
+
+def test_repeated_passages_short_docs_drop(spark):
+    from procoggraph_spark.operators.dedup import repeated_passages
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    out = repeated_passages(
+        docs, id_col="doc_id", text_col="text", window=8, min_docs=2
+    )
+    assert out.count() == 0
+
+
+def test_semantic_cluster_dedup_planted_twins(spark):
+    """SemDeDup composition: every planted twin collapses onto its base
+    (k-means cell + within-cell cosine + components), bases without a
+    twin stay singleton, and no two distinct bases merge."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.dedup import semantic_cluster_dedup
+    from procoggraph_spark.queries.common import t
+    from procoggraph_spark.queries.star_relational2 import _emb_twins
+    from tests.conftest import SF_SMOKE
+
+    e = (
+        t(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    corpus = e.unionByName(_emb_twins(e).select("vec_id", "v"))
+    out = semantic_cluster_dedup(
+        corpus, id_col="vec_id", vec_col="v", n_cells=8, iterations=2, threshold=0.9
+    )
+    rows = {r["vec_id"]: (r["canonical_id"], r["cluster_size"]) for r in out.collect()}
+    assert len(rows) == 240
+    for i in range(40):
+        assert rows[1000 + i] == (i, 2), f"twin {1000 + i} did not collapse"
+        assert rows[i] == (i, 2)
+    for i in range(40, 200):
+        assert rows[i] == (i, 1), f"base {i} merged unexpectedly"

@@ -2,6 +2,15 @@
 match DuckDB on the driver's parquet tables — the same comparison the
 driver's CORRECTNESS gate runs (row count + column names + order-
 insensitive values), at sf0.001 for speed.
+
+Driver-fidelity run: the external gate executes at sf0.01, so once per
+round re-run this suite at the driver's scale with
+
+    SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01 \
+        python -m pytest tests/test_oracle_parity.py -q
+
+(~10 min; catches anything that is scale-sensitive between sf0.001 and
+sf0.01 — approx aggregates, sampling thresholds, float accumulation).
 """
 
 from __future__ import annotations
@@ -14,6 +23,10 @@ import pytest
 
 from procoggraph_spark.queries import registry
 from tests.conftest import SF_ORACLE, SF_SMOKE
+
+# Default sf0.001 keeps the 97-query suite fast; override with the
+# driver's sf0.01 (or any generated dir) for a gate-fidelity pass.
+SF_PARITY = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_SMOKE)
 
 QUERIES, ORACLES = registry()
 
@@ -58,11 +71,11 @@ def normalize(rows, cols):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
-    sdf = QUERIES[name](spark, SF_SMOKE)
+    sdf = QUERIES[name](spark, SF_PARITY)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    con = duck_con(SF_SMOKE)
+    con = duck_con(SF_PARITY)
     res = con.execute(ORACLES[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
