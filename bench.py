@@ -45,8 +45,8 @@ def main() -> None:
     m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", base)
     sf: float | str = float(m.group(1)) if m else base
     spark = get_spark("procoggraph_bench")
-    # size-gated AQE: off under 1 GB of input (interactive serving), on
-    # at scale — see session.apply_adaptive_policy
+    # three-regime size policy (<64 MB interactive / 64 MB-1 GB
+    # crossover / >=1 GB cluster) — see session.apply_adaptive_policy
     apply_adaptive_policy(spark, sf_dir)
     qs, _ = registry()
 

@@ -506,14 +506,9 @@ def repeated_passages(
     ``count(*)`` — partial aggregation absorbs hot boilerplate
     passages map-side, with no count-distinct state and no skewed
     reduce-side set."""
-    wins = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), window))
-        ).alias("passage"),
-    )
+    wins = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window)
     return (
-        wins.groupBy("passage")
+        wins.groupBy(F.col("_sh").alias("passage"))
         .agg(
             F.count("*").alias("n_docs"),
             F.min("_id").alias(f"first_{id_col}"),
@@ -546,8 +541,9 @@ def semantic_cluster_dedup(
     component pass is the same hash-min iteration every near-dup
     family here ends with."""
     from procoggraph_spark.operators.similarity import (
-        cosine,
+        dot,
         ivf_assign_numpy,
+        l2_norm,
         train_centroids,
     )
 
@@ -558,17 +554,24 @@ def semantic_cluster_dedup(
     crows = train_centroids(
         v, id_col="_id", vec_col="_v", n_cells=n_cells, iterations=iterations
     )
-    assigned = ivf_assign_numpy(v, crows, id_col="_id", n_probe=1)
+    # norms once per ROW before the join — the pairwise stage is the
+    # dominant cost (sum |cell|^2 pairs) and must evaluate one O(dim)
+    # fold per pair, not three (same discipline as brute_force_topk)
+    assigned = ivf_assign_numpy(v, crows, id_col="_id", n_probe=1).withColumn(
+        "_n", l2_norm(F.col("_v"))
+    )
     left = assigned.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_cell"
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_cell"
     )
     right = assigned.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_cell"
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_cell"
     )
     pairs = (
         left.join(right, "_cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "_cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b")
     )

@@ -26,13 +26,18 @@ def registry():
     # the first 50 registry keys each round. Rounds 1-4 led with the
     # relational modules, so those rows all have recorded driver checks;
     # this round the union leads with the llmops / multimodal /
-    # streaming / temporal families (46 rows) plus the head of
-    # star_relational2 (whose first three registrations are the only
-    # other never-sampled rows) so every query that has never had a
-    # driver row gets external verification — all were already green in
+    # streaming / temporal families (47 rows incl. the round-5
+    # dedup_repeated_passages) plus the head of star_relational2
+    # (f_fuzzy / u8_sugar_chain / s13_fetch_manifest — the only other
+    # never-sampled rows) so every query that had never had a driver
+    # row gets external verification — all were already green in
     # tests/test_oracle_parity.py. Module order alone decides the
     # window — no per-name promote/demote lists, so a renamed or
     # removed query simply moves with its module instead of raising.
+    # The window is exactly full: tests/test_oracle_parity.py::
+    # test_driver_window_rotation pins the tail rows, so a query added
+    # to a leading module fails that test instead of silently pushing a
+    # never-sampled row past the gate.
     for mod in (
         star_llmops,
         star_multimodal,

@@ -261,8 +261,18 @@ def pfam_annotations(
     clans = read_tsv(
         spark, clan_info_path, header=False, comment="#", schema=info_schema
     ).select("clan_acc", "clan_description", "clan_comment")
+    # membership is the authoritative clan assignment; clan_info only
+    # decorates. Keying the output on membership.clan (not clan_info's
+    # clan_acc) keeps the assignment when the info file lacks the clan
+    # row (version skew between the two flat files) — the clan arrives
+    # with null description instead of silently vanishing.
     clan_df = membership.join(
         F.broadcast(clans), membership.clan == clans.clan_acc, "left"
+    ).select(
+        "pfam",
+        F.col("clan").alias("clan_acc"),
+        "clan_description",
+        "clan_comment",
     )
     return pfam_a.join(
         F.broadcast(clan_df), pfam_a.pfam_accession == clan_df.pfam, "left"

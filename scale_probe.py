@@ -92,6 +92,10 @@ def generate(spark) -> None:
         ("customer", cust), ("nation", nation), ("region", region),
     ]:
         df.write.mode("overwrite").parquet(os.path.join(PROBE_DIR, f"{name}.parquet"))
+    generate_docs_supplier(spark)
+
+
+def generate_docs_supplier(spark) -> None:
     # documents stand-in with DIVERSE token content: each unique text is
     # a sequence of id-derived pseudo-words, so unrelated docs share few
     # bigram shingles (a template-heavy corpus would make every doc a
@@ -322,6 +326,12 @@ def main() -> None:
         print(f"generated {SCALE}x probe tables in {time.perf_counter()-t0:.1f}s")
     if not os.path.isdir(os.path.join(PROBE_DIR, "events.parquet")):
         generate_events(spark)
+    # backfill guard: probe dirs created by earlier rounds have lineitem
+    # (so generate() is skipped) but may predate these tables
+    if not os.path.isdir(os.path.join(PROBE_DIR, "supplier.parquet")) or not os.path.isdir(
+        os.path.join(PROBE_DIR, "documents.parquet")
+    ):
+        generate_docs_supplier(spark)
     if not os.path.isdir(os.path.join(PROBE_DIR, "embeddings.parquet")):
         generate_embeddings(spark)
 

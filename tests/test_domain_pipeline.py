@@ -594,3 +594,31 @@ def test_pfam_clan_files_to_named_clan_nodes(spark, tmp_path):
     assert {(r["src"], r["dst"]) for r in g.edges["IS_IN_PFAM_CLAN"].collect()} == {
         ("2xyz:B:p1", "CL0192")
     }
+
+
+def test_pfam_clan_survives_missing_info_row(spark, tmp_path):
+    """Membership is the authoritative clan assignment: a clan present in
+    clan_membership but absent from clan_info (version skew between the
+    flat files) still assigns — clan_acc set, description/comment null —
+    instead of silently dropping the clan."""
+    from procoggraph_spark.sources.readers import pfam_annotations, pfam_clan_mapping
+
+    (tmp_path / "pfam_a.tsv").write_text("PF12345\tNewFam\tDomain\tNew family\n")
+    (tmp_path / "clan_membership.tsv").write_text("CL0999\tPF12345\n")
+    (tmp_path / "clan_info.tsv").write_text("# no CL0999 row in this release\n")
+
+    ann = pfam_annotations(
+        spark,
+        str(tmp_path / "pfam_a.tsv"),
+        str(tmp_path / "clan_membership.tsv"),
+        str(tmp_path / "clan_info.tsv"),
+    )
+    row = ann.collect()[0]
+    assert row["clan_acc"] == "CL0999"
+    assert row["clan_description"] is None
+    assert row["clan_comment"] is None
+
+    mapping = pfam_clan_mapping(ann).collect()
+    assert [(m["groupAccession"], m["pfamClan"]) for m in mapping] == [
+        ("PF12345", "CL0999")
+    ]

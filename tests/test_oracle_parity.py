@@ -119,3 +119,17 @@ def test_shuffle_partition_independence(spark):
             assert a == b, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_driver_window_rotation():
+    """The driver's correctness gate samples the first 50 registry keys.
+    Round 5's rotation promotes the never-driver-sampled rows into that
+    window with ZERO slack — the tail rows sit at positions 47-49. This
+    pin makes an addition to any leading module (llmops / multimodal /
+    streaming / temporal) fail HERE, loudly, instead of silently pushing
+    a never-sampled row past the gate; when a future round re-rotates,
+    update the expected tail deliberately."""
+    keys = list(QUERIES.keys())
+    window = keys[:50]
+    for name in ("u8_sugar_chain", "s13_fetch_manifest", "dedup_repeated_passages"):
+        assert name in window, f"{name} fell out of the driver sample window"
