@@ -192,3 +192,42 @@ def exact_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_shards: int = 8,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic training-order shuffle: a seeded pseudo-random
+    permutation of the corpus, materialized as (shard, position-within-
+    shard) — the layout a trainer consumes (read shards in parallel,
+    stream each in position order; different ``seed`` → different
+    epoch order). The permutation key is the portable multiplicative
+    hash of (id + seed), so the order is a pure function of the id:
+    rerun-, partitioning-, and engine-stable (reproducible epochs), and
+    the DuckDB oracle replays it with plain integer arithmetic.
+
+    Scale shape: one shuffle on the shard key, then a per-shard sort —
+    ``n_shards`` is the parallelism/memory unit and must scale with the
+    corpus exactly like output-file counts do (100 TB at 1e4 shards →
+    ~10 GB sorted per shard task; never run a corpus-sized single-shard
+    sort). Hash-sharding makes shard sizes near-uniform, so the sort
+    stage is skew-free by construction."""
+    # independent-ish second round of the multiplicative mix for the
+    # within-shard order, so shard and position don't share low bits
+    reduced = F.pmod(F.col(id_col).cast("long") + F.lit(seed), F.lit(_R))
+    h1 = F.pmod(F.pmod(reduced * _A, F.lit(_M)), F.lit(_R))
+    h2 = F.pmod(F.pmod(h1 * _A, F.lit(_M)), F.lit(_R))
+    out = df.withColumn(shard_col, F.pmod(h1, F.lit(n_shards))).withColumn(
+        "_ord", h2
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_ord"), F.col(id_col))
+    return (
+        out.withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+        .drop("_ord")
+    )

@@ -885,3 +885,38 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_cluster_dedup(
         corpus, id_col="vec_id", vec_col="v", n_cells=8, iterations=2, threshold=0.9
     )
+
+
+# --- deterministic training-order shuffle (sampling family) ---------------
+
+@q(
+    "shuffle_training_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ((((doc_id + 17) % 2147483648) * 2654435761) % 4294967296)
+               % 2147483648 AS h1
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, h1 % 8 AS shard,
+             ((h1 * 2654435761) % 4294967296) % 2147483648 AS h2
+      FROM h
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+             AS shard_pos
+    FROM s
+    """,
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle into 8 training shards with
+    reproducible within-shard order (operators/sampling.corpus_shuffle,
+    seed=17) — the epoch-order layout a trainer reads; integer-exact so
+    DuckDB replays the identical permutation."""
+    from procoggraph_spark.operators.sampling import corpus_shuffle
+
+    d = t(spark, sf_dir, "documents")
+    return corpus_shuffle(d, id_col="doc_id", n_shards=8, seed=17).select(
+        "doc_id", "shard", "shard_pos"
+    )

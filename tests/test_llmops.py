@@ -595,3 +595,31 @@ def test_semantic_cluster_dedup_planted_twins(spark):
         assert rows[i] == (i, 2)
     for i in range(40, 200):
         assert rows[i] == (i, 1), f"base {i} merged unexpectedly"
+
+
+def test_corpus_shuffle_permutation_properties(spark):
+    """corpus_shuffle yields a true permutation: every row gets exactly
+    one (shard, pos); positions are dense 0..n_s-1 per shard; the order
+    is seed-dependent but rerun-stable; shard sizes are near-uniform."""
+    from procoggraph_spark.operators.sampling import corpus_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = corpus_shuffle(df, id_col="doc_id", n_shards=4, seed=7)
+    rows = out.collect()
+    assert len(rows) == 1000
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} not dense"
+        # hash sharding keeps sizes near-uniform
+        assert 150 <= len(poss) <= 350
+    # rerun-stable ...
+    again = {(r["doc_id"]): (r["shard"], r["shard_pos"]) for r in
+             corpus_shuffle(df, id_col="doc_id", n_shards=4, seed=7).collect()}
+    assert all(again[r["doc_id"]] == (r["shard"], r["shard_pos"]) for r in rows)
+    # ... and seed-sensitive (a different epoch order)
+    other = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in
+             corpus_shuffle(df, id_col="doc_id", n_shards=4, seed=8).collect()}
+    assert any(other[r["doc_id"]] != (r["shard"], r["shard_pos"]) for r in rows)
