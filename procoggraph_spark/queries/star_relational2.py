@@ -920,3 +920,124 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(d, id_col="doc_id", n_shards=8, seed=17).select(
         "doc_id", "shard", "shard_pos"
     )
+
+
+# --- end-to-end training-data pipeline composition ------------------------
+
+@q(
+    "training_data_pipeline",
+    r"""
+    WITH s AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS ws,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS np
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, ws,
+             ROUND(((CASE WHEN n >= 100 THEN 1.0 ELSE n / 100.0 END)
+              + (1.0 - least(np * 1.0 / greatest(n, 1) * 5.0, 1.0))
+              + least(len(list_filter(ws, w -> list_contains(
+                  ['the','a','an','of','and','or','to','in','is','it'], w)))
+                  * 1.0 / greatest(len(ws), 1) * 5.0, 1.0)
+              + (CASE WHEN (list_sum(list_transform(ws, w -> length(w)))
+                            * 1.0 / greatest(len(ws), 1)) BETWEEN 3.0 AND 12.0
+                      THEN 1.0 ELSE 0.5 END)) / 4.0, 6) AS quality
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, text, ws, quality,
+             list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                            i -> ws[i] || ' ' || ws[i+1]) AS grams,
+        len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
+      FROM q
+    ),
+    keepers AS (
+      SELECT doc_id, text, len(ws) AS n_tokens FROM r
+      WHERE quality >= 0.5
+        AND (CASE WHEN len(grams) <= 0 THEN 0.0
+                  ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
+                             / len(grams), 6) END) <= 0.2
+        AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
+        AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+        AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_de >= s_en)
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM keepers GROUP BY substr(text, 1, 40)
+    ),
+    surv AS (
+      SELECT k.doc_id, k.n_tokens FROM keepers k
+      JOIN canon c ON k.doc_id = c.doc_id
+    ),
+    h AS (
+      SELECT doc_id, n_tokens,
+             ((((doc_id + 17) % 2147483648) * 2654435761) % 4294967296)
+               % 2147483648 AS h1
+      FROM surv
+    ),
+    sh AS (
+      SELECT doc_id, n_tokens, h1 % 8 AS shard,
+             ((h1 * 2654435761) % 4294967296) % 2147483648 AS h2
+      FROM h
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+               AS shard_pos
+      FROM sh
+    )
+    SELECT doc_id, shard, shard_pos, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY shard_pos
+                  ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+             AS bin_id
+    FROM pos
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition a training-data pipeline actually runs,
+    each stage an operator from this engine, end-to-end in one plan:
+    curation gate (quality + repetition + lang-ID,
+    `text.corpus_keep_decision`) → exact-dedup survivorship (keep the
+    min-id canonical per key, `dedup.exact_dedup` + semi-join) → token
+    counting → seeded epoch shuffle into 8 shards
+    (`sampling.corpus_shuffle`) → token-budget sequence packing per
+    shard (`sampling.pack_sequences`, budget 512). Everything is JVM
+    column algebra; the measured plan has exactly TWO hash exchanges
+    (dedup key; shard — the pack window reuses the shard shuffle's own
+    partitioning), no cartesian products, no Python. The survivor
+    semi-join broadcasts the canonical-id side at test scale; at
+    corpus scale AQE plans it as a shuffled semi-join on doc_id — a
+    third key-partitioned exchange, still never corpus x corpus. No
+    driver collects; every stage is individually oracle-backed
+    elsewhere in the registry."""
+    from procoggraph_spark.operators import text as X2
+    from procoggraph_spark.operators.dedup import exact_dedup
+    from procoggraph_spark.operators.sampling import corpus_shuffle, pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    kept = d.filter(
+        X2.corpus_keep_decision(
+            F.col("text"), min_quality=0.5, max_repetition=0.2, langs=("en",)
+        )
+    ).withColumn("key_prefix", F.substring("text", 1, 40))
+    canon = exact_dedup(kept, key_cols=["key_prefix"], id_col="doc_id").select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    surv = kept.join(canon, "doc_id", "left_semi").select(
+        "doc_id", X2.token_count(F.col("text")).alias("n_tokens")
+    )
+    shuf = corpus_shuffle(surv, id_col="doc_id", n_shards=8, seed=17)
+    packed = pack_sequences(
+        shuf,
+        id_col="shard_pos",
+        token_col="n_tokens",
+        budget=512,
+        partition_cols=["shard"],
+        bin_col="bin_id",
+    )
+    return packed.select("doc_id", "shard", "shard_pos", "n_tokens", "bin_id")
