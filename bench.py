@@ -34,6 +34,7 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_quality_score",
     "stream_session_window",
+    "training_data_pipeline",
 ]
 
 

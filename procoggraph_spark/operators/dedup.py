@@ -31,16 +31,23 @@ def exact_dedup(
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """Word n-gram shingles as an array column (distinct not applied).
-    Empty array for texts shorter than n words (guards the descending
-    `sequence` Spark would otherwise produce)."""
+    Empty array for texts shorter than n words.
+
+    Built with ``zip_with`` over row-level slices rather than a
+    ``transform`` whose lambda references the token array: a captured
+    outer expression is re-evaluated PER ELEMENT by higher-order
+    functions, which turns the tokenize into O(tokens^2) regex splits
+    per row (same fix as ``text.repeated_ngram_ratio``; measured ~15x
+    on the shingle explode at sf0.1). ``slice`` evaluates the token
+    array once per row; the zip lambda binds only element arguments."""
     ws = F.split(F.trim(text), r"\s+")
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    grams = F.slice(ws, 1, k)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(ws, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return grams
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:

@@ -136,3 +136,15 @@ def test_cms_estimate_broadcasts_sketch(spark):
     # final top-10 must plan as TakeOrderedAndProject, not a global sort
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_training_pipeline_two_exchanges_no_python(spark):
+    """The 5-stage composed pipeline must stay one lean Catalyst plan:
+    two hash exchanges (dedup key; shard — the pack window reuses the
+    shard shuffle's partitioning), no cartesian product, and zero
+    Python evaluation (the whole composition is column algebra)."""
+    df = QUERIES["training_data_pipeline"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange hashpartitioning") <= 4  # 2 nodes x tree+detail
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
