@@ -600,3 +600,48 @@ def semantic_cluster_dedup(
     pairs = assigned.groupBy("_cell").applyInPandas(cell_pairs, schema=pair_schema)
     docs = v.select(F.col("_id").alias(id_col))
     return dedup_clusters(pairs, docs, id_col=id_col)
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The remediation step `repeated_passages` feeds: remove every
+    hot passage (a ``window``-word span appearing in >= ``min_docs``
+    documents — licence blocks, templates, navigation chrome) from the
+    documents that carry it. Output: (id_col, out_col).
+
+    Removal is a per-row left fold over the doc's OWN sorted hot-passage
+    list (`aggregate(ps, text, replace)`), so the work is
+    O(|doc passages| x |text|) per row and fully engine-portable: the
+    fold order is the sorted list in both Spark and the SQL oracle, so
+    overlapping-passage interactions resolve identically. Scale shape:
+    the hot set comes from the same single shingle groupBy as
+    repeated_passages; tagging which docs carry a hot passage is a
+    shuffle equi-join on the passage key (per-doc-distinct explode, so
+    no doc amplification); the fold itself is map-side column algebra.
+    """
+    hot = repeated_passages(
+        df, id_col=id_col, text_col=text_col, window=window, min_docs=min_docs
+    ).select("passage")
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window)
+    per_doc = sh.join(hot, sh["_sh"] == hot["passage"], "inner").select(
+        "_id", "passage"
+    )
+    lists = per_doc.groupBy("_id").agg(
+        F.sort_array(F.collect_list("passage")).alias("_ps")
+    )
+    joined = df.join(lists, df[id_col] == lists["_id"], "left")
+    cleaned = F.when(F.col("_ps").isNull(), F.col(text_col)).otherwise(
+        F.aggregate(
+            F.col("_ps"),
+            F.col(text_col),
+            lambda acc, p: F.replace(acc, p, F.lit("")),
+        )
+    )
+    return joined.select(df[id_col], cleaned.alias(out_col))

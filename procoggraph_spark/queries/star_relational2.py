@@ -1041,3 +1041,47 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col="bin_id",
     )
     return packed.select("doc_id", "shard", "shard_pos", "n_tokens", "bin_id")
+
+
+# --- boilerplate stripping (repeated_passages remediation) ----------------
+
+@q(
+    "dedup_strip_boilerplate",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS passage
+      FROM ws, LATERAL unnest(generate_series(1, len(w) - 7)) AS g(i)
+      WHERE len(w) >= 8
+    ),
+    hot AS (
+      SELECT passage FROM wins GROUP BY passage HAVING COUNT(*) >= 3
+    ),
+    lists AS (
+      SELECT doc_id, list_sort(list(passage)) AS ps
+      FROM wins JOIN hot USING (passage)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN l.ps IS NULL THEN d.text
+                ELSE list_reduce(list_prepend(d.text, l.ps),
+                                 (acc, p) -> replace(acc, p, ''))
+           END AS clean_text
+    FROM documents d LEFT JOIN lists l ON d.doc_id = l.doc_id
+    """,
+)
+def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-passage removal: every 8-word span appearing in >=3 documents
+    is stripped from the documents carrying it — the remediation step
+    `dedup_repeated_passages` feeds (operators/dedup.strip_boilerplate);
+    the per-row fold runs over the doc's sorted hot-passage list so both
+    engines resolve overlapping passages identically."""
+    from procoggraph_spark.operators.dedup import strip_boilerplate
+
+    d = t(spark, sf_dir, "documents")
+    return strip_boilerplate(
+        d, id_col="doc_id", text_col="text", window=8, min_docs=3
+    )

@@ -623,3 +623,31 @@ def test_corpus_shuffle_permutation_properties(spark):
     other = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in
              corpus_shuffle(df, id_col="doc_id", n_shards=4, seed=8).collect()}
     assert any(other[r["doc_id"]] != (r["shard"], r["shard_pos"]) for r in rows)
+
+
+def test_strip_boilerplate_planted(spark):
+    """The planted licence block is removed from every carrier; docs
+    without a hot passage pass through byte-identical; within-doc
+    repeats of the hot passage are all removed."""
+    from procoggraph_spark.operators.dedup import strip_boilerplate
+
+    boiler = "all rights reserved do not redistribute this file"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon"),
+            (3, f"{boiler} and {boiler}"),
+            (4, "totally clean document with eight distinct words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate(
+            docs, id_col="doc_id", text_col="text", window=8, min_docs=3
+        ).collect()
+    }
+    assert boiler not in out[1] and "alpha beta" in out[1] and "gamma" in out[1]
+    assert boiler not in out[2] and "delta epsilon" in out[2]
+    assert boiler not in out[3] and "and" in out[3]
+    assert out[4] == "totally clean document with eight distinct words here"
