@@ -1003,20 +1003,20 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each stage an operator from this engine, end-to-end in one plan:
     curation gate (quality + repetition + lang-ID,
     `text.corpus_keep_decision`) → exact-dedup survivorship (keep the
-    min-id canonical per key, `dedup.exact_dedup` + semi-join) → token
-    counting → seeded epoch shuffle into 8 shards
-    (`sampling.corpus_shuffle`) → token-budget sequence packing per
-    shard (`sampling.pack_sequences`, budget 512). Everything is JVM
-    column algebra; the measured plan has exactly TWO hash exchanges
-    (dedup key; shard — the pack window reuses the shard shuffle's own
-    partitioning), no cartesian products, no Python. The survivor
-    semi-join broadcasts the canonical-id side at test scale; at
-    corpus scale AQE plans it as a shuffled semi-join on doc_id — a
-    third key-partitioned exchange, still never corpus x corpus. No
+    min-id canonical per key — a row_number window over the dedup key,
+    so the EXPENSIVE curation expression evaluates exactly ONCE per
+    row; the agg + semi-join formulation would re-run the gate over the
+    corpus for each reference) → token counting → seeded epoch shuffle
+    into 8 shards (`sampling.corpus_shuffle`) → token-budget sequence
+    packing per shard (`sampling.pack_sequences`, budget 512).
+    Everything is JVM column algebra; the measured plan has exactly TWO
+    hash exchanges (dedup key; shard — the pack window reuses the shard
+    shuffle's own partitioning), no cartesian products, no Python, no
     driver collects; every stage is individually oracle-backed
     elsewhere in the registry."""
+    from pyspark.sql import Window
+
     from procoggraph_spark.operators import text as X2
-    from procoggraph_spark.operators.dedup import exact_dedup
     from procoggraph_spark.operators.sampling import corpus_shuffle, pack_sequences
 
     d = t(spark, sf_dir, "documents")
@@ -1025,11 +1025,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), min_quality=0.5, max_repetition=0.2, langs=("en",)
         )
     ).withColumn("key_prefix", F.substring("text", 1, 40))
-    canon = exact_dedup(kept, key_cols=["key_prefix"], id_col="doc_id").select(
-        F.col("canonical_doc_id").alias("doc_id")
-    )
-    surv = kept.join(canon, "doc_id", "left_semi").select(
-        "doc_id", X2.token_count(F.col("text")).alias("n_tokens")
+    w = Window.partitionBy("key_prefix").orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", X2.token_count(F.col("text")).alias("n_tokens"))
     )
     shuf = corpus_shuffle(surv, id_col="doc_id", n_shards=8, seed=17)
     packed = pack_sequences(
