@@ -532,6 +532,7 @@ def semantic_cluster_dedup(
     n_cells: int = 16,
     iterations: int = 2,
     threshold: float = 0.95,
+    max_cell_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
     embedding space, then compare pairs ONLY within a cluster and
@@ -546,10 +547,16 @@ def semantic_cluster_dedup(
     ~100k clusters for web scale). The per-cell comparison is a
     blocked GEMM (one BLAS call per 1024-row block against the cell
     matrix — measured 20x over the per-pair JVM dot fold at 100k x 64,
-    120 s -> 6 s; block memory is 1024 x |cell| doubles regardless of
-    cell size). Centroid training moves only the n_cells x dim model
-    through the driver (`train_centroids`); the component pass is the
-    same hash-min iteration every near-dup family here ends with."""
+    120 s -> 6 s). The GEMM path must hold one whole cell in a Python
+    worker (the cell matrix plus its Arrow/pandas copies), so cells
+    above ``max_cell_rows`` — the skew case clustering cannot prevent,
+    e.g. a mass of near-identical vectors collapsing into one cell —
+    fall back to the spillable JVM equi-join formulation (norms
+    precomputed per row, one O(dim) fold per pair): slower per pair but
+    it degrades by spilling instead of OOM-killing the worker.
+    Centroid training moves only the n_cells x dim model through the
+    driver (`train_centroids`); the component pass is the same
+    hash-min iteration every near-dup family here ends with."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -597,7 +604,36 @@ def semantic_cluster_dedup(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    pairs = assigned.groupBy("_cell").applyInPandas(cell_pairs, schema=pair_schema)
+    # route by cell size: the size table is n_cells rows — broadcast
+    from procoggraph_spark.operators.similarity import dot, l2_norm
+
+    sizes = assigned.groupBy("_cell").agg(F.count("*").alias("_csz"))
+    tagged = assigned.join(F.broadcast(sizes), "_cell")
+    small = tagged.filter(F.col("_csz") <= max_cell_rows).drop("_csz")
+    big = tagged.filter(F.col("_csz") > max_cell_rows).drop("_csz")
+
+    pairs_small = small.groupBy("_cell").applyInPandas(
+        cell_pairs, schema=pair_schema
+    )
+    bn = big.withColumn("_n", l2_norm(F.col("_v")))
+    bl = bn.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_cell",
+    )
+    br = bn.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_cell",
+    )
+    pairs_big = (
+        bl.join(br, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    pairs = pairs_small.unionByName(pairs_big)
     docs = v.select(F.col("_id").alias(id_col))
     return dedup_clusters(pairs, docs, id_col=id_col)
 
@@ -620,18 +656,27 @@ def strip_boilerplate(
     list (`aggregate(ps, text, replace)`), so the work is
     O(|doc passages| x |text|) per row and fully engine-portable: the
     fold order is the sorted list in both Spark and the SQL oracle, so
-    overlapping-passage interactions resolve identically. Scale shape:
-    the hot set comes from the same single shingle groupBy as
-    repeated_passages; tagging which docs carry a hot passage is a
-    shuffle equi-join on the passage key (per-doc-distinct explode, so
-    no doc amplification); the fold itself is map-side column algebra.
+    overlapping-passage interactions resolve identically. Each match is
+    replaced by a SINGLE SPACE, not the empty string, so the words on
+    either side never fuse into a new token. The match itself is
+    substring-level (both engines' `replace`): a passage's exact
+    character run occurring inside longer words is also excised — for
+    the boilerplate use-case (long multi-word spans) such collisions
+    are vanishingly rare, and token-exact removal would require the
+    tokenize-mask-rejoin formulation.
+
+    Scale shape: ONE shingle explode serves both the hot-set decision
+    and the per-doc tagging — the document frequency is a count window
+    over the passage key (the explode is per-doc-distinct, so count(*)
+    IS the doc frequency), one shuffle total; the fold itself is
+    map-side column algebra after an id-keyed join back to the docs.
     """
-    hot = repeated_passages(
-        df, id_col=id_col, text_col=text_col, window=window, min_docs=min_docs
-    ).select("passage")
     sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window)
-    per_doc = sh.join(hot, sh["_sh"] == hot["passage"], "inner").select(
-        "_id", "passage"
+    w_df = Window.partitionBy("_sh")
+    per_doc = (
+        sh.withColumn("_df", F.count("*").over(w_df))
+        .filter(F.col("_df") >= min_docs)
+        .select("_id", F.col("_sh").alias("passage"))
     )
     lists = per_doc.groupBy("_id").agg(
         F.sort_array(F.collect_list("passage")).alias("_ps")
@@ -641,7 +686,7 @@ def strip_boilerplate(
         F.aggregate(
             F.col("_ps"),
             F.col(text_col),
-            lambda acc, p: F.replace(acc, p, F.lit("")),
+            lambda acc, p: F.replace(acc, p, F.lit(" ")),
         )
     )
     return joined.select(df[id_col], cleaned.alias(out_col))

@@ -218,13 +218,25 @@ def corpus_shuffle(
     ~10 GB sorted per shard task; never run a corpus-sized single-shard
     sort). Hash-sharding makes shard sizes near-uniform, so the sort
     stage is skew-free by construction."""
-    # independent-ish second round of the multiplicative mix for the
-    # within-shard order, so shard and position don't share low bits
-    reduced = F.pmod(F.col(id_col).cast("long") + F.lit(seed), F.lit(_R))
-    h1 = F.pmod(F.pmod(reduced * _A, F.lit(_M)), F.lit(_R))
-    h2 = F.pmod(F.pmod(h1 * _A, F.lit(_M)), F.lit(_R))
-    out = df.withColumn(shard_col, F.pmod(h1, F.lit(n_shards))).withColumn(
-        "_ord", h2
+    # A bare multiplicative hash is NOT enough here: A = 2654435761 is
+    # congruent 1 mod 16, so its low bits pass the input straight
+    # through and `h % n_shards` degenerates to round-robin on the raw
+    # id (seed-invariant co-residence, id stride leaks into shards).
+    # Finalize with two xorshift rounds (multiply -> xor-fold the high
+    # bits down -> multiply again) so every output bit depends on every
+    # input bit — the same structure as the xxhash/murmur finalizers,
+    # expressed in portable integer arithmetic (xor + integer division
+    # replicate exactly in any SQL engine; shifts stay mod-2^31/2^32 so
+    # ANSI 64-bit multiply never overflows). shard = low bits, order =
+    # the remaining bits of the SAME mixed value — both avalanche-mixed.
+    r = F.pmod(F.col(id_col).cast("long") + F.lit(seed), F.lit(_R))
+    a = F.pmod(r * _A, F.lit(_M))
+    b = a.bitwiseXOR((a / F.lit(65536)).cast("long"))
+    c = F.pmod(b, F.lit(_R))
+    d = F.pmod(c * F.lit(2246822519), F.lit(_M))
+    h = F.pmod(d.bitwiseXOR((d / F.lit(8192)).cast("long")), F.lit(_R))
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(n_shards))).withColumn(
+        "_ord", (h / F.lit(n_shards)).cast("long")
     )
     w = Window.partitionBy(shard_col).orderBy(F.col("_ord"), F.col(id_col))
     return (

@@ -892,19 +892,24 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "shuffle_training_order",
     """
-    WITH h AS (
+    WITH m1 AS (
       SELECT doc_id,
-             ((((doc_id + 17) % 2147483648) * 2654435761) % 4294967296)
-               % 2147483648 AS h1
+             (((doc_id + 17) % 2147483648) * 2654435761) % 4294967296 AS a
       FROM documents
     ),
+    m2 AS (
+      SELECT doc_id,
+             ((xor(a, a // 65536) % 2147483648) * 2246822519) % 4294967296 AS d
+      FROM m1
+    ),
     s AS (
-      SELECT doc_id, h1 % 8 AS shard,
-             ((h1 * 2654435761) % 4294967296) % 2147483648 AS h2
-      FROM h
+      SELECT doc_id,
+             (xor(d, d // 8192) % 2147483648) % 8 AS shard,
+             (xor(d, d // 8192) % 2147483648) // 8 AS ord
+      FROM m2
     )
     SELECT doc_id, shard,
-           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
              AS shard_pos
     FROM s
     """,
@@ -973,20 +978,25 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k.doc_id, k.n_tokens FROM keepers k
       JOIN canon c ON k.doc_id = c.doc_id
     ),
-    h AS (
+    m1 AS (
       SELECT doc_id, n_tokens,
-             ((((doc_id + 17) % 2147483648) * 2654435761) % 4294967296)
-               % 2147483648 AS h1
+             (((doc_id + 17) % 2147483648) * 2654435761) % 4294967296 AS a
       FROM surv
     ),
+    m2 AS (
+      SELECT doc_id, n_tokens,
+             ((xor(a, a // 65536) % 2147483648) * 2246822519) % 4294967296 AS d
+      FROM m1
+    ),
     sh AS (
-      SELECT doc_id, n_tokens, h1 % 8 AS shard,
-             ((h1 * 2654435761) % 4294967296) % 2147483648 AS h2
-      FROM h
+      SELECT doc_id, n_tokens,
+             (xor(d, d // 8192) % 2147483648) % 8 AS shard,
+             (xor(d, d // 8192) % 2147483648) // 8 AS ord
+      FROM m2
     ),
     pos AS (
       SELECT doc_id, n_tokens, shard,
-             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h2, doc_id) - 1
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
                AS shard_pos
       FROM sh
     )
@@ -1068,7 +1078,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CASE WHEN l.ps IS NULL THEN d.text
                 ELSE list_reduce(list_prepend(d.text, l.ps),
-                                 (acc, p) -> replace(acc, p, ''))
+                                 (acc, p) -> replace(acc, p, ' '))
            END AS clean_text
     FROM documents d LEFT JOIN lists l ON d.doc_id = l.doc_id
     """,

@@ -595,6 +595,15 @@ def test_semantic_cluster_dedup_planted_twins(spark):
         assert rows[i] == (i, 2)
     for i in range(40, 200):
         assert rows[i] == (i, 1), f"base {i} merged unexpectedly"
+    # the skew fallback (cells above max_cell_rows -> spillable JVM
+    # join instead of whole-cell pandas) must give identical results
+    forced = semantic_cluster_dedup(
+        corpus, id_col="vec_id", vec_col="v", n_cells=8, iterations=2,
+        threshold=0.9, max_cell_rows=10,
+    )
+    frows = {r["vec_id"]: (r["canonical_id"], r["cluster_size"])
+             for r in forced.collect()}
+    assert frows == rows
 
 
 def test_corpus_shuffle_permutation_properties(spark):
@@ -623,6 +632,23 @@ def test_corpus_shuffle_permutation_properties(spark):
     other = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in
              corpus_shuffle(df, id_col="doc_id", n_shards=4, seed=8).collect()}
     assert any(other[r["doc_id"]] != (r["shard"], r["shard_pos"]) for r in rows)
+    # seed must RE-MIX shard co-residence, not just rotate labels (a
+    # bare multiplicative hash fails this: its low bits pass the input
+    # through, so co-residence was seed-invariant round-robin)
+    co7 = {(a, b) for a in range(100) for b in range(a + 1, 100)
+           if again[a][0] == again[b][0]}
+    co8 = {(a, b) for a in range(100) for b in range(a + 1, 100)
+           if other[a][0] == other[b][0]}
+    overlap = len(co7 & co8) / max(len(co7), 1)
+    assert 0.05 < overlap < 0.6, f"co-residence overlap {overlap} not chance-like"
+    # id stride must not leak into shards: even-only ids hit all shards
+    ev = corpus_shuffle(
+        spark.range(0, 2000, 2).withColumnRenamed("id", "doc_id"),
+        id_col="doc_id", n_shards=4, seed=7,
+    )
+    sizes = {r["shard"]: r["n"] for r in ev.groupBy("shard").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert set(sizes) == {0, 1, 2, 3} and all(150 < v < 350 for v in sizes.values())
 
 
 def test_strip_boilerplate_planted(spark):
