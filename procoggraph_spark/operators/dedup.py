@@ -665,19 +665,26 @@ def strip_boilerplate(
     are vanishingly rare, and token-exact removal would require the
     tokenize-mask-rejoin formulation.
 
-    Scale shape: ONE shingle explode serves both the hot-set decision
-    and the per-doc tagging — the document frequency is a count window
-    over the passage key (the explode is per-doc-distinct, so count(*)
-    IS the doc frequency), one shuffle total; the fold itself is
-    map-side column algebra after an id-keyed join back to the docs.
+    Scale shape: one LOGICAL shingle explode feeds both the hot-set
+    aggregation and the per-doc tagging join. The document frequency is
+    a groupBy (map-side partial combine, skew-safe: a viral passage in
+    millions of docs partially aggregates on every mapper) — NOT a
+    count window over the passage key, which would materialize that
+    passage's entire posting list in one window partition. The price is
+    that Spark evaluates the explode subplan twice (no plan-level CSE
+    across the self-join) — cheap column algebra, the right side of the
+    trade at corpus scale. Tagging joins only the rows whose shingle
+    survived the frequency cut; the fold itself is map-side column
+    algebra after an id-keyed join back to the docs.
     """
     sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window)
-    w_df = Window.partitionBy("_sh")
-    per_doc = (
-        sh.withColumn("_df", F.count("*").over(w_df))
+    hot = (
+        sh.groupBy("_sh")
+        .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") >= min_docs)
-        .select("_id", F.col("_sh").alias("passage"))
+        .select("_sh")
     )
+    per_doc = sh.join(hot, "_sh").select("_id", F.col("_sh").alias("passage"))
     lists = per_doc.groupBy("_id").agg(
         F.sort_array(F.collect_list("passage")).alias("_ps")
     )
