@@ -1012,11 +1012,15 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition a training-data pipeline actually runs,
     each stage an operator from this engine, end-to-end in one plan:
     curation gate (quality + repetition + lang-ID,
-    `text.corpus_keep_decision`) → exact-dedup survivorship (keep the
-    min-id canonical per key — a row_number window over the dedup key,
-    so the EXPENSIVE curation expression evaluates exactly ONCE per
-    row; the agg + semi-join formulation would re-run the gate over the
-    corpus for each reference) → token counting → seeded epoch shuffle
+    `text.corpus_keep_decision`) → exact-dedup survivorship via
+    ``min_by``: token counts are computed map-side on the gated rows,
+    then one groupBy on the dedup key keeps (min doc_id, its
+    n_tokens). This is simultaneously single-pass — the EXPENSIVE
+    curation expression evaluates exactly once per row, where the
+    agg + semi-join form re-runs it per reference — and skew-safe: a
+    viral duplicate group partially aggregates on every mapper, where
+    a row_number window over the dedup key would materialize the whole
+    group in one partition → token counting → seeded epoch shuffle
     into 8 shards (`sampling.corpus_shuffle`) → token-budget sequence
     packing per shard (`sampling.pack_sequences`, budget 512).
     Everything is JVM column algebra; the measured plan has exactly TWO
@@ -1024,8 +1028,6 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle's own partitioning), no cartesian products, no Python, no
     driver collects; every stage is individually oracle-backed
     elsewhere in the registry."""
-    from pyspark.sql import Window
-
     from procoggraph_spark.operators import text as X2
     from procoggraph_spark.operators.sampling import corpus_shuffle, pack_sequences
 
@@ -1034,13 +1036,15 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         X2.corpus_keep_decision(
             F.col("text"), min_quality=0.5, max_repetition=0.2, langs=("en",)
         )
-    ).withColumn("key_prefix", F.substring("text", 1, 40))
-    w = Window.partitionBy("key_prefix").orderBy("doc_id")
-    surv = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", X2.token_count(F.col("text")).alias("n_tokens"))
+    ).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("key_prefix"),
+        X2.token_count(F.col("text")).alias("n_tokens"),
     )
+    surv = kept.groupBy("key_prefix").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    ).select("doc_id", "n_tokens")
     shuf = corpus_shuffle(surv, id_col="doc_id", n_shards=8, seed=17)
     packed = pack_sequences(
         shuf,
