@@ -422,7 +422,13 @@ def dedup_clusters(
 
     This is how near-dup removal actually ships at scale: candidate
     pairs from LSH, then a component pass so A~B, B~C collapse to one
-    cluster even when A~C was never emitted as a candidate."""
+    cluster even when A~C was never emitted as a candidate.
+
+    Per-cluster canonical/size come from a groupBy + join-back, NOT a
+    window over the component id: a mega duplicate cluster (the thing
+    this operator exists to find) would land its entire membership in
+    one window partition, while the groupBy partially aggregates
+    map-side and the join-back is AQE-skew-splittable."""
     from procoggraph_spark.graph.algorithms import connected_components
 
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -433,11 +439,12 @@ def dedup_clusters(
     assign = assign.withColumn(
         "component", F.coalesce("component", F.col(id_col))
     )
-    w_size = Window.partitionBy("component")
-    return assign.select(
-        id_col,
-        F.min(id_col).over(w_size).alias("canonical_id"),
-        F.count("*").over(w_size).alias("cluster_size"),
+    stats = assign.groupBy("component").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return assign.join(stats, "component").select(
+        id_col, "canonical_id", "cluster_size"
     )
 
 
