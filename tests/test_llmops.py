@@ -677,3 +677,25 @@ def test_strip_boilerplate_planted(spark):
     assert boiler not in out[2] and "delta epsilon" in out[2]
     assert boiler not in out[3] and "and" in out[3]
     assert out[4] == "totally clean document with eight distinct words here"
+
+
+def test_passage_ops_null_and_empty_text(spark):
+    """Null / empty / whitespace-only texts flow through the passage
+    family without errors: they contribute no shingles and, for
+    stripping, pass through unchanged."""
+    from procoggraph_spark.operators.dedup import repeated_passages, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    assert repeated_passages(
+        docs, id_col="doc_id", text_col="text", window=2, min_docs=2
+    ).count() == 0
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate(
+            docs, id_col="doc_id", text_col="text", window=2, min_docs=2
+        ).collect()
+    }
+    assert out == {1: None, 2: "", 3: "   ", 4: "one two three"}

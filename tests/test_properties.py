@@ -209,3 +209,66 @@ def test_normalize_domain_xrefs_property(spark, db, kind):
         assert row["xref_db_acc"] == kind
     if db == "SCOP2B":
         assert row["derived_from"] == "SCOP2B"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_word_ngrams_matches_python_reference(spark, words, n):
+    """The zip_with n-gram builder equals the obvious Python sliding
+    window for any token list and window size (the shape the O(tokens^2)
+    capture rewrite must preserve)."""
+    from procoggraph_spark.operators.dedup import word_ngrams
+    from pyspark.sql import functions as F
+
+    text = " ".join(words)
+    got = (
+        spark.range(1)
+        .select(word_ngrams(F.lit(text), n).alias("g"))
+        .first()["g"]
+    )
+    toks = text.split() if text.strip() else ([""] if text == "" else [])
+    # Spark's split on "" yields [""]; mirror its tokenization exactly
+    toks = text.strip().split() if text.strip() else [""] if not words else toks
+    expect = (
+        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if len(toks) >= n
+        else []
+    )
+    assert list(got or []) == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+             min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=100),
+)
+def test_corpus_shuffle_is_permutation(spark, ids, n_shards, seed):
+    """corpus_shuffle assigns every id (including negative ids) exactly
+    one (shard, pos) with dense per-shard positions, for any shard
+    count and seed."""
+    from procoggraph_spark.operators.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = corpus_shuffle(
+        df, id_col="doc_id", n_shards=n_shards, seed=seed
+    ).collect()
+    assert len(rows) == len(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
