@@ -428,7 +428,11 @@ def dedup_clusters(
     window over the component id: a mega duplicate cluster (the thing
     this operator exists to find) would land its entire membership in
     one window partition, while the groupBy partially aggregates
-    map-side and the join-back is AQE-skew-splittable."""
+    map-side and the join-back is AQE-skew-splittable. As in
+    ``strip_boilerplate``, the self-join means Spark evaluates the
+    assignment subplan twice (no plan-level CSE) — cheap here because
+    ``connected_components`` returns an eagerly checkpointed frame, so
+    only the docs-side join re-runs, not the component iteration."""
     from procoggraph_spark.graph.algorithms import connected_components
 
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -691,6 +695,12 @@ def strip_boilerplate(
         .filter(F.col("_df") >= min_docs)
         .select("_sh")
     )
+    # deliberately NOT broadcast-hinted (unlike the hot-set anti-join in
+    # ngram_jaccard_pairs, whose ABOVE-cap set is tiny by construction):
+    # this hot set is everything at-or-above min_docs and scales with
+    # the corpus, so the planner/AQE picks broadcast only when runtime
+    # stats allow; a skewed _sh key in the shuffle join is
+    # AQE-skew-splittable either way.
     per_doc = sh.join(hot, "_sh").select("_id", F.col("_sh").alias("passage"))
     lists = per_doc.groupBy("_id").agg(
         F.sort_array(F.collect_list("passage")).alias("_ps")

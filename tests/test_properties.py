@@ -237,9 +237,9 @@ def test_word_ngrams_matches_python_reference(spark, words, n):
         .select(word_ngrams(F.lit(text), n).alias("g"))
         .first()["g"]
     )
-    toks = text.split() if text.strip() else ([""] if text == "" else [])
-    # Spark's split on "" yields [""]; mirror its tokenization exactly
-    toks = text.strip().split() if text.strip() else [""] if not words else toks
+    # Spark's split(trim(text)) on empty/whitespace-only input yields
+    # [""]; mirror its tokenization exactly
+    toks = text.split() if text.strip() else [""]
     expect = (
         [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         if len(toks) >= n
