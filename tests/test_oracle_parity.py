@@ -133,3 +133,19 @@ def test_driver_window_rotation():
     window = keys[:50]
     for name in ("u8_sugar_chain", "s13_fetch_manifest", "dedup_repeated_passages"):
         assert name in window, f"{name} fell out of the driver sample window"
+
+
+def test_queries_md_in_sync():
+    """QUERIES.md (the generated registry index the coverage audit
+    reads) must list every registry entry with its current oracle
+    status — regenerate it when adding or re-rotating queries."""
+    import re
+
+    md = open(os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")).read()
+    listed = dict(re.findall(r"\| \d+ \| `([^`]+)` \| (oracle|rows-only) \|", md))
+    assert set(listed) == set(QUERIES), (
+        f"QUERIES.md out of sync: missing {set(QUERIES) - set(listed)}, "
+        f"stale {set(listed) - set(QUERIES)}"
+    )
+    for name, check in listed.items():
+        assert (check == "oracle") == (name in ORACLES), name
