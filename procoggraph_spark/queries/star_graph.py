@@ -68,6 +68,7 @@ SELECT id, ROUND(rank, 6) AS rank FROM r3
 
 @q("graph_pagerank", _PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the built graph's edge list (DataFrame-native Pregel loop, model-free)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
     l = t(spark, sf_dir, "lineitem")
     edges = (
@@ -110,6 +111,7 @@ SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id
 
 @q("graph_triangle_count", _TRIANGLE_SQL)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by oriented edge join (each triangle counted once)."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
     a = l.select("l_orderkey", F.col("l_suppkey").alias("_sa"))
     b = l.select("l_orderkey", F.col("l_suppkey").alias("_sb"))
@@ -155,6 +157,7 @@ SELECT id, hops FROM walk
 
 @q("graph_bfs_distances", _BFS_SQL)
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances via iterative frontier joins."""
     from procoggraph_spark.graph.algorithms import k_hop_neighborhood
 
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
@@ -203,6 +206,7 @@ GROUP BY chains.pdb_id
 
 @q("chain_ec_rollup", _CHAIN_ROLLUP_SQL)
 def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProteinChain EC rollup with updatedEC/partialEC provenance flags (the reference's chain annotation shape)."""
     from procoggraph_spark.pipeline.build_graph import (
         build_chain_edges,
         build_protein_chain_nodes,

@@ -39,6 +39,7 @@ def q(name: str, oracle: str | None = None):
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by 40-char text prefix: canonical min doc_id and copy count per key (hash-groupBy, one shuffle)."""
     d = t(spark, sf_dir, "documents").withColumn(
         "key_prefix", F.substring("text", 1, 40)
     )
@@ -80,6 +81,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs bigram Jaccard >= 0.2 via shingle equi-join with the max_shingle_df hot-shingle guard (no cross product)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return D.ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=2, threshold=0.2, max_shingle_df=50
@@ -90,6 +92,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH candidate pairs with estimated Jaccard (engine-hash-dependent: rows-only check, planted-dup pytest)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     sigs = D.minhash_signatures(d, id_col="doc_id", text_col="text", n=2, num_hashes=64)
     est = D.minhash_lsh_pairs(sigs, id_col="doc_id", bands=16, rows_per_band=4)
@@ -140,6 +143,7 @@ _SIMHASH_PORTABLE_SQL = r"""
 
 @q("dedup_simhash_portable", _SIMHASH_PORTABLE_SQL)
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over portable positional-fingerprint hashes so DuckDB rebuilds identical fingerprints (pigeonhole-banded equi-join)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     fp = D.simhash(d, id_col="doc_id", text_col="text", portable=True)
     pairs = D.simhash_near_pairs(fp, id_col="doc_id", max_hamming=16)
@@ -150,6 +154,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over Spark xxhash64 token hashes (the production hash; rows-only check, pytest-verified)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     fp = D.simhash(d, id_col="doc_id", text_col="text")
     return D.simhash_near_pairs(fp, id_col="doc_id", max_hamming=16)
@@ -170,6 +175,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count, mean token length, and punctuation ratio (pure column algebra)."""
     d = t(spark, sf_dir, "documents")
     text = F.col("text")
     return d.select(
@@ -207,6 +213,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] document quality heuristic: length, punctuation, stopword share, mean token length."""
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
 
@@ -237,6 +244,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free stopword-vote language ID across five language profiles with deterministic tie-break."""
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", X.predict_lang(F.col("text")).alias("pred_lang"))
 
@@ -252,6 +260,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional character fingerprint per document (the cheap shard/dedup key; integer-exact in both engines)."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", X.positional_fingerprint(F.col("text")).cast("long").alias("fingerprint")
@@ -581,6 +590,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding statistics: L2 norm, min/max component, mean (aggregate folds over the array column)."""
     e = t(spark, sf_dir, "embeddings")
     return e.groupBy("label").agg(
         F.count("*").alias("n"),
@@ -647,6 +657,7 @@ _CLUSTER_JACCARD_SQL = """
 
 @q("dedup_cluster_canonical_jaccard", _CLUSTER_JACCARD_SQL)
 def dedup_cluster_canonical_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard candidate pairs -> connected components -> one keep-min-id canonical per duplicate cluster with cluster size."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     pairs = D.ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", n=2, threshold=0.5, max_shingle_df=50
@@ -687,6 +698,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repeated-bigram ratio (boilerplate/spam signal)."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", X.repeated_ngram_ratio(F.col("text"), n=2).alias("rep_ratio")
@@ -705,6 +717,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email and URL scrubbing to placeholder tokens via regexp_replace (PII hygiene pass)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", X.scrub_pii(F.col("text")).alias("clean_text"))
 
@@ -754,6 +767,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation gate: quality >= 0.5 AND repetition <= 0.2 AND predicted language is English -> one keep boolean per doc."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -120,6 +120,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction over opaque binary asset columns (size/kind/dims) without decoding payloads."""
     a = _assets(spark, sf_dir)
     return a.groupBy("mime").agg(
         F.count("*").alias("n_assets"),
@@ -142,6 +143,7 @@ def mm_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling positions for video-like assets (stride from metadata, no codec)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     v = d.select(
         F.col("doc_id").alias("asset_id"),

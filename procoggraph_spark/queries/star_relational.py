@@ -58,6 +58,7 @@ def q(name: str, oracle: str | None = None):
     """,
 )
 def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate pricing summary by returnflag/linestatus with exact long-cents sums (A1 family; plan-asserted single exchange)."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         dsum2(F.col("l_quantity")).alias("sum_qty"),
@@ -86,6 +87,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem pre-aggregated to its join key, bucketed SMJ to orders, broadcast nation/region dims, revenue rollup per nation (J7)."""
     l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     o = t(spark, sf_dir, "orders", widen_on="o_orderkey")
     c = t(spark, sf_dir, "customer")
@@ -128,6 +130,7 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_global_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 dashboard shape: global entity/distinct-count summary card (multi countDistinct)."""
     def one(table: str, key: str, label: str) -> DataFrame:
         return t(spark, sf_dir, table).agg(
             F.lit(label).alias("entity"), F.countDistinct(key).alias("n")
@@ -163,6 +166,7 @@ def q1_global_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q2_unambiguous_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 dashboard shape: counts restricted to unambiguous (single-match) entities."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     singles = o.groupBy("o_custkey").count().filter(F.col("count") == 1)
     c = t(spark, sf_dir, "customer")
@@ -187,6 +191,7 @@ def q2_unambiguous_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 dashboard shape: case-insensitive substring search with top-k by key (pushed filter + TakeOrderedAndProject)."""
     p = t(spark, sf_dir, "part")
     return (
         p.filter(F.upper(F.col("p_name")).contains("RED"))
@@ -216,6 +221,7 @@ def q3_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 report card: per-order rollup with concat-sorted brand sets and coalesce chains over a bucket-aligned outer join (A6/P9)."""
     # pre-aggregate the fact side BELOW the join (orders ⟕ per-order
     # rollup instead of grouping the joined 4-way row set): the shuffle
     # carries 1 row per order, not 1 per lineitem — the classic
@@ -299,6 +305,11 @@ for _mode in ("best", "any", "all"):
     QUERIES[f"q6_{_mode}_mode"] = (
         lambda spark, sf_dir, _m=_mode: _best_any_all(spark, sf_dir, _m)
     )
+    QUERIES[f"q6_{_mode}_mode"].__doc__ = (
+        f"Q6 dashboard shape in {_mode!r} match mode (the Best/Any/All "
+        "templating the reference exposes as one toggle): per-priority "
+        "rollup counting best-ranked / any / all qualifying lines."
+    )
     ORACLES[f"q6_{_mode}_mode"] = _BAA_SQL[_mode]
 
 
@@ -323,6 +334,10 @@ def _group_rollup(spark: SparkSession, sf_dir: str, dim: str) -> DataFrame:
 for _dim in ("p_brand", "p_type"):
     QUERIES[f"q7_rollup_by_{_dim}"] = (
         lambda spark, sf_dir, _d=_dim: _group_rollup(spark, sf_dir, _d)
+    )
+    QUERIES[f"q7_rollup_by_{_dim}"].__doc__ = (
+        f"Q7 parameterized rollup template keyed by {_dim} (the "
+        "reference's 7-way dimension toggle as one template)."
     )
     ORACLES[f"q7_rollup_by_{_dim}"] = f"""
     SELECT {_dim}, COUNT(DISTINCT l_suppkey) AS n_suppliers,
@@ -351,6 +366,7 @@ for _dim in ("p_brand", "p_type"):
     """,
 )
 def q8_group_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 dashboard shape: within-group share ratio per nation (windowed sum as denominator)."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     o = t(spark, sf_dir, "orders")
@@ -389,6 +405,7 @@ def q8_group_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q9_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 dashboard shape: group by a sorted in-row array key (T8) built from per-order parts."""
     l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     combo = F.concat_ws(":", "l_returnflag", "l_linestatus")
     per_order = (
@@ -417,6 +434,7 @@ def q9_group_by_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_semi_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 dashboard shape: left-semi filtered rollup (exists-style membership without row duplication)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
@@ -449,6 +467,7 @@ def q10_semi_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 dashboard shape: region->nation hierarchy walk with per-level rollups."""
     r = t(spark, sf_dir, "region")
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
@@ -479,6 +498,7 @@ def q11_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 dashboard shape: member-of-array-column predicate (P5) driving a rollup."""
     p = t(spark, sf_dir, "part")
     return (
         p.withColumn("words", F.split(F.col("p_name"), " "))
@@ -504,6 +524,7 @@ def q12_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_compare_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 dashboard shape: set intersect/except comparison between two group memberships (T5/T6, A9)."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -535,6 +556,7 @@ def q13_compare_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 dashboard shape: global top-k entities by count with deterministic tie-break."""
     l = t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_partkey")
@@ -558,6 +580,7 @@ def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_subgraph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 dashboard shape: neighborhood subgraph rows (edge list) for one anchor entity."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
     l = t(spark, sf_dir, "lineitem")
     hop1 = o.select(
@@ -599,6 +622,7 @@ def q15_subgraph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 dashboard shape: JSON payload + URL-encoded deep-link column per row (F13)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     l = t(spark, sf_dir, "lineitem")
     agg = (
@@ -632,6 +656,7 @@ def q16_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: each row's share of its group total via a windowed sum."""
     l = t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey")
     return l.select(
@@ -655,6 +680,7 @@ def w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: best-per-group with deterministic tie handling (max-struct pattern)."""
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     return (
@@ -674,6 +700,7 @@ def w2_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w3_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rerun-stable dense ids from a global ordering over distinct keys (bounded key-level window)."""
     p = t(spark, sf_dir, "part").select("p_brand").distinct()
     return p.withColumn("brand_id", F.dense_rank().over(Window.orderBy("p_brand")))
 
@@ -693,6 +720,7 @@ def w3_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: top-k rows per group via rank-limit window (WindowGroupLimit map-side partial top-k)."""
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
@@ -713,6 +741,7 @@ def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a5_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-group quantiles (percentile_approx vs the oracle's exact percentile at this cardinality)."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.8)"), 4).alias("p80_totalprice")
@@ -745,6 +774,7 @@ def a5_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a7_range_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: integer range compression (gaps-and-islands in a single shuffle) over per-order line numbers."""
     from procoggraph_spark.operators.ranges import compress_int_ranges
 
     # no .distinct() here: compress_int_ranges dedups (key, value) after
@@ -778,6 +808,7 @@ def a7_range_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a8_inscode_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: numeric-then-insertion-code token sort inside a string column (custom SQL-surface kernel)."""
     from procoggraph_spark.functions.strings import sort_tokens_numeric_inscode
 
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
@@ -826,6 +857,7 @@ def a8_inscode_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p6_ownership_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: exclusive/dominant/major/partner/minor ownership classifier from per-group share thresholds (two windows over one shuffle)."""
     l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey").select(
         F.col("l_orderkey").alias("uniqueID"),
         F.col("l_linenumber").alias("domain_accession"),
@@ -853,6 +885,7 @@ def p6_ownership_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f_string_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7/F11 string kitchen sink: trim/pad/case/regex-extract/replace/split in one projection."""
     p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
     return p.select(
         "p_partkey",
@@ -877,6 +910,7 @@ def f_string_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f8_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: numeric range expansion to rows (sequence + explode) with the descending-sequence guard."""
     p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     return (
         p.select("p_brand", F.explode(F.sequence(F.lit(1), F.col("p_size"))).alias("g"))
@@ -898,6 +932,7 @@ def f8_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/F14: JSON field extraction and map keys/values over a constructed payload."""
     e = t(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
     return e.groupBy("event_type").agg(
@@ -923,6 +958,7 @@ def f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t4_union_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: heterogeneous union by name with missing columns null-filled, then rollup."""
     c = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("pkey"),
         F.col("c_name").alias("pname"),

@@ -121,6 +121,7 @@ FROM c
 
 @q("u8_sugar_chain", _U8_SQL)
 def u8_sugar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 sugar conversion chain: WURCS->GlycoCT->CSDB->descriptor behind three S16 caches; deterministic fallback kernels fully SQL-replayed."""
     import os
     import tempfile
 
@@ -177,6 +178,7 @@ FROM part WHERE p_partkey < 200
 
 @q("s13_fetch_manifest", _S13_SQL)
 def s13_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 ingestion fetch manifest: chunked mapInPandas fetch with dead-letter rows from a deterministic in-process service."""
     from procoggraph_spark.sources.fetchers import fetch_manifest
 
     ids = (
@@ -221,6 +223,7 @@ def s13_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j_ref_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/T7: referential-integrity anti-join — fact rows whose dimension key is missing."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     l = t(spark, sf_dir, "lineitem")
@@ -253,6 +256,7 @@ def j_ref_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p7_conditional_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: conditional column overwrite (when/otherwise) preserving the untouched rows byte-identical."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     return o.select(
         "o_orderkey",
@@ -279,6 +283,7 @@ def p7_conditional_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p8_column_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: masked column swap via struct repack (swap two columns only where a predicate holds)."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
     mask = F.col("l_returnflag") == "R"
     swapped = F.when(
@@ -311,6 +316,7 @@ def p8_column_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a2_group_by_rest_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: group-by-rest with null grouping keys kept as real groups."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.when(F.col("o_orderstatus") == "P", None)
@@ -341,6 +347,7 @@ def a2_group_by_rest_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a11_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: ROLLUP over the nation/region hierarchy with grouping-id disambiguation."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -372,6 +379,7 @@ def a11_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order status columns per priority row (fixed pivot values for engine parity)."""
     l = t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
@@ -401,6 +409,7 @@ def t_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f9_selector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10: per-row selector-string building via transform + array_join with element count."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     grouped = l.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_linenumber")).alias("nums")
@@ -438,6 +447,7 @@ def f9_selector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: sentinel-filtered cast-and-sum (non-numeric sentinels excluded before aggregation)."""
     o = t(spark, sf_dir, "orders")
     raw = (
         F.when(F.col("o_orderkey") % 97 == 0, "?")
@@ -507,6 +517,7 @@ def _emb_twins(e: DataFrame) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs >= 0.9 over planted twins: SimHash pigeonhole blocking + exact rerank; oracle is the exact all-pairs twin."""
     from procoggraph_spark.operators import dedup as D
     from procoggraph_spark.operators.similarity import cosine, hyperplane_signature
 
@@ -567,6 +578,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_interaction_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 dashboard shape: per-interaction detail rows with array_min residue extraction (F12)."""
     from pyspark.sql import Window
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
@@ -606,6 +618,7 @@ def q5_interaction_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("a3_approx_count_distinct")
 def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 approx tier: HLL approx_count_distinct next to the exact count (inherently engine-specific; rows-only)."""
     l = t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),

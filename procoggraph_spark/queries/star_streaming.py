@@ -37,6 +37,7 @@ def q(name: str, oracle: str | None = None):
     """,
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window counts (batch twin of the streaming aggregation; availableNow equality pytest)."""
     return W.tumbling_counts(t(spark, sf_dir, "events"), duration="1 hour")
 
 
@@ -54,6 +55,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window counts (overlapping windows, batch twin)."""
     return W.sliding_counts(
         t(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes"
     )
@@ -82,6 +84,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user (batch twin of the streaming session aggregation)."""
     return W.session_windows_batch(t(spark, sf_dir, "events"), gap_minutes=30)
 
 
