@@ -714,3 +714,69 @@ def strip_boilerplate(
         )
     )
     return joined.select(df[id_col], cleaned.alias(out_col))
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Two-phase decontamination for eval sets too large to broadcast
+    raw (the scale path of `benchmark_contamination`): phase 1 probes
+    every corpus shingle against a broadcast Bloom bitmap of the
+    benchmark's shingle set — a shingle that fails the probe is
+    PROVABLY clean (no false negatives) and never reaches the join;
+    phase 2 exact-joins only the surviving candidates against the true
+    benchmark shingles to discard Bloom false positives.
+
+    Per-doc output: total distinct shingles, Bloom candidate count (the
+    pruning diagnostic — candidates ≥ contaminated, the gap is the
+    false-positive cost), exact contaminated count, and the
+    contamination ratio — the final ratio is IDENTICAL to
+    `benchmark_contamination`'s, reached with the shuffle volume of the
+    candidates instead of the whole corpus shingle stream.
+
+    Scale shape: the bitmap is ≤ ``n_bits`` entries however large the
+    benchmark is, so the probe stays a map-only broadcast over the
+    corpus scan; the exact-verify join shuffles only Bloom survivors.
+    This is the DataFrame spelling of runtime bloom-filter join pruning,
+    under the repo's portable-arithmetic discipline so a SQL oracle
+    rebuilds the identical sketch and candidate set.
+    """
+    from procoggraph_spark.operators.sketches import bloom_build, bloom_probe
+
+    c_sh = _exploded_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+    b_sh = benchmark.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sh")
+    ).distinct()
+    bits = bloom_build(b_sh, "_sh", n_bits=n_bits, n_hashes=n_hashes)
+    probed = bloom_probe(
+        c_sh, "_sh", bits, n_bits=n_bits, n_hashes=n_hashes, flag_col="_hit"
+    )
+    cand = probed.filter(F.col("_hit"))
+    totals = c_sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    n_cand = cand.groupBy("_id").agg(F.count("*").alias("n_candidates"))
+    exact = (
+        cand.join(b_sh, "_sh")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(n_cand, "_id", "left")
+        .join(exact, "_id", "left")
+        .na.fill(0, ["n_candidates", "n_contaminated"])
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_candidates",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+    )

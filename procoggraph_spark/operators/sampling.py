@@ -243,3 +243,34 @@ def corpus_shuffle(
         out.withColumn(pos_col, F.row_number().over(w) - F.lit(1))
         .drop("_ord")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    label_col: str = "split",
+    canonical_col: str = "canonical_id",
+) -> DataFrame:
+    """Dedup-aware dataset split: every row is assigned the split of its
+    duplicate group's canonical row (min ``id_col`` per ``key_cols``
+    group), so exact duplicates can never straddle train and test — the
+    leakage mode a per-row hash split cannot prevent (two copies of one
+    document hash to different splits and the test set scores memorized
+    training text). Near-dup groups work the same way by passing a
+    cluster id as the key.
+
+    Scale shape: one hash aggregation on the dedup key (map-side
+    combine) plus one equi-join back on the same key — AQE-skew-
+    splittable, no window over an unbounded duplicate group (the viral
+    copy-pasted document is exactly the case this operator exists for).
+    The split itself stays `deterministic_split`'s portable integer
+    hash of the canonical id: rerun-, partitioning-, and engine-stable.
+    """
+    canon = df.groupBy(*key_cols).agg(F.min(id_col).alias(canonical_col))
+    joined = df.join(canon, key_cols)
+    return deterministic_split(
+        joined, id_col=canonical_col, fractions=fractions, label_col=label_col
+    )

@@ -100,3 +100,58 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, n_bits: int = 4096, n_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom-filter membership sketch over ``key_col``: each key
+    sets ``n_hashes`` bit positions (the CMS affine mixers over the
+    portable positional fingerprint), and the sketch is the DISTINCT set
+    of set positions — one hash aggregation, mergeable across shards by
+    plain union-distinct, bounded by ``n_bits`` rows regardless of input
+    size. No false negatives by construction; false-positive rate is the
+    standard ``(1 - e^{-kn/m})^k``.
+
+    Portable-arithmetic discipline as in `cms_build`: every position is
+    plain 64-bit integer math, so a SQL oracle rebuilds the identical
+    sketch bit-for-bit.
+    """
+    h = positional_fingerprint(F.col(key_col))
+    pos = F.array(*[_bucket(h, r, n_bits) for r in range(n_hashes)])
+    return df.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    *,
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe every row's ``key_col`` against a Bloom sketch from
+    `bloom_build`: true iff ALL ``n_hashes`` positions are set (possible
+    member); false is definitive (provably absent).
+
+    Scale shape: the sketch collapses to a single broadcast map row
+    (≤ ``n_bits`` entries — the bitmap, in map form for O(1)
+    `element_at` lookups), so the probe is map-only on the scan: no
+    shuffle of the probe side at all. This is the DataFrame spelling of
+    a runtime bloom-pushdown — prune a 100 TB scan against a compact
+    digest of the other side before any join.
+    """
+    h = positional_fingerprint(F.col(key_col))
+    positions = [_bucket(h, r, n_bits) for r in range(n_hashes)]
+    bitmap = bits.agg(
+        F.map_from_arrays(
+            F.collect_list("bit"),
+            F.array_repeat(F.lit(True), F.size(F.collect_list("bit"))),
+        ).alias("_bloom")
+    )
+    out = df.crossJoin(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for p in positions:
+        cond = cond & F.element_at(F.col("_bloom"), p).isNotNull()
+    return out.withColumn(flag_col, cond).drop("_bloom")

@@ -273,3 +273,54 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Context-window chunking: split each document into fixed-size
+    character chunks with ``overlap`` characters of context carried
+    between consecutive chunks — the step that turns raw documents into
+    model-context-sized training rows.
+
+    Chunk ``i`` covers characters ``[i*stride, i*stride + chunk_size)``
+    with ``stride = chunk_size - overlap``; the tail chunk may be
+    shorter, an empty document emits no chunks, and a trailing window
+    that would contain ONLY overlap (no characters beyond what the
+    previous chunk already covered) is skipped — every emitted chunk
+    after the first contributes at least one new character.
+
+    Scale shape: ``sequence`` + ``explode`` is a generator applied on
+    the scan — no shuffle, no Python; ~``chars/stride`` output rows per
+    document produced at scan parallelism, and the generate fuses with
+    downstream projections in one codegen stage. Pure integer/substring
+    algebra, so a SQL oracle (generate_series + substr) replays the
+    chunk boundaries exactly.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ex = df.select(
+        F.col(id_col), F.col(text_col), F.explode(starts).alias("chunk_start")
+    ).filter(
+        (F.col("chunk_start") < F.length(F.col(text_col)))
+        & (
+            (F.col("chunk_start") == 0)
+            | (F.col("chunk_start") + overlap < F.length(F.col(text_col)))
+        )
+    )
+    chunk = F.substring(F.col(text_col), F.col("chunk_start") + 1, F.lit(chunk_size))
+    return ex.select(
+        F.col(id_col),
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )

@@ -13,6 +13,7 @@ def registry():
     from procoggraph_spark.queries import (
         star_graph,
         star_llmops,
+        star_llmops2,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -46,6 +47,7 @@ def registry():
         star_relational2,
         star_relational,
         star_graph,
+        star_llmops2,  # round-5 second batch: appended past the window
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -66,3 +66,35 @@ def write_neo4j_tsv(
     if gzip:
         writer = writer.option("compression", "gzip")
     writer.csv(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+    file_format: str = "parquet",
+) -> None:
+    """Training-shard writer: materialize a shuffled corpus (e.g.
+    `operators/sampling.corpus_shuffle` output) as one directory per
+    shard with rows stored in training order — the layout a trainer
+    consumes (open shards in parallel, stream each file sequentially;
+    no sort at read time).
+
+    Scale shape: `repartition` on the shard key aligns one task per
+    shard, `sortWithinPartitions` orders rows inside each task (an
+    external sort that spills — never a global sort), and `partitionBy`
+    writes each shard to its own directory in one pass. Shard count is
+    the parallelism unit and scales with the corpus exactly like output
+    file counts do; the write itself is shuffle(1 exchange)+sort+scan,
+    with no driver-side collection at any size.
+    """
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, pos_col)
+        .write.partitionBy(shard_col)
+        .mode("overwrite")
+        .format(file_format)
+        .save(out_dir)
+    )

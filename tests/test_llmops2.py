@@ -1,0 +1,183 @@
+"""Semantics tests for the round-5 second-batch operators: context
+chunking, leakage-safe split, Bloom decontamination, packed-context
+materialization, and the training-shard writer. Oracle parity for the
+four registry queries runs in test_oracle_parity.py; these tests pin
+the operator CONTRACTS (reconstruction, no-straddle, no-false-negative,
+layout) that a value-hash alone doesn't express.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.dedup import (
+    benchmark_contamination,
+    bloom_decontaminate,
+)
+from procoggraph_spark.operators.sampling import (
+    corpus_shuffle,
+    deterministic_split,
+    leakage_safe_split,
+)
+from procoggraph_spark.operators.text import chunk_documents
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 450),
+            (2, "short"),
+            (3, "x" * 200),            # exactly one chunk
+            (4, "y" * 201),            # tail chunk of 41 chars (overlap 40 + 1)
+            (5, ""),                   # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_size=200, overlap=40
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc  # empty doc emits nothing
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        # chunk boundaries: stride 160, full coverage, overlap carried
+        rebuilt = rows[0]["chunk_text"]
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["chunk_start"] == prev["chunk_start"] + 160
+            # every non-final chunk is full, so the first 40 chars of
+            # each chunk repeat the prior chunk's tail (the overlap)
+            assert len(prev["chunk_text"]) == 200
+            assert prev["chunk_text"][160:] == cur["chunk_text"][:40]
+            rebuilt += cur["chunk_text"][40:]
+        assert rebuilt == texts[doc_id], doc_id
+        assert all(1 <= r["chunk_len"] <= 200 for r in rows)
+    # a doc of exactly chunk_size chars is ONE chunk: the window at 160
+    # would contain only overlap and is skipped
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 200
+    # one char past chunk_size: the second window adds that char
+    assert len(by_doc[4]) == 2 and by_doc[4][-1]["chunk_len"] == 41
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, id_col="doc_id", text_col="text",
+                        chunk_size=100, overlap=100)
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    # 60 duplicate groups; copies of a group carry ids spread far apart,
+    # so a per-row hash split WOULD scatter them across splits
+    rows = []
+    for g in range(60):
+        for c in range(3):
+            rows.append((g + 1000 * c, f"dup group {g} canonical text body"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "kp", F.substring("text", 1, 40)
+    )
+    out = leakage_safe_split(
+        docs, id_col="doc_id", key_cols=["kp"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    by_key: dict[str, set] = {}
+    canon: dict[str, set] = {}
+    for r in out:
+        by_key.setdefault(r["kp"], set()).add(r["split"])
+        canon.setdefault(r["kp"], set()).add(r["canonical_id"])
+    assert len(out) == 180
+    for k, splits in by_key.items():
+        assert len(splits) == 1, f"group {k} straddles splits: {splits}"
+        assert len(canon[k]) == 1
+    # the baseline per-row split DOES straddle on this data (the hazard
+    # this operator removes) — guards against a vacuous test
+    base = deterministic_split(
+        docs, id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    base_by_key: dict[str, set] = {}
+    for r in base:
+        base_by_key.setdefault(r["kp"], set()).add(r["split"])
+    assert any(len(s) > 1 for s in base_by_key.values())
+
+
+def test_bloom_decontaminate_matches_exact_and_never_misses(spark):
+    bench = spark.createDataFrame(
+        [(0, "the secret eval question about spark shuffles and codegen")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro words then the secret eval question about spark "
+                 "shuffles and codegen plus trailing text"),
+            (11, "completely unrelated content with its own distinct vocabulary"),
+            (12, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bloom_decontaminate(
+        corpus, bench, id_col="doc_id", text_col="text", n=3).collect()}
+    exact = {r["doc_id"]: r for r in benchmark_contamination(
+        corpus, bench, id_col="doc_id", text_col="text", n=3).collect()}
+    assert set(got) == set(exact)
+    for doc_id, e in exact.items():
+        g = got[doc_id]
+        # phase-2 refine makes the final counts exactly the exact ones
+        assert g["n_shingles"] == e["n_shingles"]
+        assert g["n_contaminated"] == e["n_contaminated"]
+        assert g["contamination_ratio"] == e["contamination_ratio"]
+        # Bloom has no false negatives: candidates bound contaminated
+        assert g["n_candidates"] >= g["n_contaminated"]
+        assert g["n_candidates"] <= g["n_shingles"]
+
+
+def test_bloom_prunes_clean_shingles(spark):
+    # with a tiny benchmark and a 4096-bit filter the clean doc's
+    # shingles should essentially all be pruned before the exact join
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    row = bloom_decontaminate(
+        corpus, bench, id_col="doc_id", text_col="text", n=3).collect()[0]
+    assert row["n_contaminated"] == 0
+    # 4 benchmark trigrams × 3 bits in 4096 → expected FP rate ~3e-9 per
+    # probe; even 1% of shingles surviving would signal a broken filter
+    assert row["n_candidates"] <= row["n_shingles"] * 0.01
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    shuffled = corpus_shuffle(docs, id_col="doc_id", n_shards=4, seed=7)
+    expected: dict[int, list] = {}
+    for r in shuffled.collect():
+        expected.setdefault(r["shard"], []).append((r["shard_pos"], r["doc_id"]))
+    for v in expected.values():
+        v.sort()
+
+    from procoggraph_spark.sources.sinks import write_training_shards
+
+    out_dir = str(tmp_path / "shards")
+    write_training_shards(shuffled, out_dir)
+
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/shard=*"))
+    assert dirs == [f"shard={s}" for s in sorted(expected)]
+    for shard, exp in expected.items():
+        files = glob.glob(f"{out_dir}/shard={shard}/*.parquet")
+        assert len(files) == 1, f"shard {shard} should be one file"
+        tbl = pq.read_table(files[0]).to_pydict()
+        # rows stored in training order: on-disk order == pos order
+        assert tbl["shard_pos"] == [p for p, _ in exp]
+        assert tbl["doc_id"] == [d for _, d in exp]
