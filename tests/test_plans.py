@@ -148,3 +148,35 @@ def test_training_pipeline_two_exchanges_no_python(spark):
     assert p.count("Exchange hashpartitioning") <= 4  # 2 nodes x tree+detail
     assert "CartesianProduct" not in p
     assert "Python" not in p
+
+
+def test_chunker_is_map_only(spark):
+    """chunk_documents is a generator on the scan: zero exchanges, zero
+    Python — at 100 TB the chunker runs at scan parallelism and fuses
+    with downstream projections."""
+    df = QUERIES["text_chunk_overlap"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "Exchange" not in p
+    assert "Python" not in p
+    assert "Generate" in p  # the explode is a generator, not a join
+
+
+def test_bloom_probe_broadcasts_bitmap_only(spark):
+    """The Bloom probe must reach the corpus scan as a broadcast of the
+    <=n_bits bitmap (BroadcastNestedLoopJoin on the single-row map —
+    map-only on the probe side); the exact-verify join may shuffle only
+    candidates. No cartesian product over data-sized inputs."""
+    df = QUERIES["text_decontaminate_bloom"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_leakage_split_single_key_shuffle(spark):
+    """leakage_safe_split is groupBy + join-back on the dedup key: the
+    canonical aggregation and the join share the key's hash
+    partitioning, and the split assignment itself adds no exchange."""
+    df = QUERIES["split_leakage_safe"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
