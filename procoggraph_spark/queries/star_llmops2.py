@@ -4,9 +4,11 @@ decontamination, and packed-context materialization.
 
 Registered LAST in the registry union so the driver's 50-row sample
 window (pinned by tests/test_oracle_parity.py::test_driver_window_rotation)
-is unaffected; every query here is oracle-backed and verified by the
-full parity suite at sf0.001 and the gate-fidelity sf0.01 run, and
-rotates into driver visibility on a later round.
+is unaffected; queries here are oracle-backed (verified by the full
+parity suite at sf0.001 and the gate-fidelity sf0.01 run) except the
+HLL sketch tier, whose sketch binary is engine-specific (rows-only +
+mergeability/accuracy pytest). All rotate into driver visibility on a
+later round.
 """
 
 from __future__ import annotations
@@ -208,3 +210,30 @@ def pack_concat_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<|eod|>",
         ).alias("context_text"),
     )
+
+
+# --- HLL distinct-count sketch tier (mergeable, datasketches-backed) ------
+
+@q("sketch_hll_distinct")
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-source HyperLogLog over document terms (hll_sketch_agg), estimated per source, plus an __ALL__ row union-merged from the per-source sketches (hll_union_agg) — the sketch path for vocabulary cardinality at 100 TB, where per-shard sketches merge by union instead of re-shuffling the key space (exact count_distinct kept alongside as the accuracy reference; a production run drops it). Rows-only: the sketch binary is engine-specific; pytest pins bounded merge error (the union promotes sparse sketches to dense HLL mode, so merge is approximate, not estimate-exact), determinism, and estimate accuracy vs exact."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("term"))
+    per = tok.groupBy("source").agg(
+        F.hll_sketch_agg("term").alias("_sk"),
+        F.count_distinct("term").alias("exact_distinct"),
+        F.count("*").alias("n_tokens"),
+    )
+    per_source = per.select(
+        "source",
+        "n_tokens",
+        "exact_distinct",
+        F.hll_sketch_estimate("_sk").alias("hll_estimate"),
+    )
+    merged = per.agg(
+        F.lit("__ALL__").alias("source"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("hll_estimate"),
+    )
+    return per_source.unionByName(merged)

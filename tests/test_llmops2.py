@@ -181,3 +181,49 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         # rows stored in training order: on-disk order == pos order
         assert tbl["shard_pos"] == [p for p, _ in exp]
         assert tbl["doc_id"] == [d for _, d in exp]
+
+
+def test_hll_union_merge_bounded_error_and_deterministic(spark):
+    """Union-merging per-shard HLL sketches approximates sketching the
+    whole corpus directly — the property that lets 100 TB cardinality
+    roll up shard-by-shard without re-shuffling the key space. The
+    merge is NOT estimate-exact at small cardinalities (a direct sketch
+    stays in exact sparse/list mode; the union promotes to dense HLL
+    mode — measured here: 988 vs 1000 for 997 true distinct), so the
+    contract is bounded error plus determinism, not equality."""
+    df = spark.createDataFrame(
+        [(i % 7, f"term{i % 997}") for i in range(5000)], "shard long, term string"
+    )
+    per_shard = df.groupBy("shard").agg(F.hll_sketch_agg("term").alias("sk"))
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("term")).alias("est")
+    ).collect()[0]["est"]
+    assert abs(merged - 997) <= 0.05 * 997
+    assert abs(direct - 997) <= 0.05 * 997
+    rerun = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    assert rerun == merged
+
+
+def test_hll_estimate_accuracy_and_all_row(spark):
+    from procoggraph_spark.queries import registry
+
+    qs, _ = registry()
+    rows = {r["source"]: r for r in
+            qs["sketch_hll_distinct"](spark, "/root/testdata/sf0.001").collect()}
+    assert "__ALL__" in rows
+    assert rows["__ALL__"]["exact_distinct"] is None
+    for src, r in rows.items():
+        if src == "__ALL__":
+            continue
+        exact = r["exact_distinct"]
+        # default lgConfigK=12 → ~1.6% relative standard error; 5% is
+        # a loose-but-meaningful bound at these cardinalities
+        assert abs(r["hll_estimate"] - exact) <= max(1, 0.05 * exact), src
+    # the merged row covers at least the biggest single source
+    biggest = max(r["hll_estimate"] for s, r in rows.items() if s != "__ALL__")
+    assert rows["__ALL__"]["hll_estimate"] >= biggest
