@@ -237,3 +237,63 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("hll_estimate"),
     )
     return per_source.unionByName(merged)
+
+
+# --- per-label centroid + medoid (embedding cluster QA) -------------------
+
+@q(
+    "emb_centroid_medoid",
+    """
+    WITH d AS (
+      SELECT vec_id, label, u.i - 1 AS dim,
+             CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c AS (SELECT label, dim, AVG(v) AS cv FROM d GROUP BY label, dim),
+    n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label),
+    cn AS (
+      SELECT label, ROUND(sqrt(SUM(cv * cv)), 6) AS centroid_norm
+      FROM c GROUP BY label
+    ),
+    dist AS (
+      SELECT d.vec_id, d.label, SUM((d.v - c.cv) * (d.v - c.cv)) AS d2
+      FROM d JOIN c USING (label, dim) GROUP BY d.vec_id, d.label
+    ),
+    med AS (
+      SELECT label, vec_id AS medoid_vec_id,
+             ROUND(sqrt(d2), 6) AS medoid_dist
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY d2, vec_id) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT n.label, n.n_vectors, cn.centroid_norm,
+           med.medoid_vec_id, med.medoid_dist
+    FROM n JOIN cn USING (label) JOIN med USING (label)
+    """,
+)
+def emb_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid and medoid: the cluster-QA shape (centroid norm as a drift signal; the medoid as the exemplar a human can inspect). posexplode to (label, dim) rows → per-dim mean via one hash aggregation → join-back for per-vector distance-to-centroid → min_by medoid with id tie-break. All JVM-side; at 100 TB the explode is N×dim narrow rows aggregated with map-side combine, never a per-label collect of vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    d = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "_vf")
+    ).withColumn("v", F.col("_vf").cast("double")).drop("_vf")
+    c = d.groupBy("label", "dim").agg(F.avg("v").alias("cv"))
+    n = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    cn = c.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 6).alias("centroid_norm")
+    )
+    dist = (
+        d.join(c, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+    )
+    med = dist.groupBy("label").agg(
+        F.min_by("vec_id", F.struct(F.col("d2"), F.col("vec_id"))).alias(
+            "medoid_vec_id"
+        ),
+        F.round(F.sqrt(F.min("d2")), 6).alias("medoid_dist"),
+    )
+    return n.join(cn, "label").join(med, "label")

@@ -396,3 +396,34 @@ def streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_bloom_gate(
+    spark,
+    docs_path: str,
+    schema,
+    blocklist,
+    *,
+    key_col: str = "text",
+    n_bits: int = 4096,
+    n_hashes: int = 3,
+    flag_col: str = "blocked",
+):
+    """Streaming blocklist gate: every arriving document probes a Bloom
+    bitmap built from a static blocklist (stream-static broadcast of the
+    single-row bitmap — the streaming face of `sketches.bloom_probe`).
+    A false probe is a guaranteed pass (no false negatives), so the gate
+    never lets a blocked key through; rare false positives go to the
+    same downstream exact check as the batch two-phase decontaminate.
+
+    State: none — the probe is stateless map-side work per micro-batch,
+    so the gate runs at ingest parallelism with no state store at any
+    stream length; updating the blocklist is re-broadcasting one row.
+    """
+    from procoggraph_spark.operators.sketches import bloom_build, bloom_probe
+
+    bits = bloom_build(blocklist, key_col, n_bits=n_bits, n_hashes=n_hashes)
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    return bloom_probe(
+        stream, key_col, bits, n_bits=n_bits, n_hashes=n_hashes, flag_col=flag_col
+    )

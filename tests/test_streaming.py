@@ -307,3 +307,41 @@ def test_streaming_cms_converges_to_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_bloom_gate_equals_batch(spark, tmp_path):
+    """The stream-static Bloom blocklist gate drained with availableNow
+    must flag exactly the same rows as the batch probe — and never miss
+    a blocklisted key (no false negatives)."""
+    from procoggraph_spark.operators.sketches import bloom_build, bloom_probe
+    from procoggraph_spark.streaming.windows import streaming_bloom_gate
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    blocklist = spark.createDataFrame(
+        [(f"document body {i}",) for i in (3, 17, 42, 77, 98)], "text string"
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+
+    gated = streaming_bloom_gate(
+        spark, path, docs.schema, blocklist, key_col="text"
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("bloom_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["blocked"] for r in spark.sql(
+        "SELECT * FROM bloom_gate").collect()}
+
+    bits = bloom_build(blocklist, "text")
+    batch = {r["doc_id"]: r["blocked"] for r in bloom_probe(
+        docs, "text", bits, flag_col="blocked").collect()}
+    assert got == batch
+    for i in (3, 17, 42, 77, 98):
+        assert got[i] is True  # no false negatives, ever
