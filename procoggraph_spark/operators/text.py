@@ -324,3 +324,52 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("chunk_len"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: per-document
+    mean of ``-ln p(w_i | w_{i-1})`` where ``p = (c(w1 w2) + k) /
+    (c(w1·) + k·V)`` — the next step up from `unigram_logprob` as a
+    fluency/perplexity proxy (a doc of common words in an uncommon
+    ORDER now scores badly too). Documents shorter than two words have
+    no bigrams and drop out.
+
+    Scale shape: one bigram explode feeding two hash aggregations (the
+    bigram table and the history-count table), two vocabulary-keyed
+    shuffle equi-joins back to the exploded stream (corpus-sized keys —
+    NOT broadcast, same discipline as the unigram/TF-IDF joins), the
+    vocab size as a broadcast 1-row aggregate, and a per-doc average.
+    Pure column algebra; integer counts make the smoothed probability
+    engine-exact before the final rounding.
+    """
+    # local import: word_ngrams lives in dedup (the shingle family);
+    # importing it at module level would cycle dedup -> text
+    from procoggraph_spark.operators.dedup import word_ngrams
+
+    bg = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("bg")
+    ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).agg(F.count_distinct("term").alias("v"))
+    return (
+        bg.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v")))),
+                6,
+            ).alias("avg_neg_logprob_bigram"),
+        )
+    )

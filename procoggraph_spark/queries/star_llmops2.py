@@ -297,3 +297,59 @@ def emb_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.min("d2")), 6).alias("medoid_dist"),
     )
     return n.join(cn, "label").join(med, "label")
+
+
+# --- smoothed bigram LM scoring (fluency proxy; fully SQL-replicable) -----
+
+@q(
+    "text_bigram_logprob",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, s AS bg, string_split(s, ' ')[1] AS w1
+      FROM ws, LATERAL unnest(
+        CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1])
+             ELSE [] END) AS u(s)
+    ),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT tk) AS v FROM ws, LATERAL unnest(w) AS t(tk)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
+               AS avg_neg_logprob_bigram
+    FROM bg JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram LM scoring: per-document mean -ln p(w_i|w_{i-1}) under the corpus's own bigram distribution — the fluency proxy that penalizes common words in uncommon order (see operators/text.bigram_logprob for the two-join scale shape)."""
+    d = t(spark, sf_dir, "documents")
+    return X.bigram_logprob(d, id_col="doc_id", text_col="text", k=1.0)
+
+
+# --- learned quality classifier (fasttext-style linear, trained in-frame) --
+
+@q("text_learned_quality")
+def text_learned_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned curation scorer: distill the heuristic keep/drop gate into a logistic-regression model over hashed bag-of-words features (the fasttext-style fast classifier). Training = 30 batch-GD iterations, each ONE elementwise aggregation with only the 65 model floats crossing to the driver (the Lloyd-iteration discipline); scoring is a pure column-algebra dot product that runs at scan speed. Rows-only: the float training loop isn't SQL-replicable; pytest pins held-out agreement with the gate it distills."""
+    from procoggraph_spark.operators.classifier import featurize, score, train_logreg
+
+    d = t(spark, sf_dir, "documents")
+    labeled = featurize(
+        d.withColumn("label", X.corpus_keep_decision(F.col("text")).cast("int")),
+        text_col="text",
+        n_features=64,
+    ).localCheckpoint(eager=True)  # pin features/labels across GD iterations
+    w, b = train_logreg(labeled, n_features=64, iters=30, lr=2.0)
+    return score(labeled, w, b).select(
+        "doc_id",
+        "label",
+        F.round(F.col("prob"), 4).alias("keep_prob"),
+        (F.col("prob") >= 0.5).cast("int").alias("pred"),
+    )

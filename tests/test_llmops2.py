@@ -227,3 +227,34 @@ def test_hll_estimate_accuracy_and_all_row(spark):
     # the merged row covers at least the biggest single source
     biggest = max(r["hll_estimate"] for s, r in rows.items() if s != "__ALL__")
     assert rows["__ALL__"]["hll_estimate"] >= biggest
+
+
+def test_learned_quality_distills_the_gate(spark):
+    """The trained linear model must agree with the heuristic gate it
+    distills on a large majority of held-out documents, and training
+    must be deterministic for fixed input."""
+    from procoggraph_spark.operators.classifier import featurize, score, train_logreg
+    from procoggraph_spark.operators.text import corpus_keep_decision
+    from procoggraph_spark.queries.common import t as load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    labeled = featurize(
+        d.withColumn("label", corpus_keep_decision(F.col("text")).cast("int")),
+        text_col="text", n_features=64,
+    ).localCheckpoint(eager=True)
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    test = labeled.filter(F.col("doc_id") % 5 == 0)
+    w, b = train_logreg(train, n_features=64, iters=30, lr=2.0)
+    scored = score(test, w, b).withColumn(
+        "pred", (F.col("prob") >= 0.5).cast("int")
+    )
+    agg = scored.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"),
+        F.avg("label").alias("base"),
+    ).collect()[0]
+    # must beat always-predict-majority AND clear a floor
+    majority = max(agg["base"], 1 - agg["base"])
+    assert agg["acc"] >= max(0.75, majority), (agg["acc"], majority)
+    w2, b2 = train_logreg(train, n_features=64, iters=30, lr=2.0)
+    assert b2 == pytest.approx(b, abs=1e-9)
+    assert w2 == pytest.approx(w, abs=1e-9)
