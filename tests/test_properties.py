@@ -272,3 +272,50 @@ def test_corpus_shuffle_is_permutation(spark, ids, n_shards, seed):
         by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=600), min_size=1, max_size=8
+    ),
+    chunk_size=st.integers(20, 200),
+    overlap=st.integers(0, 19),
+)
+@settings(max_examples=20, deadline=None)
+def test_chunk_documents_property(spark, texts, chunk_size, overlap):
+    """For ANY text and any valid (chunk_size, overlap): chunks start at
+    stride multiples, every chunk after the first adds at least one new
+    character, the overlap region matches the previous chunk's tail,
+    and concatenating first-chunk + per-chunk novel suffixes rebuilds
+    the document exactly."""
+    from procoggraph_spark.operators.text import chunk_documents
+
+    stride = chunk_size - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, id_col="doc_id", text_col="text",
+        chunk_size=chunk_size, overlap=overlap,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not text:
+            assert got == []
+            continue
+        assert got, f"non-empty doc {i} produced no chunks"
+        assert got[0]["chunk_start"] == 0
+        rebuilt = got[0]["chunk_text"]
+        for prev, cur in zip(got, got[1:]):
+            assert cur["chunk_start"] == prev["chunk_start"] + stride
+            novel = cur["chunk_text"][len(prev["chunk_text"]) - stride:]
+            assert novel, "chunk added no new characters"
+            assert (
+                prev["chunk_text"][stride:]
+                == cur["chunk_text"][: len(prev["chunk_text"]) - stride]
+            )
+            rebuilt += novel
+        assert rebuilt == text
