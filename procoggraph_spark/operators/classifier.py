@@ -102,16 +102,23 @@ def train_logreg(
     for _ in range(iters):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(_dot(w, feat_col) + F.lit(b))))
         err = (p - F.col(label_col).cast("double")).alias("_err")
-        ex = df.select(err, F.posexplode(F.col(feat_col)).alias("_dim", "_x"))
+        # bias folded in as a constant-1.0 feature at index n_features,
+        # so the whole gradient (weights + bias) is ONE aggregation job
+        # per iteration instead of two
+        ex = df.select(
+            err,
+            F.posexplode(
+                F.concat(F.col(feat_col), F.array(F.lit(1.0)))
+            ).alias("_dim", "_x"),
+        )
         grad_rows = (
             ex.groupBy("_dim")
             .agg(F.sum(F.col("_err") * F.col("_x")).alias("_g"))
             .collect()
         )
-        gb = df.select(err).agg(F.sum("_err").alias("_gb")).collect()[0]["_gb"]
-        grad = [0.0] * n_features
+        grad = [0.0] * (n_features + 1)
         for r in grad_rows:
             grad[r["_dim"]] = r["_g"]
-        w = [wi - lr * gi / n for wi, gi in zip(w, grad)]
-        b -= lr * gb / n
+        w = [wi - lr * gi / n for wi, gi in zip(w, grad[:n_features])]
+        b -= lr * grad[n_features] / n
     return w, b
