@@ -369,3 +369,45 @@ def text_learned_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("prob"), 4).alias("keep_prob"),
         (F.col("prob") >= 0.5).cast("int").alias("pred"),
     )
+
+
+# --- near-dup-aware leakage-safe split (clusters, not just exact dups) ----
+
+def _neardup_split_sql() -> str:
+    from procoggraph_spark.queries.star_llmops import _CLUSTER_JACCARD_SQL
+
+    return f"""
+    WITH base AS ({_CLUSTER_JACCARD_SQL}),
+    j AS (
+      SELECT doc_id, canonical_id,
+             ((canonical_id % 2147483648) * 2654435761)
+               % 4294967296 % 100 AS b
+      FROM base
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM j
+    """
+
+
+@q("split_leakage_safe_neardup", None)
+def split_leakage_safe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware leakage-safe split: Jaccard candidate pairs → connected components → canonical per cluster → the whole CLUSTER takes the canonical's deterministic split, so even non-identical near-duplicates can never straddle train and test (the full-strength version of split_leakage_safe; oracle replays the component closure with a recursive CTE)."""
+    from procoggraph_spark.operators.sampling import deterministic_split
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = D.ngram_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=2, threshold=0.5, max_shingle_df=50
+    )
+    clusters = D.dedup_clusters(pairs, d, id_col="doc_id")
+    s = deterministic_split(
+        clusters,
+        id_col="canonical_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return s.select("doc_id", "canonical_id", "split")
+
+
+ORACLES["split_leakage_safe_neardup"] = _neardup_split_sql()
