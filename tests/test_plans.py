@@ -180,3 +180,14 @@ def test_leakage_split_single_key_shuffle(spark):
     p = plan(spark, df)
     assert "CartesianProduct" not in p
     assert "Python" not in p
+
+
+def test_bigram_lm_no_python_no_cartesian(spark):
+    """bigram_logprob stays whole-plan column algebra: the vocabulary
+    joins shuffle on corpus-sized keys (correct — not broadcast-hinted),
+    with no Python evaluation and no cartesian product; the only
+    broadcast is the 1-row vocab-size aggregate."""
+    df = QUERIES["text_bigram_logprob"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
