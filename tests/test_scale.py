@@ -201,3 +201,45 @@ def test_adaptive_policy_regimes(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", before_sp)
         spark.conf.unset("spark.sql.files.minPartitionNum")
+
+
+def test_leakage_split_survives_viral_dup_group(spark):
+    """One document copied 50k times (the viral boilerplate case) must
+    not break leakage_safe_split: the groupBy+join-back shape partially
+    aggregates the hot key map-side and the join is AQE-skew-splittable
+    — a window over the dup group would materialize all 50k copies in
+    one partition. Correctness: every copy still lands in exactly the
+    canonical's split."""
+    from procoggraph_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    viral = spark.range(0, 50_000).select(
+        F.col("id").alias("doc_id"), F.lit("the viral licence block").alias("kp")
+    )
+    tail = spark.range(50_000, 51_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique "), F.col("id").cast("string")).alias("kp"),
+    )
+    df = viral.unionByName(tail)
+    out = leakage_safe_split(
+        df, id_col="doc_id", key_cols=["kp"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    agg = out.filter(F.col("kp") == "the viral licence block").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("split").alias("n_splits"),
+        F.count_distinct("canonical_id").alias("n_canon"),
+        F.min("canonical_id").alias("canon"),
+    ).collect()[0]
+    assert agg["n"] == 50_000
+    assert agg["n_splits"] == 1 and agg["n_canon"] == 1 and agg["canon"] == 0
+    # and the split is the canonical's own deterministic split
+    canon_split = deterministic_split(
+        spark.createDataFrame([(0,)], "doc_id long"),
+        id_col="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()[0]["split"]
+    got = out.filter(F.col("kp") == "the viral licence block").select(
+        "split").distinct().collect()[0]["split"]
+    assert got == canon_split

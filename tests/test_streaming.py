@@ -345,3 +345,31 @@ def test_streaming_bloom_gate_equals_batch(spark, tmp_path):
     assert got == batch
     for i in (3, 17, 42, 77, 98):
         assert got[i] is True  # no false negatives, ever
+
+
+def test_streaming_chunker_equals_batch(spark, tmp_path):
+    """chunk_documents is stateless column algebra, so the same
+    expression runs unchanged under readStream; availableNow drain must
+    equal the batch chunking exactly."""
+    from procoggraph_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (20 + i)) for i in range(50)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        chunk_documents(stream, id_col="doc_id", text_col="text",
+                        chunk_size=60, overlap=10)
+        .writeStream.format("memory")
+        .queryName("chunks")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM chunks").collect()))
+    want = sorted(map(tuple, chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_size=60, overlap=10).collect()))
+    assert got == want and len(got) > 50
