@@ -17,16 +17,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from procoggraph_spark.operators.sketches import _bucket
 from procoggraph_spark.operators.text import positional_fingerprint, tokens
-
-# the CMS affine-mixer constants — portable integer arithmetic
-_MOD = 2147483648
-_MULT = 2654435761
 
 
 def _token_bucket(tok: Column, n_features: int) -> Column:
-    h = positional_fingerprint(tok)
-    return F.pmod(F.pmod(h * _MULT, F.lit(_MOD)), F.lit(n_features))
+    # reuse the sketch family's portable affine mixer (r=0) — one
+    # definition of the hash constants repo-wide, so the portable-hash
+    # discipline can never silently diverge between modules
+    return _bucket(positional_fingerprint(tok), 0, n_features)
 
 
 def featurize(

@@ -758,18 +758,30 @@ def bloom_decontaminate(
     probed = bloom_probe(
         c_sh, "_sh", bits, n_bits=n_bits, n_hashes=n_hashes, flag_col="_hit"
     )
-    cand = probed.filter(F.col("_hit"))
-    totals = c_sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    n_cand = cand.groupBy("_id").agg(F.count("*").alias("n_candidates"))
+    # Fan-out discipline (no plan-level CSE, same hazard fixed in
+    # bigram_logprob): totals and candidate counts come from ONE
+    # aggregation over the probed stream instead of separate passes over
+    # c_sh and a filtered branch, and the row-level candidate set — the
+    # only other consumer — is localCheckpoint-ed because it is
+    # Bloom-pruned small (that's the operator's whole premise) and
+    # feeds the exact-verify join. Net: the corpus explode+probe chain
+    # evaluates twice (stats + candidate materialization) instead of
+    # the naive three-to-five times.
+    stats = probed.groupBy("_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("_hit").cast("long")).alias("n_candidates"),
+    )
+    cand = probed.filter(F.col("_hit")).select("_id", "_sh").localCheckpoint(
+        eager=False
+    )
     exact = (
         cand.join(b_sh, "_sh")
         .groupBy("_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
     return (
-        totals.join(n_cand, "_id", "left")
-        .join(exact, "_id", "left")
-        .na.fill(0, ["n_candidates", "n_contaminated"])
+        stats.join(exact, "_id", "left")
+        .na.fill(0, ["n_contaminated"])
         .select(
             F.col("_id").alias(id_col),
             "n_shingles",

@@ -268,9 +268,20 @@ def leakage_safe_split(
     copy-pasted document is exactly the case this operator exists for).
     The split itself stays `deterministic_split`'s portable integer
     hash of the canonical id: rerun-, partitioning-, and engine-stable.
+
+    NULL dedup keys group together (null-safe join): rows with a
+    missing key are still assigned a split — a plain equi-join would
+    silently drop them, violating the every-row contract.
     """
+    import functools
+
     canon = df.groupBy(*key_cols).agg(F.min(id_col).alias(canonical_col))
-    joined = df.join(canon, key_cols)
+    cond = functools.reduce(
+        lambda a, b: a & b, [df[k].eqNullSafe(canon[k]) for k in key_cols]
+    )
+    joined = df.join(canon, cond)
+    for k in key_cols:
+        joined = joined.drop(canon[k])
     return deterministic_split(
         joined, id_col=canonical_col, fractions=fractions, label_col=label_col
     )

@@ -219,11 +219,14 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-source HyperLogLog over document terms (hll_sketch_agg), estimated per source, plus an __ALL__ row union-merged from the per-source sketches (hll_union_agg) — the sketch path for vocabulary cardinality at 100 TB, where per-shard sketches merge by union instead of re-shuffling the key space (exact count_distinct kept alongside as the accuracy reference; a production run drops it). Rows-only: the sketch binary is engine-specific; pytest pins bounded merge error (the union promotes sparse sketches to dense HLL mode, so merge is approximate, not estimate-exact), determinism, and estimate accuracy vs exact."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("term"))
+    # one row per source; checkpointed because BOTH union branches
+    # consume it and Spark would otherwise run the corpus-wide token
+    # explode + aggregation twice (no plan-level CSE)
     per = tok.groupBy("source").agg(
         F.hll_sketch_agg("term").alias("_sk"),
         F.count_distinct("term").alias("exact_distinct"),
         F.count("*").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     per_source = per.select(
         "source",
         "n_tokens",
@@ -257,7 +260,12 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY label
     ),
     dist AS (
-      SELECT d.vec_id, d.label, SUM((d.v - c.cv) * (d.v - c.cv)) AS d2
+      -- d2 rounded to 6 decimals BEFORE the medoid rank so the
+      -- tie-break key is identical across engines (raw float sums are
+      -- summation-order-dependent; near-equal distances could
+      -- otherwise rank differently in Spark vs DuckDB)
+      SELECT d.vec_id, d.label,
+             ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS d2
       FROM d JOIN c USING (label, dim) GROUP BY d.vec_id, d.label
     ),
     med AS (
@@ -304,7 +312,9 @@ def emb_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ),
         )
-        .select("vec_id", "label", "d2")
+        .select(
+            "vec_id", "label", F.round(F.col("d2"), 6).alias("d2")
+        )
     )
     med = dist.groupBy("label").agg(
         F.min_by("vec_id", F.struct(F.col("d2"), F.col("vec_id"))).alias(

@@ -25,6 +25,7 @@ from procoggraph_spark.operators.sampling import (
     leakage_safe_split,
 )
 from procoggraph_spark.operators.text import chunk_documents
+from tests.conftest import SF_SMOKE
 
 
 def test_chunk_documents_reconstructs_text(spark):
@@ -214,7 +215,7 @@ def test_hll_estimate_accuracy_and_all_row(spark):
 
     qs, _ = registry()
     rows = {r["source"]: r for r in
-            qs["sketch_hll_distinct"](spark, "/root/testdata/sf0.001").collect()}
+            qs["sketch_hll_distinct"](spark, SF_SMOKE).collect()}
     assert "__ALL__" in rows
     assert rows["__ALL__"]["exact_distinct"] is None
     for src, r in rows.items():
@@ -237,7 +238,7 @@ def test_learned_quality_distills_the_gate(spark):
     from procoggraph_spark.operators.text import corpus_keep_decision
     from procoggraph_spark.queries.common import t as load
 
-    d = load(spark, "/root/testdata/sf0.001", "documents")
+    d = load(spark, SF_SMOKE, "documents")
     labeled = featurize(
         d.withColumn("label", corpus_keep_decision(F.col("text")).cast("int")),
         text_col="text", n_features=64,
@@ -258,3 +259,22 @@ def test_learned_quality_distills_the_gate(spark):
     w2, b2 = train_logreg(train, n_features=64, iters=30, lr=2.0)
     assert b2 == pytest.approx(b, abs=1e-9)
     assert w2 == pytest.approx(w, abs=1e-9)
+
+
+def test_leakage_safe_split_keeps_null_keys(spark):
+    """Rows with a NULL dedup key must still be assigned a split (null-
+    safe join); a plain equi-join would silently drop them."""
+    df = spark.createDataFrame(
+        [(1, "kA"), (2, "kA"), (3, None), (4, None), (5, "kB")],
+        "doc_id long, kp string",
+    )
+    out = leakage_safe_split(
+        df, id_col="doc_id", key_cols=["kp"],
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    assert len(out) == 5
+    nulls = [r for r in out if r["kp"] is None]
+    assert len(nulls) == 2
+    # the null-key group has one canonical and one split like any other
+    assert {r["canonical_id"] for r in nulls} == {3}
+    assert len({r["split"] for r in nulls}) == 1

@@ -30,7 +30,7 @@ onto the SURVEY §2 operator inventory.
 def summarize(fn) -> str:
     doc = (fn.__doc__ or "").strip()
     flat = re.sub(r"\s+", " ", doc)
-    lead = flat.split(". ")[0].rstrip(".")
+    lead = flat.split(". ")[0].rstrip(".").replace("|", "\\|")
     if len(lead) > 140:
         lead = lead[:137] + "..."
     return lead
