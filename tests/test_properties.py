@@ -319,3 +319,46 @@ def test_chunk_documents_property(spark, texts, chunk_size, overlap):
             )
             rebuilt += novel
         assert rebuilt == text
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "dd", "e"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bigram_logprob_matches_python_reference(spark, docs):
+    """bigram_logprob must equal a direct pure-Python computation of the
+    add-1-smoothed bigram cross-entropy on arbitrary small corpora —
+    including single-word docs (no bigrams -> absent from output) and
+    the derived history counts c(w1*) = sum_w2 c(w1 w2)."""
+    import math
+    from collections import Counter
+
+    from procoggraph_spark.operators.text import bigram_logprob
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(
+        df, id_col="doc_id", text_col="text", k=1.0).collect()}
+
+    # pure-Python reference (note: Spark's tokens() on an empty string
+    # yields [''], so an empty doc has one token and no bigrams)
+    tok = {i: (ws if ws else [""]) for i, ws in enumerate(docs)}
+    bigrams = {i: list(zip(ws, ws[1:])) for i, ws in tok.items()}
+    c12 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter(bg[0] for bgs in bigrams.values() for bg in bgs)
+    vocab = len({w for ws in tok.values() for w in ws})
+    for i, bgs in bigrams.items():
+        if not bgs:
+            assert i not in got
+            continue
+        want = sum(
+            -math.log((c12[bg] + 1.0) / (c1[bg[0]] + 1.0 * vocab)) for bg in bgs
+        ) / len(bgs)
+        assert got[i]["n_bigrams"] == len(bgs)
+        assert abs(got[i]["avg_neg_logprob_bigram"] - round(want, 6)) <= 1e-6, i
