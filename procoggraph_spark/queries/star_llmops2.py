@@ -421,3 +421,18 @@ def split_leakage_safe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["split_leakage_safe_neardup"] = _neardup_split_sql()
+
+
+# --- BPE merge training (iterative vocab-table algorithm) -----------------
+
+@q("text_bpe_train")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training over the corpus (Sennrich et al. 2016): the corpus collapses once to a word-frequency table, then every merge iteration runs pair-count aggregation + argmax on the VOCAB-sized table with one (pair, count) row to the driver per merge — the third iterative-trainer shape next to k-means and the logistic classifier. Output: the learned merge table in order. Rows-only: the sequential merge loop isn't SQL-expressible; pytest pins exact merge-sequence equality with a pure-Python reference."""
+    from procoggraph_spark.operators.bpe import train_bpe
+
+    d = t(spark, sf_dir, "documents")
+    merges, _ = train_bpe(d, text_col="text", n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "rank long, sym_a string, sym_b string, merged string, pair_count long",
+    )

@@ -278,3 +278,51 @@ def test_leakage_safe_split_keeps_null_keys(spark):
     # the null-key group has one canonical and one split like any other
     assert {r["canonical_id"] for r in nulls} == {3}
     assert len({r["split"] for r in nulls}) == 1
+
+
+def test_bpe_matches_python_reference(spark):
+    """The distributed BPE trainer must learn the EXACT merge sequence
+    of a pure-Python reference implementation (same tie-break: max
+    count, then pair ascending), and produce the same final symbol
+    arrays per word."""
+    from collections import Counter
+
+    from procoggraph_spark.operators.bpe import END, train_bpe
+
+    corpus = [
+        "low lower lowest low low newer newest new",
+        "wider wide wide new newer low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges, vocab = train_bpe(df, n_merges=12)
+
+    # pure-Python BPE reference
+    wc = Counter(w for t in corpus for w in t.split())
+    syms = {w: [*w, END] for w in wc}
+    ref_merges = []
+    for _ in range(12):
+        pc = Counter()
+        for w, s in syms.items():
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        ref_merges.append((a, b, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert merges == ref_merges
+    got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got == syms
