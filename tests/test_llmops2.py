@@ -326,3 +326,40 @@ def test_bpe_matches_python_reference(spark):
     assert merges == ref_merges
     got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
     assert got == syms
+
+
+def test_text_operator_family_tolerates_null_and_empty_text(spark):
+    """NULL / empty / whitespace-only / single-word documents must not
+    crash any text-family operator (dirty corpora are the NORMAL input
+    of a curation pipeline). Locks no-crash plus basic row accounting:
+    per-doc operators either emit the row (possibly with null outputs)
+    or drop it by documented contract — never an exception."""
+    from procoggraph_spark.operators import bpe as B
+    from procoggraph_spark.operators import text as X
+    from procoggraph_spark.operators.classifier import featurize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a normal document with several words"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    assert len(X.text_stats(docs).collect()) == 5
+    assert len(featurize(docs).collect()) == 5
+    # chunker: empty/None emit nothing, others chunk
+    chunked = chunk_documents(
+        docs, id_col="doc_id", text_col="text", chunk_size=10, overlap=2
+    ).collect()
+    assert {r["doc_id"] for r in chunked} == {1, 4, 5}
+    # bigram LM: only docs with >= 2 tokens appear
+    bg = X.bigram_logprob(docs, id_col="doc_id", text_col="text").collect()
+    assert {r["doc_id"] for r in bg} == {1}
+    # BPE vocab: null/empty contribute no words; no empty-string word
+    words = {r["word"] for r in B.word_vocab(docs).collect()}
+    assert "" not in words and "one" in words
+    # curation gate evaluates without raising on every row
+    assert docs.select(X.corpus_keep_decision(F.col("text"))).count() == 5
