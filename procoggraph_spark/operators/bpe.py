@@ -118,3 +118,44 @@ def train_bpe(
             "syms", _apply_merge(F.col("syms"), a, b)
         ).localCheckpoint(eager=True)
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE model: per document, the subword token count
+    and mean subword length under the learned segmentation. Words are
+    joined (broadcast — the vocab is model-sized) to their trained
+    symbol arrays; words never seen in training fall back to
+    character-level symbols plus the end-of-word marker, exactly what
+    an OOV word degenerates to under BPE.
+
+    Scale shape: explode words → broadcast join → per-doc aggregation;
+    the merge loop never reruns at encode time — encoding is one
+    map-side join at scan speed, which is why trainers ship the vocab,
+    not the merge list, to the data plane.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    fallback = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    joined = words.join(
+        F.broadcast(vocab.select("word", "syms")), "word", "left"
+    ).withColumn("_syms", F.coalesce(F.col("syms"), fallback))
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size("_syms")).alias("n_subword_tokens"),
+        F.round(
+            F.sum(
+                F.aggregate(
+                    "_syms", F.lit(0), lambda acc, s: acc + F.length(s)
+                ).cast("double")
+            )
+            / F.sum(F.size("_syms")),
+            6,
+        ).alias("mean_subword_len"),
+    )

@@ -436,3 +436,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b, int(c)) for i, (a, b, c) in enumerate(merges)],
         "rank long, sym_a string, sym_b string, merged string, pair_count long",
     )
+
+
+@q("text_bpe_encode")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE encoding stats: learn 12 merges on the corpus, then tokenize every document with the learned vocab via a broadcast word→symbols join (OOV words fall back to characters+end-marker) — per doc: word count, subword token count, mean subword length. The encode pass is one map-side join at scan speed; the merge loop never reruns. Rows-only: depends on the trained merges; pytest pins the encode against the reference segmentation."""
+    from procoggraph_spark.operators.bpe import bpe_encode, train_bpe
+
+    d = t(spark, sf_dir, "documents")
+    _, vocab = train_bpe(d, text_col="text", n_merges=12)
+    return bpe_encode(d, vocab, id_col="doc_id", text_col="text")

@@ -363,3 +363,29 @@ def test_text_operator_family_tolerates_null_and_empty_text(spark):
     assert "" not in words and "one" in words
     # curation gate evaluates without raising on every row
     assert docs.select(X.corpus_keep_decision(F.col("text"))).count() == 5
+
+
+def test_bpe_encode_matches_reference_segmentation(spark):
+    """bpe_encode over the trained vocab must count exactly the
+    reference segmentation's subwords, and an OOV word must degrade to
+    characters + end marker."""
+    from procoggraph_spark.operators.bpe import END, bpe_encode, train_bpe
+
+    corpus = ["low lower lowest low low newer newest new",
+              "wider wide wide new newer low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    _, vocab = train_bpe(df, n_merges=12)
+    syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+
+    probe = spark.createDataFrame(
+        [(0, "low lower zzq")], "doc_id long, text string"
+    )
+    row = bpe_encode(probe, vocab).collect()[0]
+    oov = [*"zzq", END]
+    want_tokens = len(syms["low"]) + len(syms["lower"]) + len(oov)
+    assert row["n_words"] == 3
+    assert row["n_subword_tokens"] == want_tokens
+    lens = sum(len(s) for s in syms["low"] + syms["lower"] + oov)
+    assert row["mean_subword_len"] == round(lens / want_tokens, 6)
