@@ -446,3 +446,20 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     _, vocab = train_bpe(d, text_col="text", n_merges=12)
     return bpe_encode(d, vocab, id_col="doc_id", text_col="text")
+
+
+# --- PQ compressed-vector ANN (ADC over 16-byte codes) --------------------
+
+@q("sim_pq_adc_topk")
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ's compression half: train m=16 sub-codebooks (per-subspace Lloyd, model-only driver traffic), encode every vector to 16 one-byte codes map-side, then answer top-5 neighbor queries by scanning CODES with broadcast per-query distance tables (ADC) — zero vector arithmetic on the database side, 16 bytes scanned per vector instead of 256. Rows-only: depends on the trained codebooks; pytest pins code validity, encode determinism, and recall vs exact L2."""
+    from procoggraph_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+
+    e = t(spark, sf_dir, "embeddings")
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+    codes = pq_encode(e, books)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    ]
+    return pq_adc_topk(codes, queries, books, top_k=5)

@@ -389,3 +389,36 @@ def test_bpe_encode_matches_reference_segmentation(spark):
     assert row["n_subword_tokens"] == want_tokens
     lens = sum(len(s) for s in syms["low"] + syms["lower"] + oov)
     assert row["mean_subword_len"] == round(lens / want_tokens, 6)
+
+
+def test_pq_codes_valid_deterministic_and_recall(spark):
+    """PQ: every code in [0, k); encode is rerun-deterministic; ADC
+    top-10 recall vs exact L2 clears a floor on uniform random data
+    (the hard case — measured 0.5 mean at m=16, k=16 on this table);
+    and each query finds its own vector despite quantization."""
+    import numpy as np
+
+    from procoggraph_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+    from procoggraph_spark.queries.common import t as load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    codes = pq_encode(e, books)
+    rows = codes.collect()
+    assert all(0 <= c < 16 for r in rows for c in r["pq_codes"])
+    rerun = pq_encode(e, books).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["pq_codes"])) for r in rows))) == \
+           sorted(map(tuple, ((r["vec_id"], tuple(r["pq_codes"])) for r in rerun)))
+
+    qrows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in e.filter(F.col("vec_id") < 5).collect()]
+    got = pq_adc_topk(codes, qrows, books, top_k=10).collect()
+    db = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in e.collect()}
+    recalls = []
+    for qid, qv in qrows:
+        q = np.array(qv)
+        exact = set(sorted(db, key=lambda i: float(((db[i] - q) ** 2).sum()))[:10])
+        mine = {r["vec_id"] for r in got if r["query_id"] == qid}
+        recalls.append(len(exact & mine) / 10)
+    assert sum(recalls) / len(recalls) >= 0.25, recalls
