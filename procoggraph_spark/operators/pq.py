@@ -70,6 +70,22 @@ def pq_encode(
     column algebra on the scan (per subspace: k squared-distance folds,
     argmin via sorted struct array with code-ascending tie-break), no
     shuffle and no Python."""
+    return df.select(
+        F.col(id_col), _codes_column(codebooks, vec_col).alias(code_col)
+    )
+
+
+def _l2_sq(a, b_lits) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b_lits, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codes_column(codebooks: list[list[list[float]]], vec_col: str):
+    """The m-code array as a single Column expression (reused by both
+    the plain encoder and the fused IVF+PQ index builder)."""
     m = len(codebooks)
     k = len(codebooks[0])
     d_sub = len(codebooks[0][0])
@@ -79,21 +95,15 @@ def pq_encode(
         sub = F.slice(v, s * d_sub + 1, d_sub)
         cands = F.array(*[
             F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+                _l2_sq(
+                    sub, F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
                 ).alias("d"),
                 F.lit(c).alias("c"),
             )
             for c in range(k)
         ])
         codes.append(F.array_sort(cands)[0]["c"])
-    return df.select(F.col(id_col), F.array(*codes).alias(code_col))
+    return F.array(*codes)
 
 
 def pq_adc_topk(
@@ -149,4 +159,98 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
+def ivf_pq_index(
+    df: DataFrame,
+    cell_centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the composed IVF+PQ index rows in ONE map-only pass:
+    (id, cell, pq_codes) — coarse cell by L2 argmin over the broadcast
+    centroid literals, fine codes via `pq_encode`'s per-subspace
+    argmin. No shuffle; the index is written once and scanned by every
+    query afterwards."""
+    v = F.col(vec_col).cast("array<double>")
+    cells = F.array(*[
+        F.struct(
+            _l2_sq(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+            F.lit(int(cell)).alias("c"),
+        )
+        for cell, cv in cell_centroids
+    ])
+    return df.select(
+        F.col(id_col),
+        F.array_sort(cells)[0]["c"].alias("cell"),
+        _codes_column(codebooks, vec_col).alias("pq_codes"),
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    cell_centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+    top_k: int = 10,
+) -> DataFrame:
+    """Composed IVF+PQ query: each query probes its ``n_probe``
+    L2-nearest cells (chosen driver-side against the model-sized
+    centroid list) and ADC-scores ONLY the index rows in those cells —
+    the candidate pruning is a broadcast equi-join on the cell id, so
+    the scan cost per query is the probed cells' share of the corpus,
+    over 16-byte codes. The canonical billion-scale ANN serving shape.
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    rows = []
+    for qid, qv in queries:
+        by_cell = sorted(
+            ((sum((a - b) ** 2 for a, b in zip(qv, cv)), cell)
+             for cell, cv in cell_centroids)
+        )[:n_probe]
+        table = []
+        for s in range(m):
+            qs = qv[s * d_sub:(s + 1) * d_sub]
+            for c in range(k):
+                table.append(
+                    sum((a - b) ** 2 for a, b in zip(qs, codebooks[s][c]))
+                )
+        for _, cell in by_cell:
+            rows.append((qid, cell, table))
+    spark = index.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "query_id long, cell int, _dtable array<double>"
+    )
+    scored = index.join(F.broadcast(qdf), "cell").withColumn(
+        "adc_dist",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.element_at(
+                        "_dtable",
+                        (s * k + F.element_at(F.col("pq_codes"), s + 1) + 1).cast(
+                            "int"
+                        ),
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "cell", "adc_dist", "rank")
     )

@@ -463,3 +463,20 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < 3).collect()
     ]
     return pq_adc_topk(codes, queries, books, top_k=5)
+
+
+@q("sim_ivf_pq_topk")
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale ANN serving shape: coarse IVF cells prune candidates (broadcast equi-join on the query's n_probe nearest cells), then ADC over 16-byte PQ codes reranks only the probed share of the corpus — no raw-vector arithmetic anywhere on the database side. Index built in one map-only select (cell argmin + m code argmins). Rows-only: trained models; pytest pins recall vs exact and that pruning actually skips cells."""
+    from procoggraph_spark.operators.pq import ivf_pq_index, ivf_pq_topk, train_pq
+    from procoggraph_spark.operators.similarity import train_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, n_cells=16, iterations=2)
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+    idx = ivf_pq_index(e, cents, books)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    ]
+    return ivf_pq_topk(idx, queries, cents, books, n_probe=4, top_k=5)

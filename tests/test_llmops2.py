@@ -422,3 +422,46 @@ def test_pq_codes_valid_deterministic_and_recall(spark):
         mine = {r["vec_id"] for r in got if r["query_id"] == qid}
         recalls.append(len(exact & mine) / 10)
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_ivf_pq_recall_and_pruning(spark):
+    """The composed IVF+PQ query must (a) keep useful recall vs exact
+    L2 while probing a quarter of the cells, (b) actually prune — every
+    scored candidate sits in one of the query's probed cells, and the
+    index is one map-only plan with no join."""
+    import numpy as np
+
+    from procoggraph_spark.operators.pq import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        train_pq,
+    )
+    from procoggraph_spark.operators.similarity import train_centroids
+    from procoggraph_spark.queries.common import t as load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    cents = train_centroids(e, n_cells=16, iterations=2)
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+    idx = ivf_pq_index(e, cents, books)
+    from tests.test_plans import plan
+
+    p = plan(spark, idx)
+    assert "Exchange" not in p and "Join" not in p and "Python" not in p
+
+    qrows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in e.filter(F.col("vec_id") < 5).collect()]
+    got = ivf_pq_topk(idx, qrows, cents, books, n_probe=4, top_k=10).collect()
+    cells = {r["vec_id"]: r["cell"] for r in idx.collect()}
+    db = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in e.collect()}
+    recalls = []
+    for qid, qv in qrows:
+        q = np.array(qv)
+        probed = sorted(
+            ((float(((np.array(cv) - q) ** 2).sum()), cell) for cell, cv in cents)
+        )[:4]
+        probe_set = {cell for _, cell in probed}
+        mine = [r for r in got if r["query_id"] == qid]
+        assert all(cells[r["vec_id"]] in probe_set for r in mine)
+        exact = set(sorted(db, key=lambda i: float(((db[i] - q) ** 2).sum()))[:10])
+        recalls.append(len(exact & {r["vec_id"] for r in mine}) / 10)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
