@@ -373,3 +373,39 @@ def test_streaming_chunker_equals_batch(spark, tmp_path):
         docs, id_col="doc_id", text_col="text",
         chunk_size=60, overlap=10).collect()))
     assert got == want and len(got) > 50
+
+
+def test_streaming_classifier_scoring_equals_batch(spark, tmp_path):
+    """A trained linear quality model scores an incoming document
+    stream with the same stateless column algebra as batch (featurize +
+    dot-product fold under readStream); availableNow drain must equal
+    the batch scores exactly — the serve-at-ingest half of the
+    train-offline/score-online pattern."""
+    from procoggraph_spark.operators.classifier import featurize, score, train_logreg
+    from procoggraph_spark.operators.text import corpus_keep_decision
+
+    docs = spark.createDataFrame(
+        [(i, ("good words " * 12) if i % 2 else "x!") for i in range(60)],
+        "doc_id long, text string",
+    )
+    labeled = featurize(
+        docs.withColumn("label", corpus_keep_decision(F.col("text")).cast("int"))
+    ).localCheckpoint(eager=True)
+    w, b = train_logreg(labeled, iters=10, lr=2.0)
+
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        score(featurize(stream), w, b)
+        .select("doc_id", F.round("prob", 6).alias("prob"))
+        .writeStream.format("memory")
+        .queryName("scored_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM scored_stream").collect()))
+    want = sorted(map(tuple, score(featurize(docs), w, b).select(
+        "doc_id", F.round("prob", 6).alias("prob")).collect()))
+    assert got == want and len(got) == 60
