@@ -304,3 +304,36 @@ def pfam_clan_mapping(annotations: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["groupAccession", "pfamClan"])
     )
+
+
+def read_jsonl_corpus(spark, path, schema, *, corrupt_col: str = "_corrupt_record"):
+    """JSON-lines corpus ingest with the repo's dead-letter discipline
+    (the delivery format of most raw web/text corpora): returns
+    ``(good, bad)`` — schema-typed rows, and a frame of the raw
+    malformed lines for quarantine — instead of either failing the job
+    on one bad line (FAILFAST) or silently nulling it (plain
+    PERMISSIVE). Mirrors the arpeggio-JSON and fetcher dead-letter
+    semantics (`sources/parsers.py` P4, `sources/fetchers.py`).
+
+    Scale note: the PERMISSIVE read with a corrupt-record column is a
+    single splittable scan; Spark requires the frame to be materialized
+    before filtering ON the corrupt column alone (SPARK-21610), so the
+    parsed frame is lazily localCheckpoint-ed — one pass, both outputs
+    served from it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .localCheckpoint(eager=False)
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

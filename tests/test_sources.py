@@ -193,3 +193,31 @@ def test_scop2_descriptions_reader(spark, tmp_path):
         ("1000001", "All alpha proteins"),
         ("3000001", "Globin-like superfamily"),
     }
+
+
+def test_read_jsonl_corpus_dead_letters_malformed_lines(spark, tmp_path):
+    """JSONL ingest: typed rows come back clean; malformed lines land
+    in the dead-letter frame verbatim instead of failing the job or
+    silently turning into all-null rows."""
+    from pyspark.sql import types as T
+
+    from procoggraph_spark.sources.readers import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3, "text": "gamma", "extra": "ignored"}\n'
+        '{"doc_id": "not-a-number and unclosed\n'
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    good, bad = read_jsonl_corpus(spark, str(p), schema)
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma"}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in l for l in bad_lines)
