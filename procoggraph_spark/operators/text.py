@@ -390,3 +390,51 @@ def bigram_logprob(
             ).alias("avg_neg_logprob_bigram"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes) — the classic template/repetition signal (a highly
+    compressible document is boilerplate, machine-generated, or
+    looping text; used by Gopher/RefinedWeb-style curation stacks as a
+    cheap complement to the n-gram repetition ratio).
+
+    This is one of the repo's few legitimate Python stages: there is no
+    JVM codec expression for per-row compression, so it runs as
+    mapInPandas — Arrow-batched, one zlib pass per document, no
+    per-row Python function-call overhead beyond the codec itself.
+    Deterministic (zlib level 6 is stable for fixed input), so the
+    pytest recomputes exact values with the same library.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, compressed_bytes long, "
+        "compression_ratio double"
+    )
+
+    def fn(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n = raw.map(len)
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n,
+                    "compressed_bytes": comp,
+                    "compression_ratio": [
+                        round(c / nb, 6) if nb else None
+                        for c, nb in zip(comp, n)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema)

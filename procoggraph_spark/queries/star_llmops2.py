@@ -480,3 +480,10 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < 3).collect()
     ]
     return ivf_pq_topk(idx, queries, cents, books, n_probe=4, top_k=5)
+
+
+@q("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the template/boilerplate curation signal (highly compressible = repetitive). One of the repo's few legitimate Python stages: no JVM codec expression exists, so it runs Arrow-batched under mapInPandas. Rows-only: codec output isn't SQL-replicable; pytest recomputes exact values with zlib directly and pins the repetitive<random ordering."""
+    d = t(spark, sf_dir, "documents")
+    return X.compression_ratio(d, id_col="doc_id", text_col="text")

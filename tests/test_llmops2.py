@@ -465,3 +465,35 @@ def test_ivf_pq_recall_and_pruning(spark):
         exact = set(sorted(db, key=lambda i: float(((db[i] - q) ** 2).sum()))[:10])
         recalls.append(len(exact & {r["vec_id"] for r in mine}) / 10)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_compression_ratio_exact_and_ordering(spark):
+    """compression_ratio must equal a direct zlib recomputation
+    byte-for-byte, rank repetitive text below random-ish text, and
+    survive empty/null documents."""
+    import zlib
+
+    from procoggraph_spark.operators.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 50),
+            (2, "the quick brown fox jumps over a lazy dog while counting"
+                " seventeen distinct prime numbers backwards"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for i, text in [(1, "spam spam spam " * 50),
+                    (2, "the quick brown fox jumps over a lazy dog while counting"
+                        " seventeen distinct prime numbers backwards")]:
+        raw = text.encode()
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["compressed_bytes"] == len(zlib.compress(raw, 6))
+        assert got[i]["compression_ratio"] == round(
+            len(zlib.compress(raw, 6)) / len(raw), 6)
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[3]["compression_ratio"] is None and got[3]["n_bytes"] == 0
+    assert got[4]["compression_ratio"] is None
