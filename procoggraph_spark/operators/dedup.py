@@ -791,3 +791,114 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |A∩B| / min(|A|, |B|).
+
+    Jaccard misses the quote/subset duplication case — a short document
+    wholly embedded in a long one scores low symmetric similarity but
+    containment 1.0 (Broder's containment measure; the reference's
+    near-dup family covers only the symmetric case, ref
+    ``snakemake_pipeline`` dedup discussion). Output names the
+    direction: ``contained_id`` is the smaller shingle set (id-asc on
+    ties), ``container_id`` the larger, ``containment`` =
+    intersection / |contained| rounded to 6.
+
+    Plan shape is ``ngram_jaccard_pairs``'s: distinct-shingle explode →
+    self equi-join on shingle (only co-shingled pairs shuffle) →
+    per-pair intersection count → per-doc sizes joined back. The same
+    ``max_shingle_df`` hot-shingle guard caps the quadratic df² edge,
+    and the retained-universe semantics are identical, so containment
+    stays exact over the informative shingles. Scale posture: one
+    shingle-keyed shuffle + one pair-keyed aggregation; no windows, no
+    broadcast of corpus-sized state.
+    """
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    a_contained = (F.col("_na") < F.col("_nb")) | (
+        (F.col("_na") == F.col("_nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "contained_id"
+            ),
+            F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "container_id"
+            ),
+            F.round(
+                F.col("_inter") / F.least(F.col("_na"), F.col("_nb")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def incremental_ingest_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify an incoming batch against an already-ingested corpus:
+    ``new`` (first occurrence of its content anywhere), ``dup_batch``
+    (another batch row with the same content has a smaller id), or
+    ``dup_history`` (content already ingested) — the continual-ingestion
+    shape a production corpus runs every crawl cycle, where re-hashing
+    the full history per batch would be quadratic over time.
+
+    Content key = md5(text) (portable across engines). History is
+    reduced to its DISTINCT key set before the join — the only state
+    the incremental path ever touches, amenable to an incrementally
+    maintained key table (S16 cache discipline). Within-batch firsts
+    use groupBy(min id) + join-back, not a window over the unbounded
+    hash-key space. Both joins are hash-keyed shuffles; nothing is
+    broadcast (history is corpus-scale) and AQE may still choose a
+    broadcast when the key set is small.
+    """
+    key = F.md5(F.col(text_col)).alias("_k")
+    hkeys = history.select(key).distinct()
+    bk = batch.select(F.col(id_col), key)
+    first = bk.groupBy("_k").agg(F.min(id_col).alias("_first_id"))
+    return (
+        bk.join(first, "_k")
+        .join(hkeys.withColumn("_in_hist", F.lit(True)), "_k", "left")
+        .select(
+            id_col,
+            F.when(F.col("_in_hist").isNotNull(), F.lit("dup_history"))
+            .when(F.col(id_col) != F.col("_first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+        )
+    )

@@ -14,6 +14,7 @@ def registry():
         star_graph,
         star_llmops,
         star_llmops2,
+        star_llmops3,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -48,6 +49,7 @@ def registry():
         star_relational,
         star_graph,
         star_llmops2,  # round-5 second batch: appended past the window
+        star_llmops3,  # round-5 third batch: appended past the window
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

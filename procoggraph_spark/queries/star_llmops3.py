@@ -1,0 +1,242 @@
+"""Training-pipeline extension queries (round 5, third batch):
+containment near-dup, incremental-ingest dedup, per-source caps,
+Zipf corpus auditing, and embedding outlier QA.
+
+Registered LAST in the registry union so the driver's 50-row sample
+window (pinned by tests/test_oracle_parity.py::test_driver_window_rotation)
+is unaffected; every query here is oracle-backed and verified by the
+full parity suite at sf0.001 plus the gate-fidelity sf0.01 run. All
+rotate into driver visibility on a later round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import dedup as D
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- asymmetric containment near-dup (quote/subset duplication) -----------
+
+@q(
+    "dedup_containment",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g AS sh
+      FROM w, LATERAL unnest(list_transform(generate_series(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i + 1])) AS u(g)
+    ),
+    hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 200),
+    cool AS (SELECT doc_id, sh FROM sh ANTI JOIN hot USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM cool GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM cool a JOIN cool b USING (sh)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, i, sa.n AS na, sb.n AS nb
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+                THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+                THEN id_b ELSE id_a END AS container_id,
+           round(i / least(na, nb), 6) AS containment
+    FROM pairs
+    WHERE round(i / least(na, nb), 6) >= 0.3
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / |smaller| over distinct word bigrams — catches the quote/subset case symmetric Jaccard misses (a short doc embedded in a long one is containment 1.0 but low Jaccard). Same shingle-keyed self-join shape and hot-shingle df guard as ngram_jaccard_pairs; output names the direction (contained_id = smaller shingle set, id-asc ties)."""
+    return D.containment_pairs(
+        t(spark, sf_dir, "documents"),
+        n=2,
+        threshold=0.3,
+        max_shingle_df=200,
+    )
+
+
+# --- incremental-ingest dedup (the continual-crawl shape) -----------------
+
+@q(
+    "dedup_incremental_ingest",
+    """
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS k FROM documents WHERE source = 'src0'
+    ),
+    hist AS (
+      SELECT DISTINCT md5(text) AS k FROM documents WHERE source <> 'src0'
+    ),
+    first AS (SELECT k, MIN(doc_id) AS first_id FROM batch GROUP BY k)
+    SELECT b.doc_id,
+           CASE WHEN h.k IS NOT NULL THEN 'dup_history'
+                WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+                ELSE 'new' END AS decision
+    FROM batch b JOIN first f USING (k) LEFT JOIN hist h USING (k)
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingestion dedup: the 'src0' slice plays the incoming crawl batch, every other source the already-ingested history. Each batch doc is classified new / dup_batch / dup_history by md5 content key — history reduced to its distinct key set before the join (the state an incremental key table maintains), within-batch firsts via groupBy(min)+join-back, never a window over the unbounded hash-key space."""
+    docs = t(spark, sf_dir, "documents")
+    return D.incremental_ingest_dedup(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
+# --- per-source document cap (the per-domain quota from CC pipelines) -----
+
+@q(
+    "curation_source_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761)
+                          % 4294967296 % 1000000, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 15
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain quota every web-corpus pipeline applies so one giant domain can't dominate the mix): keep at most 15 docs per source, selected by the portable multiplicative-hash rank with id tie-break — a pure function of (source, doc_id), so reruns and re-ingests keep the identical subset. One shuffle on the source key via exact_k_per_group."""
+    from procoggraph_spark.operators.sampling import exact_k_per_group
+
+    return exact_k_per_group(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        id_col="doc_id",
+        group_col="source",
+        k=15,
+    ).select("doc_id", "source")
+
+
+# --- Zipf rank-frequency audit (corpus-health diagnostic) -----------------
+
+@q(
+    "text_zipf_slope",
+    r"""
+    WITH tk AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    c AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY term),
+    top AS (SELECT term, c FROM c ORDER BY c DESC, term LIMIT 1000),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank FROM top
+    )
+    SELECT COUNT(*) AS n_terms,
+           ROUND(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(c), ln(rank)), 6) AS zipf_intercept
+    FROM r
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: least-squares slope of ln(freq) vs ln(rank) over the top-1000 terms — natural corpora sit near -1; a flat slope flags template/boilerplate floods, a cliff flags vocabulary collapse. The rank window runs on the LIMITed 1000-row table (bounded by construction — the forbidden-unbounded-window rule doesn't apply), ordered (freq desc, term) so both engines cut and rank the identical set; the term count itself is one map-side-combinable aggregation."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "term").limit(1000)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(F.log("c"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("c"), F.log("rank")), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# --- embedding outlier QA (per-dim z-score, broadcast-fold) ---------------
+
+@q(
+    "emb_outlier_zscore",
+    """
+    WITH x AS (
+      SELECT vec_id, label, i, embedding[i] AS v
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    s AS (SELECT i, AVG(v) AS m, stddev_pop(v) AS sd FROM x GROUP BY i),
+    z AS (
+      SELECT vec_id, label,
+             MAX(ABS(ROUND(CASE WHEN sd = 0 THEN 0 ELSE (v - m) / sd END, 4)))
+                 AS max_abs_z,
+             COUNT(*) FILTER (
+               WHERE ABS(ROUND(CASE WHEN sd = 0 THEN 0
+                                    ELSE (v - m) / sd END, 4)) >= 2.0
+             ) AS n_dims_over_2
+      FROM x JOIN s USING (i)
+      GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, max_abs_z, n_dims_over_2
+    FROM z WHERE max_abs_z >= 3.0
+    """,
+)
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier QA: flag vectors whose worst per-dimension z-score is ≥3 (corrupt encodes, wrong-modality rows, normalization bugs). Per-dim mean/stddev_pop is one hash aggregation over a BOUNDED key space (the dim index); the stats come back as a single broadcast row of dim-indexed arrays and the z fold runs zip_with/aggregate at scan speed — the emb_centroid_medoid discipline: never a (vec,dim)-keyed join-back of the corpus, never a per-dim collect of raw vectors. z rounded to 4 before compare so both engines gate on identical values."""
+    e = t(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", F.posexplode("embedding").alias("dim", "_vf")).withColumn(
+        "v", F.col("_vf").cast("double")
+    )
+    stats = d.groupBy("dim").agg(
+        F.avg("v").alias("m"), F.stddev_pop("v").alias("sd")
+    )
+    sarr = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m", "sd"))),
+            lambda s: s["m"],
+        ).alias("_m"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m", "sd"))),
+            lambda s: s["sd"],
+        ).alias("_sd"),
+    )
+    zarr = F.zip_with(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("_m"),
+            lambda a, b: a - b,
+        ),
+        F.col("_sd"),
+        lambda num, sd: F.abs(
+            F.round(F.when(sd == 0.0, F.lit(0.0)).otherwise(num / sd), 4)
+        ),
+    )
+    return (
+        e.crossJoin(F.broadcast(sarr))
+        .select(
+            "vec_id",
+            "label",
+            F.array_max(zarr).alias("max_abs_z"),
+            F.size(F.filter(zarr, lambda z: z >= 2.0)).alias("n_dims_over_2"),
+        )
+        .filter(F.col("max_abs_z") >= 3.0)
+    )
