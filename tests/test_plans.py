@@ -191,3 +191,50 @@ def test_bigram_lm_no_python_no_cartesian(spark):
     p = plan(spark, df)
     assert "Python" not in p
     assert "CartesianProduct" not in p
+
+
+def test_containment_no_cartesian_hot_guard_broadcast(spark):
+    """dedup_containment must keep ngram_jaccard's scale shape: the
+    pair generation is a shingle-keyed equi-join (never cartesian) and
+    the hot-shingle guard is a broadcast anti-join (the hot set is tiny
+    by construction)."""
+    p = plan(spark, QUERIES["dedup_containment"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_incremental_ingest_no_window_no_python(spark):
+    """Within-batch firsts must come from groupBy(min)+join-back, never
+    a window over the unbounded content-hash key space; the whole
+    classification is pure column algebra."""
+    p = plan(spark, QUERIES["dedup_incremental_ingest"](spark, SF_ORACLE))
+    assert "Window" not in p
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_emb_outlier_single_broadcast_no_dim_join_back(spark):
+    """emb_outlier_zscore follows the centroid-fold discipline: the
+    per-dim stats cross the plan exactly once as a broadcast one-row
+    frame; the corpus is never joined back on a (vec, dim) key. The
+    broadcast nested-loop join IS the intended shape here — a one-row
+    broadcast side, i.e. a constant fold, not a pair blowup."""
+    p = plan(spark, QUERIES["emb_outlier_zscore"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in p
+    # exactly one broadcast exchange: the 1-row stats frame
+    assert p.count("BroadcastExchange (") == 1
+    # no shuffle-keyed join of the exploded corpus back to stats
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_zipf_window_after_limit(spark):
+    """The rank window may only run on the LIMITed top-1000 table —
+    the plan must show the global limit below the window, so the
+    single-partition window never sees the unbounded vocabulary."""
+    df = QUERIES["text_zipf_slope"](spark, SF_ORACLE)
+    p = plan(spark, df, mode="simple")
+    # Catalyst fuses orderBy+limit into TakeOrderedAndProject; it must
+    # sit BELOW the window (appear after it in the tree print)
+    assert "Window" in p and "TakeOrderedAndProject" in p
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
