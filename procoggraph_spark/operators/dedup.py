@@ -67,6 +67,32 @@ def _exploded_shingles(
     )
 
 
+def _guarded_shingles(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Distinct-shingle explode with the hot-shingle df guard applied:
+    shingles above the document-frequency cap are dropped via a
+    broadcast anti-join (the hot set is tiny by construction) before
+    any pair generation. Shared by the symmetric (Jaccard) and
+    asymmetric (containment) pair generators so the retained-universe
+    semantics — and the plan shape — stay identical."""
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -94,16 +120,9 @@ def ngram_jaccard_pairs(
     carry ~zero IDF signal anyway. None = no cap (exact full-universe
     Jaccard; only safe when df is known to be bounded).
     """
-    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("_sh")
-        )
-        # broadcast anti-join: the hot set is tiny by construction
-        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    sh = _guarded_shingles(
+        df, id_col=id_col, text_col=text_col, n=n, max_shingle_df=max_shingle_df
+    )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
     a = sh.select(F.col("_id").alias("id_a"), "_sh")
@@ -821,16 +840,22 @@ def containment_pairs(
     stays exact over the informative shingles. Scale posture: one
     shingle-keyed shuffle + one pair-keyed aggregation; no windows, no
     broadcast of corpus-sized state.
+
+    The post-guard shingle table has THREE sibling consumers (sizes,
+    join-left, join-right) and Spark does no plan-level CSE, so without
+    intervention the corpus scan + explode + anti-join executes three
+    times. A lazy localCheckpoint materializes it once (interleaved
+    best-of-4 at the 10× probe: 1.66 vs 2.14 s, −22%); the trade is
+    one shingle-table materialization to executor-local storage against
+    two extra full-corpus explodes — the right side of the trade
+    whenever the corpus is large enough for this operator to matter.
+    (The checkpoint swallows the guard subplan from the final explain;
+    tests/test_plans.py asserts the guard shape on ``_guarded_shingles``
+    directly.)
     """
-    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("_sh")
-        )
-        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    sh = _guarded_shingles(
+        df, id_col=id_col, text_col=text_col, n=n, max_shingle_df=max_shingle_df
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
 
     a = sh.select(F.col("_id").alias("id_a"), "_sh")

@@ -195,13 +195,28 @@ def test_bigram_lm_no_python_no_cartesian(spark):
 
 def test_containment_no_cartesian_hot_guard_broadcast(spark):
     """dedup_containment must keep ngram_jaccard's scale shape: the
-    pair generation is a shingle-keyed equi-join (never cartesian) and
+    pair generation is a shingle-keyed equi-join (never cartesian), and
     the hot-shingle guard is a broadcast anti-join (the hot set is tiny
-    by construction)."""
+    by construction). The guard sits below a lazy localCheckpoint in
+    the full query (three-consumer reuse), which swallows its subplan
+    from the final explain — so the guard shape is asserted on the
+    shared ``_guarded_shingles`` frame the checkpoint wraps."""
     p = plan(spark, QUERIES["dedup_containment"](spark, SF_ORACLE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+    from procoggraph_spark.operators.dedup import _guarded_shingles
+    from procoggraph_spark.queries.common import t
+
+    g = _guarded_shingles(
+        t(spark, SF_ORACLE, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n=2,
+        max_shingle_df=200,
+    )
+    gp = plan(spark, g)
+    assert "LeftAnti" in gp and "BroadcastHashJoin" in gp
 
 
 def test_incremental_ingest_no_window_no_python(spark):
