@@ -427,3 +427,56 @@ def streaming_bloom_gate(
     return bloom_probe(
         stream, key_col, bits, n_bits=n_bits, n_hashes=n_hashes, flag_col=flag_col
     )
+
+
+def streaming_incremental_ingest(
+    spark,
+    docs_path: str,
+    schema,
+    history,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Streaming face of ``dedup.incremental_ingest_dedup``: documents
+    arriving on a stream are admitted only if their content key (md5 of
+    the text) is neither in the static, already-ingested history nor
+    seen earlier in the stream — the continual-crawl ingest gate run at
+    arrival time instead of per-batch.
+
+    Plan: the history collapses to its DISTINCT key set once (static
+    side of a stream-static left join — stateless for the stream;
+    Spark re-plans the static side per micro-batch, so a growing
+    history table is picked up on the next trigger without restarting
+    the query). Within-stream firsts use ``dropDuplicates`` on the
+    content key: with ``ts_col`` set, state is watermark-bounded (the
+    production posture — re-crawled content older than the watermark is
+    instead caught by the history side once the key table is upserted);
+    without it, availableNow drains with keys-seen state for the drain
+    (the test/backfill posture).
+
+    Returns the admitted-documents stream (the rows an ingest pipeline
+    appends to the corpus and whose keys it upserts into the history
+    table, S16 cache discipline). The choice of WHICH duplicate
+    survives is arrival-order-dependent; the admitted key SET is not —
+    the batch-equality test pins exactly that invariant.
+    """
+    hkeys = (
+        history.select(F.md5(F.col(text_col)).alias("_k"))
+        .distinct()
+        .withColumn("_in_hist", F.lit(True))
+    )
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    keyed = stream.withColumn("_k", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        keyed = keyed.withWatermark(ts_col, watermark)
+        fresh = keyed.join(hkeys, "_k", "left").filter(
+            F.col("_in_hist").isNull()
+        ).dropDuplicates(["_k", ts_col])
+    else:
+        fresh = keyed.join(hkeys, "_k", "left").filter(
+            F.col("_in_hist").isNull()
+        ).dropDuplicates(["_k"])
+    return fresh.drop("_in_hist")

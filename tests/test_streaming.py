@@ -409,3 +409,45 @@ def test_streaming_classifier_scoring_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, score(featurize(docs), w, b).select(
         "doc_id", F.round("prob", 6).alias("prob")).collect()))
     assert got == want and len(got) == 60
+
+
+def test_streaming_incremental_ingest_equals_batch_decisions(spark, tmp_path):
+    """The streaming ingest gate must admit exactly the batch
+    classifier's 'new' rows: same admitted key SET (which duplicate
+    survives is arrival-order-dependent and deliberately unpinned), no
+    history key ever admitted, and redelivered files add nothing."""
+    from procoggraph_spark.operators.dedup import incremental_ingest_dedup
+    from procoggraph_spark.streaming.windows import streaming_incremental_ingest
+
+    docs = t(spark, SF_SMOKE, "documents")
+    history = docs.filter(F.col("source") != "src0")
+    batch = docs.filter(F.col("source") == "src0")
+
+    inbox = str(tmp_path / "ingest_inbox")
+    batch.coalesce(1).write.mode("append").parquet(inbox)
+    batch.coalesce(1).write.mode("append").parquet(inbox)  # redelivery
+
+    q = (
+        streaming_incremental_ingest(spark, inbox, batch.schema, history)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = spark.sql("SELECT _k, doc_id FROM ingest_stream").collect()
+
+    decisions = incremental_ingest_dedup(history, batch).collect()
+    new_ids = {r.doc_id for r in decisions if r.decision == "new"}
+    new_keys = {
+        r._k
+        for r in batch.select(
+            "doc_id", F.md5("text").alias("_k")
+        ).collect()
+        if r.doc_id in new_ids
+    }
+
+    # one admitted row per fresh content key, despite the redelivery
+    assert len(admitted) == len(new_keys)
+    assert {r._k for r in admitted} == new_keys
