@@ -240,3 +240,70 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_abs_z") >= 3.0)
     )
+
+
+# --- cross-source shingle overlap matrix (mix-component diagnostics) ------
+
+@q(
+    "curation_source_overlap",
+    r"""
+    WITH w AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, g AS sh
+      FROM w, LATERAL unnest(list_transform(generate_series(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i + 1])) AS u(g)
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_shingles
+      FROM sh a JOIN sh b USING (sh)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_shingles,
+           sa.n AS n_a, sb.n AS n_b,
+           round(shared_shingles / least(sa.n, sb.n), 6) AS overlap_coef
+    FROM shared JOIN sizes sa ON sa.source = source_a
+                JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix: for every pair of corpus components, the overlap coefficient of their distinct word-bigram sets — the template/boilerplate-leakage diagnostic a mix designer reads before weighting sources (high overlap = the components are not independent evidence). CONTRACT: source is a mix-component label (tens to hundreds), so the per-shingle pair fanout is bounded by sources² — for domain-granularity overlap use the content-key path instead. The per-source distinct shingle table (sources × vocab — small) feeds three consumers, so it is lazily checkpointed once; the pair join is shingle-keyed, never cartesian."""
+    from procoggraph_spark.operators.dedup import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 2))).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_shingles") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap_coef"),
+        )
+    )

@@ -253,3 +253,18 @@ def test_zipf_window_after_limit(spark):
     # sit BELOW the window (appear after it in the tree print)
     assert "Window" in p and "TakeOrderedAndProject" in p
     assert p.index("TakeOrderedAndProject") > p.index("Window")
+
+
+def test_source_cap_partial_window_group_limit(spark):
+    """curation_source_cap's scale property: the row_number cut must be
+    pushed map-side (WindowGroupLimit Partial below the exchange), so a
+    single giant source shuffles at most k rows per input partition —
+    not its full document set — before the final per-source rank."""
+    df = QUERIES["curation_source_cap"](spark, SF_ORACLE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p
+    partial_at = p.index(", Partial")
+    exch_at = p.index("Exchange hashpartitioning(source")
+    # tree prints top-down: the Partial limit appears BELOW (after) the
+    # exchange node in the string
+    assert partial_at > exch_at
