@@ -307,3 +307,77 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# --- per-source quality drift (corpus monitoring) -------------------------
+
+_QUALITY_BY_SOURCE_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             string_split(trim(text), ' ') AS ws,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS np
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             ROUND((
+               (CASE WHEN n >= 100 THEN 1.0 ELSE n / 100.0 END)
+               + (1.0 - least(np * 1.0 / greatest(n, 1) * 5.0, 1.0))
+               + least(len(list_filter(ws, w -> list_contains(
+                   ['the','a','an','of','and','or','to','in','is','it'], w)))
+                   * 1.0 / greatest(len(ws), 1) * 5.0, 1.0)
+               + (CASE WHEN (list_sum(list_transform(ws, w -> length(w)))
+                            * 1.0 / greatest(len(ws), 1)) BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END)
+             ) / 4.0, 6) AS quality
+      FROM s
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             ROUND(AVG(quality), 6) AS avg_quality,
+             ROUND(stddev_pop(quality), 6) AS sd_quality
+      FROM m GROUP BY source
+    ),
+    g AS (
+      SELECT AVG(avg_quality) AS gm, stddev_pop(avg_quality) AS gsd
+      FROM per_src
+    )
+    SELECT source, n_docs, avg_quality, sd_quality,
+           ROUND(CASE WHEN gsd = 0 THEN 0
+                      ELSE (avg_quality - gm) / gsd END, 4) AS drift_z
+    FROM per_src CROSS JOIN g
+"""
+
+
+@q("curation_quality_drift", _QUALITY_BY_SOURCE_SQL)
+def curation_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift monitor: mean/spread of the composite quality score per corpus component, plus each component's z-score against the across-source distribution — the dashboard row that catches one source going bad between crawls. Two bounded aggregations (source key space, then a single-row global over the per-source table broadcast back with a crossJoin); the per-doc scoring is the same scan-speed column algebra as text_quality_score."""
+    from procoggraph_spark.operators import text as X
+
+    d = t(spark, sf_dir, "documents")
+    per_doc = d.select("source", X.quality_score(F.col("text")).alias("quality"))
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.stddev_pop("quality"), 6).alias("sd_quality"),
+    )
+    g = per_src.agg(
+        F.avg("avg_quality").alias("_gm"),
+        F.stddev_pop("avg_quality").alias("_gsd"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_docs",
+            "avg_quality",
+            "sd_quality",
+            F.round(
+                F.when(F.col("_gsd") == 0.0, F.lit(0.0)).otherwise(
+                    (F.col("avg_quality") - F.col("_gm")) / F.col("_gsd")
+                ),
+                4,
+            ).alias("drift_z"),
+        )
+    )
