@@ -168,3 +168,38 @@ def test_emb_outlier_flags_planted_corrupt_vector(spark):
     assert [r.vec_id for r in out] == [99]
     assert out[0].max_abs_z > 6.0
     assert out[0].n_dims_over_2 == 1
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark):
+    """Cross-operator invariant: containment = i/min(na,nb) ≥
+    jaccard = i/(na+nb-i) for every pair, so every pair the Jaccard
+    generator reports at a threshold must appear in the containment
+    generator's output at the same threshold — with a value at least as
+    large. Checked on a seeded random corpus with planted overlaps."""
+    import random
+
+    from procoggraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    for i in range(30):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(20)]
+        rows.append((i, " ".join(words)))
+        if i % 3 == 0:  # plant an overlapping partner: shared prefix
+            rows.append((100 + i, " ".join(words[:12] + ["x%d" % i])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    cont = {}
+    for r in containment_pairs(docs, threshold=0.2).collect():
+        a, b = sorted((r.contained_id, r.container_id))
+        cont[(a, b)] = r.containment
+
+    assert jac, "seeded corpus must produce at least one Jaccard pair"
+    for pair, jv in jac.items():
+        assert pair in cont, f"{pair} reported by jaccard but not containment"
+        assert cont[pair] >= jv - 1e-9, (pair, cont[pair], jv)
