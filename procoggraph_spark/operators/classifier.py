@@ -98,6 +98,11 @@ def train_logreg(
     w = [0.0] * n_features
     b = 0.0
     n = df.count()
+    if n == 0:
+        raise ValueError(
+            "train_logreg: training frame is empty (0 rows) — check the "
+            "upstream label/feature filters"
+        )
     for _ in range(iters):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(_dot(w, feat_col) + F.lit(b))))
         err = (p - F.col(label_col).cast("double")).alias("_err")

@@ -156,18 +156,44 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 2,
     num_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures: for hash function i, min over shingles of
     xxhash64(shingle, seed=i). One explode + one groupBy — the standard
     shuffle-light formulation (signature never holds the shingle set).
 
+    ``portable=True`` swaps xxhash64 for the repo's portable-arithmetic
+    discipline (positional shingle fingerprint + the CMS affine mixers
+    as the i-th permutation, all plain int64 ops), so a DuckDB oracle
+    rebuilds the identical signatures — the same trick the portable
+    SimHash twin uses. Default stays xxhash64 (better mixing,
+    JVM-hashed).
+
     Output: (id, sig: array<long> of length num_hashes).
     """
     sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
-    mins = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        from procoggraph_spark.operators.sketches import (
+            _ADD_STEP,
+            _MOD,
+            _MULT_BASE,
+            _MULT_STEP,
+        )
+        from procoggraph_spark.operators.text import positional_fingerprint
+
+        fp = positional_fingerprint(F.col("_sh"))
+        mins = [
+            F.min(
+                (fp * F.lit(_MULT_BASE + i * _MULT_STEP) + F.lit(i * _ADD_STEP))
+                % F.lit(_MOD)
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     sig = sh.groupBy("_id").agg(*mins)
     return sig.select(
         F.col("_id").alias(id_col),
@@ -217,6 +243,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """Fused LSH banding + Jaccard estimate in a single pass: the band
     explode carries the full signature, so the band equi-join yields both
@@ -238,21 +265,37 @@ def minhash_lsh_pairs(
     guard every at-scale LSH dedup ships. Pairs that are genuine
     near-dups still collide in their other, selective bands.
 
+    ``portable_bands=True`` keys band buckets on the exact concatenated
+    band values (a string) instead of xxhash64 of them: collision-free,
+    so two docs share a bucket IFF the band slices are value-equal —
+    what a SQL twin computes by slice comparison. Shuffle keys are a
+    few bytes wider; semantics otherwise identical (xxhash64 equality
+    already implies value equality up to negligible hash collisions).
+
     Output: (id_a, id_b, n_bands_matched, est_jaccard).
     """
+    if portable_bands:
+        band_keys = [
+            F.concat_ws(
+                "|",
+                *[
+                    F.col("sig")[i * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for i in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(
+                *[F.col("sig")[i * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for i in range(bands)
+        ]
     b = signatures.select(
         F.col(id_col).alias("_id"),
         F.col("sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("sig")[i * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("_band", "_bh"),
+        F.posexplode(F.array(*band_keys)).alias("_band", "_bh"),
     )
     if max_bucket_size is not None:
         hot = (
@@ -903,8 +946,12 @@ def incremental_ingest_dedup(
     shape a production corpus runs every crawl cycle, where re-hashing
     the full history per batch would be quadratic over time.
 
-    Content key = md5(text) (portable across engines). History is
-    reduced to its DISTINCT key set before the join — the only state
+    Content key = md5(text), with NULL text coalesced to a sentinel key
+    (md5 output is hex, so the sentinel cannot collide) — md5(NULL) is
+    NULL and a NULL join key would silently drop the row from the inner
+    first-occurrence join, violating the classify-every-row contract on
+    dirty corpora. Portable across engines (the oracle replays the same
+    COALESCE). History is reduced to its DISTINCT key set before the join — the only state
     the incremental path ever touches, amenable to an incrementally
     maintained key table (S16 cache discipline). Within-batch firsts
     use groupBy(min id) + join-back, not a window over the unbounded
@@ -912,7 +959,7 @@ def incremental_ingest_dedup(
     broadcast (history is corpus-scale) and AQE may still choose a
     broadcast when the key set is small.
     """
-    key = F.md5(F.col(text_col)).alias("_k")
+    key = F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__")).alias("_k")
     hkeys = history.select(key).distinct()
     bk = batch.select(F.col(id_col), key)
     first = bk.groupBy("_k").agg(F.min(id_col).alias("_first_id"))

@@ -55,6 +55,18 @@ def train_pq(
             n_cells=k, iterations=iterations,
         )
         books.append([v for _, v in crows])
+    # The encoders and ADC scorers lay distance tables out flat as
+    # s * k + code, which silently misaligns (or raises IndexError) if
+    # any subspace trained fewer than k cells — possible when the
+    # corpus has fewer than k distinct sub-vectors in some subspace.
+    # Fail loudly at training time instead.
+    short = [(s, len(b)) for s, b in enumerate(books) if len(b) != k]
+    if short:
+        raise ValueError(
+            f"PQ training produced non-uniform codebooks (expected {k} "
+            f"centroids per subspace, got {short}); the corpus is too "
+            "small or degenerate for this k — lower k or m"
+        )
     return books
 
 

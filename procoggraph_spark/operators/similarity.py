@@ -222,9 +222,11 @@ def ivf_assign(
         F.col(id_col),
         F.col(vec_col),
         F.col("_cell"),
-        (dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_ctn"))).alias(
-            "_score"
-        ),
+        # rounded like the numpy path, so both assignment backends (and
+        # the SQL oracle twin) resolve near-tie cells identically
+        F.round(
+            dot(F.col(vec_col), F.col("_cv")) / (F.col("_vn") * F.col("_ctn")), 6
+        ).alias("_score"),
     )
     if n_probe == 1:
         best = scored.groupBy(id_col, vec_col).agg(
@@ -277,7 +279,12 @@ def ivf_assign_numpy(
             V = np.stack(pdf[vec_col].to_numpy())
             vn = np.linalg.norm(V, axis=1)
             vn[vn == 0.0] = 1.0
-            scores = (V @ C.T) / (vn[:, None] * Cn[None, :])
+            # round before the argmax cut (same convention as
+            # gemm_topk): assignment ties become well-defined at 1e-6
+            # and resolve by centroid order on BOTH engines, so a SQL
+            # twin replays identical cell assignments despite BLAS
+            # vs sequential-fold summation differing in the last ulp
+            scores = np.round((V @ C.T) / (vn[:, None] * Cn[None, :]), 6)
             if n_probe == 1:
                 picked = scores.argmax(axis=1)[:, None]
             else:

@@ -8,6 +8,33 @@ Names are prefixed with the SURVEY §2 operator-family id they exercise.
 
 from __future__ import annotations
 
+# Round-6 driver window (the external correctness gate samples the
+# FIRST 50 registry keys): rows that carry a red/crashed round-5 driver
+# record or whose oracle changed this round, promoted ahead of the
+# module union so the fixes get re-verified externally. Every name here
+# must exist in the union — registry() raises on a stale entry, so a
+# rename/removal fails loudly instead of silently rotating the wrong
+# row into the window.
+_PROMOTE = (
+    # r05 hash-FAIL (oracle HUGEINT dtype bug, CAST-fixed this round)
+    "pack_token_budget",
+    "corpus_pareto_coverage",
+    "mm_asset_metadata",
+    # r05 driver check crashed on the array<double> output column; now
+    # registered as a scalar projection
+    "mm_feature_extract",
+    # oracle added/changed this round (was rows-only / no_oracle)
+    "sim_ivf_ann",
+    "a3_approx_count_distinct",
+    # round-5 additions at the tail of star_relational2 — never
+    # driver-sampled (the rest of the never-sampled set arrives whole
+    # via the star_llmops2/3/4 modules leading the union below)
+    "dedup_semantic_cluster",
+    "shuffle_training_order",
+    "training_data_pipeline",
+    "dedup_strip_boilerplate",
+)
+
 
 def registry():
     from procoggraph_spark.queries import (
@@ -15,6 +42,7 @@ def registry():
         star_llmops,
         star_llmops2,
         star_llmops3,
+        star_llmops4,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -24,33 +52,38 @@ def registry():
 
     queries: dict = {}
     oracles: dict = {}
-    # Driver-visibility rotation: the external correctness gate samples
-    # the first 50 registry keys each round. Rounds 1-4 led with the
-    # relational modules, so those rows all have recorded driver checks;
-    # this round the union leads with the llmops / multimodal /
-    # streaming / temporal families (47 rows incl. the round-5
-    # dedup_repeated_passages) plus the head of star_relational2
-    # (f_fuzzy / u8_sugar_chain / s13_fetch_manifest — the only other
-    # never-sampled rows) so every query that had never had a driver
-    # row gets external verification — all were already green in
-    # tests/test_oracle_parity.py. Module order alone decides the
-    # window — no per-name promote/demote lists, so a renamed or
-    # removed query simply moves with its module instead of raising.
-    # The window is exactly full: tests/test_oracle_parity.py::
-    # test_driver_window_rotation pins the tail rows, so a query added
-    # to a leading module fails that test instead of silently pushing a
-    # never-sampled row past the gate.
+    # Driver-visibility rotation, round 6: rounds 1-4 sampled the
+    # relational/graph families, round 5 the llmops/multimodal/
+    # streaming/temporal heads. This round the union leads with the
+    # round-5 post-window batches (star_llmops2: 14, star_llmops3: 7)
+    # plus the round-6 portable-twin module (star_llmops4) — the
+    # never-driver-sampled rows — and the 10 _PROMOTE names above jump
+    # the queue. 10 + 22 + the head of star_relational fills the
+    # 50-row window exactly; the window-pin test
+    # (tests/test_oracle_parity.py::test_driver_window_rotation)
+    # asserts the composition, so adding a query to a leading module
+    # fails there instead of silently pushing a never-sampled row past
+    # the gate.
     for mod in (
-        star_llmops,
+        star_llmops2,
+        star_llmops3,
+        star_llmops4,
+        star_relational,
         star_multimodal,
         star_streaming,
         star_temporal,
         star_relational2,
-        star_relational,
         star_graph,
-        star_llmops2,  # round-5 second batch: appended past the window
-        star_llmops3,  # round-5 third batch: appended past the window
+        star_llmops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
-    return queries, oracles
+
+    missing = [n for n in _PROMOTE if n not in queries]
+    if missing:
+        raise KeyError(
+            f"stale _PROMOTE entries (renamed/removed queries?): {missing}"
+        )
+    ordered = {n: queries[n] for n in _PROMOTE}
+    ordered.update(queries)  # existing keys keep their promoted position
+    return ordered, oracles

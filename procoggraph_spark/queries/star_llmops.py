@@ -566,10 +566,54 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("sim_ivf_ann")
+_IVF_ORACLE_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cell, v AS cv,
+             CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                  ELSE sqrt(list_dot_product(v, v)) END AS cn
+      FROM e ORDER BY vec_id LIMIT 16
+    ),
+    sc AS (
+      SELECT e.vec_id, e.v, cent.cell,
+             ROUND(list_dot_product(e.v, cent.cv) /
+                   ((CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN 1.0
+                          ELSE sqrt(list_dot_product(e.v, e.v)) END) * cent.cn),
+                   6) AS s
+      FROM e CROSS JOIN cent
+    ),
+    rn AS (
+      SELECT vec_id, v, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS r
+      FROM sc
+    ),
+    cells AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM rn WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cell
+               FROM rn WHERE r <= 4 AND vec_id < 5),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.neighbor_id,
+             ROUND(list_dot_product(p.qv, c.nv) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) *
+                    sqrt(list_dot_product(c.nv, c.nv))), 6) AS cosine_sim
+      FROM probes p JOIN cells c USING (cell)
+      WHERE p.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """
+
+
+@q("sim_ivf_ann", _IVF_ORACLE_SQL)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbors (oracle-less; pytest
-    checks recall ≥ 0.5 vs brute force on the same data)."""
+    """IVF-bucketed approximate nearest neighbors, hash-compared against
+    a DuckDB twin that replays the whole index: the deterministic
+    lowest-id seed centroids, the rounded-cosine cell assignment
+    (6-decimal rounding makes near-tie cells resolve by centroid order
+    on both engines), the n_probe=4 probe set, and the exact rerank.
+    pytest additionally checks recall ≥ 0.5 vs brute force."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return S.ivf_topk(
@@ -824,8 +868,8 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM tok
     )
-    SELECT source, (cum - n_tokens) // 512 AS bin_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM c GROUP BY source, (cum - n_tokens) // 512
     """,
 )
@@ -933,7 +977,7 @@ def sample_exact_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source) AS cum
       FROM s
     )
-    SELECT source, n_tokens,
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
            ROUND(cum * 1.0 / tot.total, 6) AS cum_share,
            ((cum - n_tokens) * 1.0 / tot.total < 0.8) AS in_top80
     FROM c CROSS JOIN tot

@@ -182,8 +182,8 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM tok
     )
-    SELECT source, (cum - n_tokens) // 512 AS bin_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+    SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            string_agg(text, '<|eod|>' ORDER BY doc_id) AS context_text
     FROM c GROUP BY source, (cum - n_tokens) // 512
     """,

@@ -83,10 +83,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_ingest",
     """
     WITH batch AS (
-      SELECT doc_id, md5(text) AS k FROM documents WHERE source = 'src0'
+      SELECT doc_id, COALESCE(md5(text), '__NULL_TEXT__') AS k
+      FROM documents WHERE source = 'src0'
     ),
     hist AS (
-      SELECT DISTINCT md5(text) AS k FROM documents WHERE source <> 'src0'
+      SELECT DISTINCT COALESCE(md5(text), '__NULL_TEXT__') AS k
+      FROM documents WHERE source <> 'src0'
     ),
     first AS (SELECT k, MIN(doc_id) AS first_id FROM batch GROUP BY k)
     SELECT b.doc_id,

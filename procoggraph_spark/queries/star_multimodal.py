@@ -111,7 +111,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_asset_metadata",
     """
     SELECT mime, COUNT(*) AS n_assets,
-           SUM(n_bytes) AS total_bytes, MAX(n_bytes) AS max_bytes
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, MAX(n_bytes) AS max_bytes
     FROM (
       SELECT 'application/x-' || source AS mime,
              octet_length(encode(text)) AS n_bytes
@@ -158,9 +158,28 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake feature extractor over binary payloads
     (oracle-less: byte-slice features aren't SQL-replicable; pytest
-    recomputes them in pure pandas and compares)."""
+    recomputes them in pure pandas and compares).
+
+    Driver-facing projection: the raw ``array<double>`` feature column
+    is unsortable by the external checker's pandas canonicalizer
+    (round-5 check crashed on it), so the registered query replaces it
+    with deterministic scalars — vector L2 norm and the first four
+    components, rounded — while ``attach_fake_features`` keeps returning
+    the full array for pytest and ANN composition."""
     a = _assets(spark, sf_dir).filter(F.col("asset_id") < 100)
-    return M.attach_fake_features(a)
+    feat = M.attach_fake_features(a)
+    return feat.select(
+        "asset_id",
+        "mime",
+        "n_bytes",
+        F.round(
+            F.sqrt(F.aggregate("features", F.lit(0.0), lambda s, x: s + x * x)), 4
+        ).alias("feat_norm"),
+        F.round(F.col("features")[0], 6).alias("feat_0"),
+        F.round(F.col("features")[1], 6).alias("feat_1"),
+        F.round(F.col("features")[2], 6).alias("feat_2"),
+        F.round(F.col("features")[3], 6).alias("feat_3"),
+    )
 
 
 # --- multimodal → similarity: features feed the ANN operators --------------

@@ -616,13 +616,34 @@ def q5_interaction_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A3 at the 100 TB tier: approximate distinct (oracle-less; the
 # exact twin is hash-compared elsewhere) ------------------------------------
 
-@q("a3_approx_count_distinct")
+@q(
+    "a3_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 approx tier: HLL approx_count_distinct next to the exact count (inherently engine-specific; rows-only)."""
+    """A3 approx tier: HLL approx_count_distinct checked AGAINST the
+    exact count. The raw HLL estimate is engine-specific (no oracle can
+    hash it), so the driver-facing contract is the accuracy bound
+    itself: ``approx_within_tol`` asserts the rsd=0.01 estimate lands
+    within 5% of exact (deterministic for fixed data — HLL++ has no
+    RNG), which the oracle replays as a constant TRUE next to the exact
+    count. A drifting estimator turns the row red instead of being
+    permanently unverifiable."""
     l = t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.01)
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.05 * F.countDistinct("l_orderkey")
+        ).alias("approx_within_tol"),
     )
 
 

@@ -358,12 +358,14 @@ def streaming_cms(
     partial) and merges cell-wise into the persistent sketch. This works
     precisely because the sketch is mergeable by addition — streaming
     state is O(depth × width) forever, with no per-key state store and
-    no growth with stream cardinality. The merged sketch round-trips
-    through the driver (≤ depth×width rows — the same bounded
-    model-only traffic as the k-means codebook), avoiding the
-    overwrite-while-reading hazard of rewriting a parquet dir from
-    itself. Caller awaits the returned query."""
+    no growth with stream cardinality. The merged sketch never transits
+    the driver: each batch writes the merged cells to a fresh versioned
+    directory and atomically repoints the ``sketch_dir`` symlink
+    (read-old-while-writing-new, so there is no overwrite-while-reading
+    hazard and no collect/createDataFrame round-trip even for the
+    bounded state). Caller awaits the returned query."""
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -371,7 +373,7 @@ def streaming_cms(
 
     stream = spark.readStream.schema(schema).parquet(events_path)
 
-    def merge(batch_df, _batch_id: int) -> None:
+    def merge(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
         part = cms_build(
             batch_df.select(F.col(key_col).cast("string").alias("_k")),
@@ -379,16 +381,29 @@ def streaming_cms(
             depth=depth,
             width=width,
         )
-        if os.path.exists(sketch_dir):
+        prev = os.path.realpath(sketch_dir) if os.path.lexists(sketch_dir) else None
+        vdir = f"{sketch_dir}.v{batch_id}"
+        if prev is not None and prev == os.path.realpath(vdir):
+            # crash-replay of an already-applied batch (the symlink
+            # already points at this batch's version): skip — makes the
+            # at-least-once foreachBatch contract exactly-once here
+            return
+        if prev is not None and os.path.exists(prev):
             part = (
-                part.unionByName(sess.read.parquet(sketch_dir))
+                part.unionByName(sess.read.parquet(prev))
                 .groupBy("row_id", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        rows = part.collect()
-        sess.createDataFrame(rows, part.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sketch_dir)
+        part.coalesce(1).write.mode("overwrite").parquet(vdir)
+        # atomic swap: symlink-to-temp then rename over the live link —
+        # readers see the old version until the rename lands
+        tmp_link = f"{sketch_dir}.lnk.{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(vdir, tmp_link)
+        os.replace(tmp_link, sketch_dir)
+        if prev is not None and prev != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(merge)
@@ -471,10 +486,16 @@ def streaming_incremental_ingest(
     stream = spark.readStream.schema(schema).parquet(docs_path)
     keyed = stream.withColumn("_k", F.md5(F.col(text_col)))
     if ts_col is not None:
+        # dropDuplicatesWithinWatermark keys state on _k ALONE (state
+        # still expires at the watermark): the same content arriving
+        # twice with different event times inside the watermark is
+        # admitted once. dropDuplicates(["_k", ts_col]) would key on
+        # (content, event-time) and re-admit re-crawls with fresh
+        # timestamps, breaking the admitted-key-set invariant.
         keyed = keyed.withWatermark(ts_col, watermark)
         fresh = keyed.join(hkeys, "_k", "left").filter(
             F.col("_in_hist").isNull()
-        ).dropDuplicates(["_k", ts_col])
+        ).dropDuplicatesWithinWatermark(["_k"])
     else:
         fresh = keyed.join(hkeys, "_k", "left").filter(
             F.col("_in_hist").isNull()

@@ -84,6 +84,34 @@ def test_incremental_ingest_decisions(spark):
     }
 
 
+def test_incremental_ingest_null_text(spark):
+    # NULL text must still be classified (md5(NULL) is NULL — a naive
+    # key would silently drop these rows from the inner first-
+    # occurrence join): NULL-text rows dedup against each OTHER and
+    # against NULL-text history rows under the sentinel key, and never
+    # collide with the empty string (md5('') is a real hex digest).
+    history = spark.createDataFrame([(100, "seen")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "seen")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.decision
+        for r in incremental_ingest_dedup(history, batch).collect()
+    }
+    assert out == {1: "new", 2: "dup_batch", 3: "new", 4: "dup_history"}
+
+    # NULL-text content already in history classifies as dup_history
+    hist_null = spark.createDataFrame([(100, None)], "doc_id long, text string")
+    out2 = {
+        r.doc_id: r.decision
+        for r in incremental_ingest_dedup(
+            hist_null, spark.createDataFrame([(1, None)], "doc_id long, text string")
+        ).collect()
+    }
+    assert out2 == {1: "dup_history"}
+
+
 def test_incremental_ingest_history_beats_batch_order(spark):
     # content in history is dup_history even for the batch's FIRST
     # occurrence — the history check dominates the within-batch rank

@@ -49,6 +49,15 @@ def normalize(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def canon(v):
+        # numpy scalars (the pandas .df() path) -> plain Python values,
+        # so np.int64/np.float64/np.bool_ canonicalize like their
+        # builtin counterparts
+        if type(v).__name__ == "ndarray":
+            v = list(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        if type(v).__module__ == "numpy" and hasattr(v, "item"):
+            v = v.item()
         if v is None:
             return "∅"
         if isinstance(v, float):
@@ -73,12 +82,32 @@ def normalize(rows, cols):
 def test_query_matches_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_PARITY)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    # pandas on BOTH sides (driver fidelity): a nullable int column
+    # becomes float64 with NaN holes on both engines symmetrically
+    spdf = sdf.toPandas()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
 
     con = duck_con(SF_PARITY)
-    res = con.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    rel = con.sql(ORACLES[name])
+    # Driver fidelity: the external gate materializes the oracle via
+    # pandas (duckdb .df()), where HUGEINT/DECIMAL columns silently
+    # become float64 and hash-mismatch Spark's integers even when the
+    # values are identical (round-5 FAILs pack_token_budget /
+    # corpus_pareto_coverage / mm_asset_metadata were exactly this).
+    # Forbid those dtypes at the source and consume via .df(), not
+    # fetchall() (which masks them as Python ints).
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+    ]
+    assert not bad, (
+        f"oracle for {name} returns pandas-unportable dtypes {bad}; "
+        "CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+    )
+    pdf = rel.df()
+    dcols = list(pdf.columns)
+    drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
     con.close()
 
     assert sorted(scols) == sorted(dcols), f"column mismatch: {scols} vs {dcols}"
@@ -123,16 +152,26 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 5's rotation promotes the never-driver-sampled rows into that
-    window with ZERO slack — the tail rows sit at positions 47-49. This
-    pin makes an addition to any leading module (llmops / multimodal /
-    streaming / temporal) fail HERE, loudly, instead of silently pushing
-    a never-sampled row past the gate; when a future round re-rotates,
-    update the expected tail deliberately."""
+    Round 6's rotation puts (a) the 10 _PROMOTE re-verification rows,
+    (b) every round-5 post-window addition (star_llmops2/3 whole), and
+    (c) the round-6 portable twins (star_llmops4) inside that window.
+    This pin makes an addition to a leading module fail HERE, loudly,
+    instead of silently pushing a never-sampled row past the gate; when
+    a future round re-rotates, update the expectation deliberately."""
+    import importlib
+
+    from procoggraph_spark.queries import _PROMOTE
+
     keys = list(QUERIES.keys())
-    window = keys[:50]
-    for name in ("u8_sugar_chain", "s13_fetch_manifest", "dedup_repeated_passages"):
-        assert name in window, f"{name} fell out of the driver sample window"
+    window = set(keys[:50])
+    must_be_in = set(_PROMOTE)
+    for m in ("star_llmops2", "star_llmops3", "star_llmops4"):
+        mod = importlib.import_module(f"procoggraph_spark.queries.{m}")
+        must_be_in |= set(mod.QUERIES)
+    missing = sorted(must_be_in - window)
+    assert not missing, f"fell out of the driver sample window: {missing}"
+    # boundary pin: the relational head pads the window to exactly 50
+    assert keys[49] == "q14_topk_by_count" and keys[50] == "q15_subgraph_export"
 
 
 def test_queries_md_in_sync():

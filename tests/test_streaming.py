@@ -451,3 +451,38 @@ def test_streaming_incremental_ingest_equals_batch_decisions(spark, tmp_path):
     # one admitted row per fresh content key, despite the redelivery
     assert len(admitted) == len(new_keys)
     assert {r._k for r in admitted} == new_keys
+
+
+def test_streaming_ingest_watermarked_dedup_is_key_only(spark, tmp_path):
+    """Watermarked path: the same content arriving twice with DIFFERENT
+    event times inside the watermark must be admitted once — dedup state
+    is keyed on the content key alone (dropDuplicatesWithinWatermark),
+    not on (key, event-time)."""
+    from procoggraph_spark.streaming.windows import streaming_incremental_ingest
+
+    rows = [
+        (1, "same content", "2024-01-01 10:00:00"),
+        (2, "same content", "2024-01-01 10:05:00"),  # re-crawl, fresh ts
+        (3, "other content", "2024-01-01 10:01:00"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, ts string").select(
+        "doc_id", "text", F.col("ts").cast("timestamp").alias("ts")
+    )
+    inbox = str(tmp_path / "wm_inbox")
+    src.coalesce(1).write.parquet(inbox)
+    history = spark.createDataFrame([], "doc_id long, text string, ts timestamp")
+
+    q = (
+        streaming_incremental_ingest(
+            spark, inbox, src.schema, history, ts_col="ts", watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_ingest_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = spark.sql("SELECT _k, doc_id FROM wm_ingest_stream").collect()
+    keys = [r._k for r in admitted]
+    assert len(keys) == 2 and len(set(keys)) == 2
