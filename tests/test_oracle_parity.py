@@ -171,7 +171,9 @@ def test_driver_window_rotation():
     missing = sorted(must_be_in - window)
     assert not missing, f"fell out of the driver sample window: {missing}"
     # boundary pin: the relational head pads the window to exactly 50
-    assert keys[49] == "q14_topk_by_count" and keys[50] == "q15_subgraph_export"
+    # (sim_ivf_pq_rerank joining star_llmops4 mid-round shifted the
+    # boundary back by one — deliberate: the new oracle row samples now)
+    assert keys[49] == "q13_compare_groups" and keys[50] == "q14_topk_by_count"
 
 
 def test_queries_md_in_sync():
