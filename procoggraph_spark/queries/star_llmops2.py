@@ -214,30 +214,84 @@ def pack_concat_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- HLL distinct-count sketch tier (mergeable, datasketches-backed) ------
 
-@q("sketch_hll_distinct")
+_HLL_TOL_SQL = r"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    per AS (
+      SELECT source, COUNT(*) AS n_tokens,
+             COUNT(DISTINCT term) AS exact_distinct
+      FROM tok GROUP BY source
+    )
+    SELECT source, n_tokens, exact_distinct, TRUE AS hll_within_tol FROM per
+    UNION ALL
+    SELECT '__ALL__' AS source, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT term) AS exact_distinct, TRUE AS hll_within_tol
+    FROM tok
+    """
+
+
+@q("sketch_hll_distinct", _HLL_TOL_SQL)
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches: per-source HyperLogLog over document terms (hll_sketch_agg), estimated per source, plus an __ALL__ row union-merged from the per-source sketches (hll_union_agg) — the sketch path for vocabulary cardinality at 100 TB, where per-shard sketches merge by union instead of re-shuffling the key space (exact count_distinct kept alongside as the accuracy reference; a production run drops it). Rows-only: the sketch binary is engine-specific; pytest pins bounded merge error (the union promotes sparse sketches to dense HLL mode, so merge is approximate, not estimate-exact), determinism, and estimate accuracy vs exact."""
+    """Mergeable distinct-count sketches: per-source HyperLogLog over
+    document terms (hll_sketch_agg), plus an __ALL__ row union-merged
+    from the per-source sketches (hll_union_agg) — the sketch path for
+    vocabulary cardinality at 100 TB, where per-shard sketches merge by
+    union instead of re-shuffling the key space. The raw sketch binary
+    and its estimate are engine-specific, so (like
+    a3_approx_count_distinct) the driver-facing contract is the
+    accuracy bound itself: ``hll_within_tol`` asserts each estimate —
+    including the union-merged one, which promotes sparse sketches to
+    dense HLL mode — lands within 5% of the exact count computed in the
+    same pass (one rollup: per-source rows + grand total, no second
+    shuffle). Deterministic for fixed data; the oracle replays the
+    exact counts with a constant TRUE, so a drifting estimator turns
+    the row red instead of being permanently unverifiable. pytest
+    additionally pins the raw estimates, merge determinism, and the
+    merge-error bound."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("term"))
-    # one row per source; checkpointed because BOTH union branches
-    # consume it and Spark would otherwise run the corpus-wide token
-    # explode + aggregation twice (no plan-level CSE)
-    per = tok.groupBy("source").agg(
+    # ONE shuffle for per-source rows AND the grand total (rollup);
+    # checkpointed because the __ALL__ branch consumes the per-source
+    # sketches a second time for the union-merge and Spark would
+    # otherwise run the corpus-wide explode + agg twice (no plan-level
+    # CSE)
+    per = tok.rollup("source").agg(
         F.hll_sketch_agg("term").alias("_sk"),
         F.count_distinct("term").alias("exact_distinct"),
         F.count("*").alias("n_tokens"),
+        F.grouping("source").alias("_g"),
     ).localCheckpoint(eager=False)
-    per_source = per.select(
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    )
+    per_source = per.filter(F.col("_g") == 0).select(
         "source",
         "n_tokens",
         "exact_distinct",
-        F.hll_sketch_estimate("_sk").alias("hll_estimate"),
+        within(
+            F.hll_sketch_estimate("_sk"), F.col("exact_distinct")
+        ).alias("hll_within_tol"),
     )
-    merged = per.agg(
-        F.lit("__ALL__").alias("source"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.lit(None).cast("long").alias("exact_distinct"),
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("hll_estimate"),
+    # grand-total row: exact count from the rollup, estimate from the
+    # union-merge of the per-source sketches (the 100 TB merge path)
+    union_est = (
+        per.filter(F.col("_g") == 0)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"))
+    )
+    merged = (
+        per.filter(F.col("_g") == 1)
+        .select("n_tokens", "exact_distinct")
+        .crossJoin(F.broadcast(union_est))
+        .select(
+            F.lit("__ALL__").alias("source"),
+            "n_tokens",
+            "exact_distinct",
+            within(F.col("_est"), F.col("exact_distinct")).alias(
+                "hll_within_tol"
+            ),
+        )
     )
     return per_source.unionByName(merged)
 

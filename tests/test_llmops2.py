@@ -211,23 +211,29 @@ def test_hll_union_merge_bounded_error_and_deterministic(spark):
 
 
 def test_hll_estimate_accuracy_and_all_row(spark):
+    """Driver contract of sketch_hll_distinct: every row's 5%-tolerance
+    flag holds (that IS what the oracle hashes), the __ALL__ row
+    carries the corpus-wide EXACT distinct from the same rollup pass,
+    and the per-source exacts recompute independently."""
     from procoggraph_spark.queries import registry
 
     qs, _ = registry()
     rows = {r["source"]: r for r in
             qs["sketch_hll_distinct"](spark, SF_SMOKE).collect()}
     assert "__ALL__" in rows
-    assert rows["__ALL__"]["exact_distinct"] is None
-    for src, r in rows.items():
-        if src == "__ALL__":
-            continue
-        exact = r["exact_distinct"]
-        # default lgConfigK=12 → ~1.6% relative standard error; 5% is
-        # a loose-but-meaningful bound at these cardinalities
-        assert abs(r["hll_estimate"] - exact) <= max(1, 0.05 * exact), src
-    # the merged row covers at least the biggest single source
-    biggest = max(r["hll_estimate"] for s, r in rows.items() if s != "__ALL__")
-    assert rows["__ALL__"]["hll_estimate"] >= biggest
+    assert all(r["hll_within_tol"] for r in rows.values()), rows
+    from procoggraph_spark.operators import text as X
+    from procoggraph_spark.queries.common import t as load
+
+    d = load(spark, SF_SMOKE, "documents")
+    tok = d.select("source", F.explode(X.tokens(F.col("text"))).alias("term"))
+    exact_all = tok.select("term").distinct().count()
+    assert rows["__ALL__"]["exact_distinct"] == exact_all
+    per = {r["source"]: r["cnt"] for r in
+           tok.groupBy("source").agg(
+               F.count_distinct("term").alias("cnt")).collect()}
+    for src, cnt in per.items():
+        assert rows[src]["exact_distinct"] == cnt, src
 
 
 def test_learned_quality_distills_the_gate(spark):
