@@ -38,7 +38,10 @@ def train_pq(
     ``m`` contiguous subspaces and run Lloyd's k-means (k centroids)
     independently in each — ``codebooks[s][c]`` is subspace ``s``'s
     centroid ``c`` (a dim/m-float list). Deterministic end-to-end (the
-    reused trainer seeds from lowest ids with stable ties)."""
+    reused trainer seeds from lowest ids with stable ties). Trains
+    under the L2 metric — the metric `pq_encode`/`ivf_pq_index` assign
+    codes by (training under a mismatched metric measurably costs
+    recall; see train_centroids)."""
     if dim % m != 0:
         raise ValueError("dim must divide evenly into m subspaces")
     d_sub = dim // m
@@ -52,7 +55,7 @@ def train_pq(
         )
         crows = train_centroids(
             sub, id_col="vec_id", vec_col="embedding",
-            n_cells=k, iterations=iterations,
+            n_cells=k, iterations=iterations, metric="l2",
         )
         books.append([v for _, v in crows])
     # The encoders and ADC scorers lay distance tables out flat as
@@ -310,15 +313,20 @@ def ivf_pq_rerank_topk(
     the codes to CUT, not to RANK: take an ADC ``shortlist`` per query
     (default 100), fetch only those rows' raw vectors, and rank the
     shortlist by exact L2. Measured at 1M x 64d this recovers the IVF
-    probe bound (~0.9 at n_probe=16/256) while still scanning only
-    ``n_probe/n_cells`` of the corpus as 16 B codes plus
-    ``shortlist`` x 512 B of raw vectors per query.
+    probe bound; the shortlist must scale with the probed population
+    (~N/1000 — a fixed 100 at 1M stalls recall well below the bound).
 
-    The shortlist-to-raw-vector fetch is a broadcast hash join (the
-    shortlist side is queries x shortlist rows — model-sized); the
-    corpus is never scanned a second time at full width on the
-    database side of the join thanks to parquet column pruning of
-    everything but (id, vector)."""
+    Data-movement bound of the algorithm, per query:
+    ``n_probe/n_cells`` of the corpus as 16 B codes plus ``shortlist``
+    x raw-vector bytes — that is what a SERVING deployment with
+    resident codes and point-fetch-by-id moves, and what the probe's
+    byte accounting reports. This local Spark plan implements the
+    fetch as a broadcast hash join (shortlist side is queries x
+    shortlist rows — model-sized) against a scan of the corpus pruned
+    to (id, vector): parquet has no point-lookup path, so the join
+    side still reads the vector column in full and filters — the plan
+    realizes the candidate-pruning bound on compute, not on local scan
+    bytes."""
     sl = ivf_pq_topk(
         index, queries, cell_centroids, codebooks,
         id_col=id_col, n_probe=n_probe, top_k=shortlist,
@@ -371,7 +379,13 @@ def ivf_pq_index_numpy(
     order-preserving on the same quantity. Ties resolve to the lowest
     cell id / lowest code, matching the column builder's
     (distance, id)-sorted struct convention (centroids are sorted by
-    cell id; np.argmin keeps the first occurrence).
+    cell id; np.argmin keeps the first occurrence). Caveat: the
+    expanded form cancels to ~1e-13 absolute agreement with the fold
+    of squared differences (not last-ulp), so a distance landing
+    within that band of a 1e-6 grid boundary can round differently
+    across backends — the same accepted-risk class as the fold-order
+    difference between the column builder and the SQL oracle's
+    list_sum.
     """
     import numpy as np
 

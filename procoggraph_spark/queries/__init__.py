@@ -101,9 +101,25 @@ def registry():
 # planning under the CURRENT session conf, so serving repeated queries
 # from one build is exactly the prepared-statement/plan-cache behavior
 # of any resident engine — results are identical, only the redundant
-# rebuild disappears. Keyed like queries.common._TABLE_MEMO (session
-# identity + data dir + query name); bounded by registry size.
+# rebuild disappears. Keyed on session identity + data dir + query
+# name + a directory mtime signature: unlike the lazy scans in
+# queries.common._TABLE_MEMO, a built query can embed driver-collected
+# state (trained centroids, seed rows, checkpoint blocks), so a data
+# refresh under the same path must invalidate — the mtime signature
+# (one scandir, ~1 ms) does that. Bounded by registry size.
 _PLAN_MEMO: dict = {}
+
+
+def _dir_signature(sf_dir):
+    import os
+
+    try:
+        with os.scandir(sf_dir) as it:
+            return tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in it
+            ))
+    except OSError:
+        return None  # unknown path: still cacheable, keyed as-is
 
 
 def _plan_cached(name, fn):
@@ -111,7 +127,7 @@ def _plan_cached(name, fn):
 
     @functools.wraps(fn)
     def run(spark, sf_dir):
-        key = (id(spark), sf_dir, name)
+        key = (id(spark), sf_dir, name, _dir_signature(sf_dir))
         df = _PLAN_MEMO.get(key)
         if df is None:
             df = fn(spark, sf_dir)

@@ -191,7 +191,6 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procoggraph_spark.operators.pq import (
         ivf_pq_index,
         ivf_pq_rerank_topk,
-        train_pq,
     )
 
     e = t(spark, sf_dir, "embeddings")
@@ -199,7 +198,15 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seed_rows)
     ]
-    books = train_pq(e, m=16, k=16, dim=64, iterations=0)
+    # seed codebooks == subspace slices of the same 16 lowest-id
+    # vectors (what train_pq(iterations=0) computes via 16 distributed
+    # jobs) — sliced driver-side from the rows already collected, and
+    # exactly what the SQL oracle models
+    books = [
+        [[float(x) for x in seed_rows[c]["embedding"][s * 4:(s + 1) * 4]]
+         for c in range(16)]
+        for s in range(16)
+    ]
     idx = ivf_pq_index(e, cents, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])

@@ -501,3 +501,38 @@ def streaming_incremental_ingest(
             F.col("_in_hist").isNull()
         ).dropDuplicates(["_k"])
     return fresh.drop("_in_hist")
+
+
+def streaming_ivf_pq_index(
+    spark,
+    vec_path: str,
+    schema,
+    cell_centroids,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continual ANN index maintenance: newly arriving vectors are
+    encoded into IVF+PQ index rows (coarse cell + 16 B codes) AT
+    ARRIVAL — the streaming face of `pq.ivf_pq_index_numpy`, feeding
+    the same index table `ivf_pq_topk`/`ivf_pq_rerank_topk` serve
+    from.
+
+    State: none — encoding is a pure function of the vector against
+    the broadcast-sized frozen models (centroids + codebooks ship in
+    the task closure), so the stream runs stateless at ingest
+    parallelism for any stream length; an append sink gives
+    exactly-once index rows under retries because re-encoding a replayed
+    batch is deterministic. Model REFRESH (retraining cells/codebooks)
+    is a new index generation by design — the batch builder rewrites
+    under a new path and serving flips atomically (the versioned-dir +
+    symlink-swap discipline of `streaming_cms`), never an in-place
+    mutation of a live index.
+    """
+    from procoggraph_spark.operators.pq import ivf_pq_index_numpy
+
+    stream = spark.readStream.schema(schema).parquet(vec_path)
+    return ivf_pq_index_numpy(
+        stream, cell_centroids, codebooks, id_col=id_col, vec_col=vec_col
+    )

@@ -486,3 +486,42 @@ def test_streaming_ingest_watermarked_dedup_is_key_only(spark, tmp_path):
     admitted = spark.sql("SELECT _k, doc_id FROM wm_ingest_stream").collect()
     keys = [r._k for r in admitted]
     assert len(keys) == 2 and len(set(keys)) == 2
+
+
+def test_streaming_ivf_pq_index_equals_batch(spark, tmp_path):
+    """Vectors arriving on a stream must encode to EXACTLY the index
+    rows the batch builder produces for the same corpus and models —
+    the continual-ingest face of the ANN index is a stateless
+    deterministic map, so an availableNow drain equals the batch
+    build row-for-row."""
+    from procoggraph_spark.operators.pq import ivf_pq_index_numpy, train_pq
+    from procoggraph_spark.operators.similarity import train_centroids
+    from procoggraph_spark.queries.common import t as load
+    from procoggraph_spark.streaming.windows import streaming_ivf_pq_index
+    from tests.conftest import SF_SMOKE
+
+    e = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = train_centroids(e, n_cells=16, iterations=2, metric="l2")
+    books = train_pq(e, m=16, k=16, dim=64, iterations=2)
+    path = str(tmp_path / "vecs")
+    e.write.parquet(path)
+
+    idx_stream = streaming_ivf_pq_index(
+        spark, path, e.schema, cents, books
+    )
+    q = (
+        idx_stream.writeStream.format("memory")
+        .queryName("ivf_pq_stream_idx")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["pq_codes"]))
+        for r in spark.sql("SELECT * FROM ivf_pq_stream_idx").collect()
+    )
+    batch = sorted(
+        (r["vec_id"], r["cell"], tuple(r["pq_codes"]))
+        for r in ivf_pq_index_numpy(e, cents, books).collect()
+    )
+    assert got == batch and len(got) > 0

@@ -61,7 +61,7 @@ N_LATENT = 1024          # latent cluster centers in the synthetic corpus
 N_CELLS = 256            # IVF coarse cells
 PQ_M, PQ_K = 16, 16      # 16 codes of 4 bits -> 16 B/vector (int32 here;
                          # a packed layout would be 8 B)
-TRAIN_SAMPLE = 100_000   # rows used to train centroids + codebooks
+TRAIN_SAMPLE = min(N, 100_000)  # rows used to train centroids + codebooks
 N_QUERIES = 50
 TOP_K = 10
 N_PROBES = (4, 8, 16, 32)
