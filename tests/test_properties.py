@@ -362,3 +362,43 @@ def test_bigram_logprob_matches_python_reference(spark, docs):
         ) / len(bgs)
         assert got[i]["n_bigrams"] == len(bgs)
         assert abs(got[i]["avg_neg_logprob_bigram"] - round(want, 6)) <= 1e-6, i
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-8, 8).map(lambda i: i / 16), min_size=8, max_size=8),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_ivf_pq_index_twin_property(spark, vecs):
+    """The column-algebra and Arrow-batched IVF+PQ index builders must
+    agree row-for-row on arbitrary vector sets — including the heavy
+    tie cases hypothesis gravitates to (duplicate vectors => duplicate
+    centroids => exact distance ties resolved by the lowest-id
+    convention on both backends). Components are dyadic rationals
+    (i/16), so every squared distance is EXACTLY representable and the
+    fold vs expanded-square forms compute the identical double — the
+    property isolates the tie/ordering convention from the documented
+    ~1e-13 float-cancellation caveat."""
+    from procoggraph_spark.operators.pq import ivf_pq_index, ivf_pq_index_numpy
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(c, vecs[c]) for c in range(min(3, len(vecs)))]
+    books = [
+        [vecs[c][s * 2:(s + 1) * 2] for c in range(min(3, len(vecs)))]
+        for s in range(4)
+    ]
+
+    def canon(d):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["pq_codes"])) for r in d.collect()
+        )
+
+    assert canon(ivf_pq_index(df, cents, books)) == canon(
+        ivf_pq_index_numpy(df, cents, books)
+    )
