@@ -11,7 +11,14 @@ import pytest
 from procoggraph_spark.queries import registry
 from tests.conftest import SF_ORACLE
 
+# Plan assertions must inspect a FRESH build: a DataFrame served from
+# the registry's plan cache may already have been executed by an
+# earlier test, and df._jdf.queryExecution() then shows the
+# AQE-FINALIZED plan of that execution (coalesced/re-optimized
+# exchanges), not the compile-time shape these tests pin. Unwrap the
+# cache (functools.wraps exposes the underlying builder).
 QUERIES, _ = registry()
+QUERIES = {n: getattr(f, "__wrapped__", f) for n, f in QUERIES.items()}
 
 
 def plan(spark, df, mode: str = "formatted") -> str:

@@ -67,6 +67,9 @@ def test_range_join_boundaries(spark):
 def test_temporal_plans_no_cartesian(spark):
     qs, _ = registry()
     for name in ["asof_purchase_view", "range_join_signup_window"]:
-        p = plan(spark, qs[name](spark, SF_ORACLE))
+        # fresh build: a plan-cached DataFrame may carry an executed
+        # (AQE-finalized) queryExecution — see tests/test_plans.py
+        fn = qs[name]
+        p = plan(spark, getattr(fn, "__wrapped__", fn)(spark, SF_ORACLE))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
