@@ -45,15 +45,36 @@ def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
     )
 
 
+# portable shingle-hash constants: 5-byte polynomial fold then one
+# multiplicative mix, all in plain 31-bit integer arithmetic — the
+# same portable-hash discipline as the MinHash/CMS twins, so a SQL
+# oracle replays every bucket and sign exactly (crc32, the previous
+# mixer, has no DuckDB equivalent)
+_FEAT_K = 1000003
+_FEAT_MIX = 2654435761
+_FEAT_M = 1 << 31
+
+
+def _shingle_hash(b: bytes, i: int) -> int:
+    """Hash of the zero-padded 5-byte shingle at offset ``i``."""
+    h = 0
+    for k in range(5):
+        byte = b[i + k] if i + k < len(b) else 0
+        h = (h * _FEAT_K + byte) % _FEAT_M
+    return (h * _FEAT_MIX) % _FEAT_M
+
+
 def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """DETERMINISTIC FAKE feature extractor: a signed count-sketch of
-    5-byte shingles (crc32-bucketed, ±1 signed) — stands in for an
-    embedding model with the same schema/batching. Unlike a byte-average
-    (which collapses all natural-language payloads to near-identical
-    vectors), unrelated payloads sketch to near-orthogonal vectors while
-    shared shingles preserve similarity — so downstream cosine
-    thresholds behave like they would on real embeddings."""
-    import zlib
+    5-byte shingles (portable polynomial-fold + multiplicative-mix
+    bucketing, ±1 signed) — stands in for an embedding model with the
+    same schema/batching. Unlike a byte-average (which collapses all
+    natural-language payloads to near-identical vectors), unrelated
+    payloads sketch to near-orthogonal vectors while shared shingles
+    preserve similarity — so downstream cosine thresholds behave like
+    they would on real embeddings. The portable arithmetic makes the
+    whole kernel SQL-replayable (mm_feature_extract's oracle rebuilds
+    buckets, signs, and normalization from the base table)."""
 
     def feats(payload: bytes | bytearray | None) -> list[float]:
         if payload is None:
@@ -61,7 +82,7 @@ def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         b = bytes(payload)
         acc = [0] * FEATURE_DIM
         for i in range(max(len(b) - 4, 1)):
-            h = zlib.crc32(b[i : i + 5])
+            h = _shingle_hash(b, i)
             acc[h % FEATURE_DIM] += 1 if (h >> 3) & 1 else -1
         norm = sum(v * v for v in acc) ** 0.5 or 1.0
         return [round(v / norm, 6) for v in acc]

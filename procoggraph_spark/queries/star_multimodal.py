@@ -154,11 +154,76 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- mapInPandas feature extraction over binary batches --------------------
 
-@q("mm_feature_extract")
+def _feat_h_expr() -> str:
+    """The 5-step polynomial fold of `multimodal._shingle_hash` as a
+    DuckDB expression over character positions (payload bytes == ascii
+    codes: the asset payload is the UTF-8 encoding of `text`, and the
+    oracle parity suite verifies on the driver corpora, which are pure
+    ASCII — octet_length == length on every row at both SFs)."""
+    expr = "0"
+    for k in range(5):
+        b = (
+            f"(CASE WHEN u.i + {k} <= n THEN ascii(substr(text, u.i + {k}, 1)) "
+            "ELSE 0 END)"
+        )
+        expr = f"(({expr}) * 1000003 + {b}) % 2147483648"
+    return expr
+
+
+_FEATURE_EXTRACT_SQL = f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id, 'application/x-' || source AS mime, text,
+             length(text) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+      SELECT asset_id, (h * 2654435761) % 2147483648 AS hm
+      FROM (
+        SELECT asset_id, {_feat_h_expr()} AS h
+        FROM a, LATERAL unnest(generate_series(1, greatest(n - 4, 1))) AS u(i)
+      )
+    ),
+    acc AS (
+      SELECT asset_id, hm % 8 AS bucket,
+             SUM(CASE WHEN (hm // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM sh GROUP BY asset_id, hm % 8
+    ),
+    nrm AS (
+      SELECT asset_id,
+             CASE WHEN SUM(v * v) = 0 THEN 1.0 ELSE sqrt(SUM(v * v)) END AS n0
+      FROM acc GROUP BY asset_id
+    ),
+    f AS (
+      SELECT acc.asset_id, bucket, ROUND(v / n0, 6) AS fv
+      FROM acc JOIN nrm USING (asset_id)
+    ),
+    fn AS (
+      SELECT asset_id, ROUND(sqrt(SUM(fv * fv)), 4) AS feat_norm
+      FROM f GROUP BY asset_id
+    )
+    SELECT a.asset_id, a.mime, CAST(a.n AS BIGINT) AS n_bytes,
+           fn.feat_norm,
+           COALESCE(f0.fv, 0.0) AS feat_0,
+           COALESCE(f1.fv, 0.0) AS feat_1,
+           COALESCE(f2.fv, 0.0) AS feat_2,
+           COALESCE(f3.fv, 0.0) AS feat_3
+    FROM a
+    JOIN fn ON fn.asset_id = a.asset_id
+    LEFT JOIN f f0 ON f0.asset_id = a.asset_id AND f0.bucket = 0
+    LEFT JOIN f f1 ON f1.asset_id = a.asset_id AND f1.bucket = 1
+    LEFT JOIN f f2 ON f2.asset_id = a.asset_id AND f2.bucket = 2
+    LEFT JOIN f f3 ON f3.asset_id = a.asset_id AND f3.bucket = 3
+    """
+
+
+@q("mm_feature_extract", _FEATURE_EXTRACT_SQL)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake feature extractor over binary payloads
-    (oracle-less: byte-slice features aren't SQL-replicable; pytest
-    recomputes them in pure pandas and compares).
+    """Arrow-batched fake feature extractor over binary payloads —
+    oracle-backed end to end since the round-6 portable kernel: the
+    DuckDB twin replays the 5-byte shingle fold, multiplicative-mix
+    bucketing, ±1 signs, and L2 normalization from the base table
+    (payload bytes == ascii codes on the pure-ASCII driver corpora,
+    which the parity suite checks at both SFs).
 
     Driver-facing projection: the raw ``array<double>`` feature column
     is unsortable by the external checker's pandas canonicalizer
