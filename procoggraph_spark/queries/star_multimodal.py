@@ -249,7 +249,96 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multimodal → similarity: features feed the ANN operators --------------
 
-@q("mm_feature_neardup")
+def _neardup_oracle_sql() -> str:
+    """SQL twin of the whole multimodal near-dup pipeline. The Spark
+    side's pigeonhole block join is LOSSLESS for pairs within
+    max_hamming (that is the pigeonhole guarantee), so the oracle
+    replays its semantics as all-pairs Hamming <= 20 per plane family
+    — plus the portable feature kernel (shared CTEs with
+    mm_feature_extract's oracle), the sha256-derived hyperplane
+    coefficients inlined as literals (sim_lsh_ann precedent), 64-bit
+    signatures as signed BIGINT bit sums (bit 63 emitted as the
+    negative two's-complement literal Spark's long also wraps to),
+    and the exact cosine rerank with the fold's dimension order."""
+    from procoggraph_spark.operators.similarity import _det_plane_component
+
+    dims = 8
+
+    def sig_expr(off: int) -> str:
+        terms = []
+        for p in range(64):
+            coeffs = [_det_plane_component(off + p, d) for d in range(dims)]
+            dot = " + ".join(
+                f"f{d} * ({float(c)})" for d, c in enumerate(coeffs)
+            )
+            bit = (1 << p) if p < 63 else -(1 << 63)
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({bit} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return "\n         + ".join(terms)
+
+    pivot = ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN bucket = {d} THEN fv END), 0.0) AS f{d}"
+        for d in range(dims)
+    )
+    dot_ab = " + ".join(f"va.f{d} * vb.f{d}" for d in range(dims))
+    na = " + ".join(f"va.f{d} * va.f{d}" for d in range(dims))
+    nb = " + ".join(f"vb.f{d} * vb.f{d}" for d in range(dims))
+    return f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id, text, length(text) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+      SELECT asset_id, (h * 2654435761) % 2147483648 AS hm
+      FROM (
+        SELECT asset_id, {_feat_h_expr()} AS h
+        FROM a, LATERAL unnest(generate_series(1, greatest(n - 4, 1))) AS u(i)
+      )
+    ),
+    acc AS (
+      SELECT asset_id, hm % 8 AS bucket,
+             SUM(CASE WHEN (hm // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM sh GROUP BY asset_id, hm % 8
+    ),
+    nrm AS (
+      SELECT asset_id,
+             CASE WHEN SUM(v * v) = 0 THEN 1.0 ELSE sqrt(SUM(v * v)) END AS n0
+      FROM acc GROUP BY asset_id
+    ),
+    f AS (
+      SELECT acc.asset_id, bucket, ROUND(v / n0, 6) AS fv
+      FROM acc JOIN nrm USING (asset_id)
+    ),
+    v AS (
+      SELECT asset_id,
+             {pivot}
+      FROM f GROUP BY asset_id
+    ),
+    s0 AS (SELECT asset_id, {sig_expr(0)} AS sig FROM v),
+    s1 AS (SELECT asset_id, {sig_expr(64)} AS sig FROM v),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT x.asset_id AS id_a, y.asset_id AS id_b
+        FROM s0 x JOIN s0 y ON x.asset_id < y.asset_id
+        WHERE bit_count(xor(x.sig, y.sig)) <= 20
+        UNION ALL
+        SELECT x.asset_id AS id_a, y.asset_id AS id_b
+        FROM s1 x JOIN s1 y ON x.asset_id < y.asset_id
+        WHERE bit_count(xor(x.sig, y.sig)) <= 20
+      )
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(({dot_ab}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim
+    FROM cand c
+    JOIN v va ON va.asset_id = c.id_a
+    JOIN v vb ON vb.asset_id = c.id_b
+    WHERE ROUND(({dot_ab}) / (sqrt({na}) * sqrt({nb})), 6) >= 0.9
+    """
+
+
+@q("mm_feature_neardup", _neardup_oracle_sql())
 def mm_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal near-dup: binary payload → mapInPandas
     features → hyperplane-SimHash blocking → exact cosine rerank.
@@ -262,8 +351,11 @@ def mm_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Recall is approximate by construction: a 0.9-cosine
     pair differs on ~9.2 of 64 planes (σ≈2.8), so one 20-bit Hamming
     gate misses with p≈3e-5 (4σ); two independent tables bound the miss
-    at p≈1e-9 at the 0.9 operating point. Oracle-less (feature fake);
-    pytest checks every emitted pair against a pandas recomputation."""
+    at p≈1e-9 at the 0.9 operating point. Oracle-backed since the
+    round-6 portable feature kernel: the DuckDB twin rebuilds features,
+    inlined-coefficient signatures, the (lossless) Hamming-20 candidate
+    semantics, and the cosine rerank; pytest additionally checks every
+    emitted pair against a pandas recomputation."""
     from procoggraph_spark.operators import dedup as D
 
     feats = M.attach_fake_features(
