@@ -974,3 +974,46 @@ def incremental_ingest_dedup(
             .alias("decision"),
         )
     )
+
+
+def crawl_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cycle_size: int = 50,
+) -> DataFrame:
+    """Per-crawl-cycle novelty curve: bucket documents into ingestion
+    cycles (id-ordered windows of ``cycle_size``), and for each cycle
+    report how many of its documents carry content never seen in ANY
+    earlier cycle — the curation signal that tells a continual-crawl
+    operator when a source has gone stale (novelty_rate decaying toward
+    0 means the crawler is re-fetching what the corpus already holds).
+
+    Content key = md5 with the NULL-text sentinel (same contract as
+    incremental_ingest_dedup); first-seen cycle per key is one hash agg
+    (map-side combine over the bounded key space per partition), and the
+    cycle join is on the bounded cycle grain — no window over the
+    unbounded key space, portable across engines.
+    """
+    cyc = F.floor(F.col(id_col) / F.lit(cycle_size)).cast("long")
+    key = F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__"))
+    d = df.select(cyc.alias("cycle"), key.alias("_k"))
+    per_cycle = d.groupBy("cycle").agg(F.count("*").alias("n_docs"))
+    first = d.groupBy("_k").agg(F.min("cycle").alias("cycle"))
+    fresh = first.groupBy("cycle").agg(F.count("*").alias("n_new_keys"))
+    return (
+        per_cycle.join(fresh, "cycle", "left")
+        .select(
+            "cycle",
+            "n_docs",
+            F.coalesce(F.col("n_new_keys"), F.lit(0)).cast("long").alias(
+                "n_new_keys"
+            ),
+            F.round(
+                F.coalesce(F.col("n_new_keys"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

@@ -285,3 +285,94 @@ def leakage_safe_split(
     return deterministic_split(
         joined, id_col=canonical_col, fractions=fractions, label_col=label_col
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing (τ = 0.5): each source's token
+    allocation is proportional to sqrt(its token mass), the standard
+    multilingual/multi-domain rebalancing that upsamples small sources
+    without letting the head domain drown the mixture (τ=1 is natural
+    sampling, τ=0 is uniform; sqrt is the common middle).
+
+    Portability discipline: the temperature weight is floor(sqrt(tokens))
+    — sqrt is IEEE-correctly-rounded (unlike pow/ln), and flooring to an
+    integer makes the weight SUM exact across engines and partition
+    orders, so shares and allocations are bit-reproducible in any SQL
+    engine. Scale shape: one hash agg to source grain (map-side
+    combine), then a single-row total broadcast-joined back — source
+    cardinality is bounded (domains, not documents), never a window over
+    rows.
+    """
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(weight_col).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = per.agg(F.sum("weight").cast("long").alias("_tw"))
+    share = F.col("weight").cast("double") / F.col("_tw").cast("double")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.round(share, 6).alias("temp_share"),
+            F.floor(share * F.lit(float(budget))).cast("long").alias(
+                "alloc_tokens"
+            ),
+            F.round(
+                F.floor(share * F.lit(float(budget)))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("upsample_factor"),
+        )
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirtakis priority sampling): each row gets priority
+    ln(u)/w for a pseudo-uniform u derived from its id and weight
+    w ≥ 1; the k largest priorities are exactly a weight-proportional
+    sample without replacement. Replaces rand()-based sampling where a
+    training pipeline needs the sample to be rerun- and engine-stable
+    (data-card reproducibility, A/B-identical corpora).
+
+    u comes from the portable multiplicative hash (integer-exact in any
+    engine), the division and ln are deterministic IEEE doubles, and the
+    priority is rounded to the 1e-6 grid BEFORE the cut with id
+    tie-break — the same cross-engine near-tie discipline as the ANN
+    rerank paths. Scale shape: scan + global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort).
+    """
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    hv = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(_R)) * _A, F.lit(_M))
+    u = (hv.cast("double") + F.lit(1.0)) / F.lit(float(_M) + 2.0)
+    pri = F.round(F.log(u) / w, 6)
+    # cut FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps of size k, no global sort), then rank only the k survivors —
+    # the single-partition window runs over k rows, never the corpus
+    top = (
+        df.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("priority"), F.asc(id_col))),
+    )

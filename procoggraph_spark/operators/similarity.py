@@ -559,3 +559,47 @@ def lsh_topk(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def int8_quantize_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: q_i =
+    round(v_i * 127 / max|v|) ∈ [-127, 127] (the storage format that
+    cuts an embedding corpus 4× vs float32 / 8× vs float64), reported as
+    driver-hashable scalars — the exact integer norm of the code vector,
+    the saturation count, and the reconstruction cosine between the raw
+    vector and its codes (scale cancels in cosine, so no division by the
+    per-vector scale enters the comparison).
+
+    Engine-portable by construction: the codes are integers from one
+    round() (half-away-from-zero in both Spark and DuckDB), q_norm2 and
+    n_sat are exact integer folds, and recon_cos is rounded to the 1e-6
+    grid. Pure column algebra over the array — scan-speed, no shuffle,
+    no Python.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    q = F.transform(v, lambda x: F.round(x * F.lit(127.0) / amax, 0))
+    qn2 = F.aggregate(
+        F.transform(q, lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nsat = F.aggregate(
+        F.transform(q, lambda x: F.when(F.abs(x) >= 127.0, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    recon = dot(v, q) / (l2_norm(v) * l2_norm(q))
+    return df.select(
+        F.col(id_col),
+        qn2.alias("q_norm2"),
+        nsat.alias("n_saturated"),
+        F.round(recon, 6).alias("recon_cos"),
+    )

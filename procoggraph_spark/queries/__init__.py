@@ -43,6 +43,7 @@ def registry():
         star_llmops2,
         star_llmops3,
         star_llmops4,
+        star_llmops5,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -68,6 +69,7 @@ def registry():
         star_llmops2,
         star_llmops3,
         star_llmops4,
+        star_llmops5,
         star_relational,
         star_multimodal,
         star_streaming,

@@ -1,0 +1,259 @@
+"""Round-6 second batch: curation / serving operators a training-data
+pipeline runs after dedup — temperature source mixing, deterministic
+weighted sampling, int8 embedding quantization, filtered + Matryoshka
+vector search, and the crawl-novelty curve. All six fully oracle-backed
+(portable arithmetic throughout), registered directly after star_llmops4
+so they land inside the round-6 driver sample window (pinned by
+tests/test_oracle_parity.py::test_driver_window_rotation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import dedup as D
+from procoggraph_spark.operators import sampling as SP
+from procoggraph_spark.operators import similarity as S
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- Temperature-scaled source mixing --------------------------------------
+
+_TEMP_MIX_SQL = """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight FROM s
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w)
+    SELECT source, n_docs, n_tokens, weight,
+           ROUND(CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS temp_share,
+           CAST(FLOOR(CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS alloc_tokens,
+           ROUND(FLOOR(CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE)
+                       * 1000000.0)
+                 / CAST(n_tokens AS DOUBLE), 6) AS upsample_factor
+    FROM w, tot
+    """
+
+
+@q("mix_temperature_sources", _TEMP_MIX_SQL)
+def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (τ=0.5) source rebalancing: per-source token budgets
+    ∝ sqrt(token mass) against a 1M-token target — the multilingual /
+    multi-domain upsampling curve. Integer temperature weights
+    (floor∘sqrt) make the share denominators exact across engines."""
+    return SP.temperature_mix(
+        t(spark, sf_dir, "documents"),
+        source_col="source",
+        weight_col="n_chars",
+        budget=1_000_000,
+    )
+
+
+# --- Weighted sampling without replacement ---------------------------------
+
+_WEIGHTED_PRIORITY_SQL = """
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(ln((CAST((doc_id % 2147483648) * 2654435761
+                             % 4294967296 AS DOUBLE) + 1.0)
+                      / 4294967298.0)
+                   / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rank
+      FROM p
+    ) WHERE rank <= 100
+    """
+
+
+@q("sample_weighted_priority", _WEIGHTED_PRIORITY_SQL)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirtakis weighted sampling without replacement: the
+    100 highest ln(u)/w priorities, u from the portable multiplicative
+    hash of the doc id, w = n_chars — a length-proportional sample that
+    is rerun-, partitioning-, and engine-stable, cut via per-partition
+    top-k heaps (no global sort)."""
+    return SP.weighted_priority_sample(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+    )
+
+
+# --- Int8 embedding quantization audit -------------------------------------
+
+_INT8_QUANT_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS amax
+      FROM e
+    ),
+    qq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> round(x * 127.0 / amax)) AS q
+      FROM a
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_norm2,
+           CAST(list_sum(list_transform(q,
+                x -> CASE WHEN abs(x) >= 127.0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS n_saturated,
+           ROUND(list_dot_product(v, q) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(q, q))), 6) AS recon_cos
+    FROM qq
+    """
+
+
+@q("emb_int8_quantize", _INT8_QUANT_SQL)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit over the embedding corpus (the
+    4×-vs-float32 storage format): exact integer code norms, saturation
+    counts, and the raw↔code reconstruction cosine per vector — pure
+    column algebra, scan-speed, no shuffle."""
+    return S.int8_quantize_stats(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding"
+    )
+
+
+# --- Filtered vector search ------------------------------------------------
+
+_FILTERED_ANN_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE label = 2),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+      FROM q, c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@q("sim_filtered_topk", _FILTERED_ANN_SQL)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the RAG-with-metadata-predicate shape):
+    exact cosine top-10 restricted to candidates with label = 2. The
+    predicate prunes BEFORE the similarity join — at scale the filter
+    pushes into the parquet scan, so the pair blow-up only ever sees the
+    qualifying slice (filter-then-search, never search-then-filter)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(
+        e.filter(F.col("label") == 2),
+        e.filter(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+
+
+# --- Matryoshka (truncated-dimension) search -------------------------------
+
+_MATRYOSHKA_SQL = """
+    WITH e AS (
+      SELECT vec_id,
+             list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v))), 6) AS cosine_sim
+      FROM q, e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@q("sim_matryoshka_topk", _MATRYOSHKA_SQL)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated search: cosine top-10 over only the
+    FIRST 16 of 64 dimensions — the cheap first pass of a
+    coarse-to-fine serving stack (4× less data scanned per distance).
+    On MRL-trained embeddings the truncated order approximates the
+    full-dimension order (pinned on a constructed front-loaded corpus in
+    tests/test_llmops4.py); this corpus spreads signal across all dims,
+    so here the oracle verifies the slice+search arithmetic itself."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    return S.brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+
+
+# --- Crawl novelty curve ---------------------------------------------------
+
+_CRAWL_NOVELTY_SQL = """
+    WITH d AS (
+      SELECT CAST(doc_id // 50 AS BIGINT) AS cycle,
+             COALESCE(md5(text), '__NULL_TEXT__') AS k
+      FROM documents
+    ),
+    pc AS (SELECT cycle, COUNT(*) AS n_docs FROM d GROUP BY cycle),
+    f AS (SELECT k, MIN(cycle) AS cycle FROM d GROUP BY k),
+    nw AS (SELECT cycle, COUNT(*) AS n_new_keys FROM f GROUP BY cycle)
+    SELECT pc.cycle, pc.n_docs,
+           CAST(COALESCE(nw.n_new_keys, 0) AS BIGINT) AS n_new_keys,
+           ROUND(CAST(COALESCE(nw.n_new_keys, 0) AS DOUBLE)
+                 / CAST(pc.n_docs AS DOUBLE), 6) AS novelty_rate
+    FROM pc LEFT JOIN nw ON pc.cycle = nw.cycle
+    """
+
+
+@q("dedup_crawl_novelty", _CRAWL_NOVELTY_SQL)
+def dedup_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve over id-ordered crawl cycles of 50 documents: per
+    cycle, the count and share of content keys never seen in any earlier
+    cycle — the stop-recrawling signal for continual ingestion. Two
+    bounded hash aggs (cycle grain, key grain) + one cycle-grain join."""
+    return D.crawl_novelty(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        cycle_size=50,
+    )

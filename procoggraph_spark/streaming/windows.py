@@ -334,12 +334,19 @@ def streaming_dedup(
     watermark: str = "1 hour",
     ts_col: str = "ts",
 ):
-    """Streaming exact dedup: ``dropDuplicates`` on the id within a
+    """Streaming exact dedup: first occurrence per ``key`` within a
     watermark — state holds only ids younger than the watermark, so
     memory is bounded at any stream length (the streaming face of the
-    dedup_exact batch operator; re-delivered events are dropped)."""
+    dedup_exact batch operator; re-delivered events are dropped).
+
+    State is keyed on the id ALONE via ``dropDuplicatesWithinWatermark``
+    — a redelivery that arrives with a bumped event time (retry queues
+    rewrite timestamps) is still a duplicate. ``dropDuplicates([key,
+    ts_col])`` would key state on (id, event-time) and admit it twice."""
     stream = spark.readStream.schema(schema).parquet(events_path)
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([key, ts_col])
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
 
 
 def streaming_cms(

@@ -1,0 +1,183 @@
+"""Semantic tests for the round-6 second-batch operators (the
+star_llmops5 registry rows): temperature source mixing, weighted
+priority sampling, int8 quantization, filtered / Matryoshka search, and
+the crawl-novelty curve. Parity with the DuckDB oracles is covered by
+test_oracle_parity; these pin the operator SEMANTICS on constructed
+inputs where the expected behavior is derivable by hand.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.dedup import crawl_novelty
+from procoggraph_spark.operators.sampling import (
+    temperature_mix,
+    weighted_priority_sample,
+)
+from procoggraph_spark.operators.similarity import (
+    brute_force_topk,
+    int8_quantize_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_temperature_mix_flattens_toward_small_sources(spark):
+    """τ=0.5 must give the small source a larger share than its natural
+    token share (upsample > 1) and the head source a smaller one
+    (upsample < 1); shares sum to ~1 and allocations never exceed the
+    budget."""
+    rows = [(i, "big", 100) for i in range(90)] + [
+        (100 + i, "small", 100) for i in range(10)
+    ]
+    out = temperature_mix(
+        _docs(spark, rows), source_col="source", weight_col="n_chars",
+        budget=10_000,
+    ).collect()
+    by = {r["source"]: r for r in out}
+    # natural shares: 0.9 / 0.1; sqrt-tempered: ~0.75 / ~0.25
+    assert by["small"]["temp_share"] > 0.1
+    assert by["big"]["temp_share"] < 0.9
+    assert abs(sum(r["temp_share"] for r in out) - 1.0) < 1e-4
+    assert sum(r["alloc_tokens"] for r in out) <= 10_000
+    assert by["small"]["upsample_factor"] > 1.0 > by["big"]["upsample_factor"]
+
+
+def test_temperature_mix_equal_sources_equal_shares(spark):
+    rows = [(i, f"s{i % 4}", 50) for i in range(400)]
+    out = temperature_mix(_docs(spark, rows), budget=1_000_000).collect()
+    shares = {r["temp_share"] for r in out}
+    assert len(shares) == 1  # identical masses -> identical shares
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    """A row with overwhelming weight must always be in the sample;
+    ranks are 1..k, rerun-stable, and the sample is weight-biased (the
+    heavy half of the corpus wins more slots than the light half)."""
+    rows = [(i, "a", 10) for i in range(200)] + [
+        (200 + i, "b", 10_000) for i in range(200)
+    ]
+    df = _docs(spark, rows)
+    out = weighted_priority_sample(
+        df, id_col="doc_id", weight_col="n_chars", k=50
+    ).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, 51)
+    )
+    heavy = sum(1 for r in out if r["n_chars"] == 10_000)
+    assert heavy > 40  # 1000x weight ratio -> the heavy rows dominate
+    again = weighted_priority_sample(
+        df.repartition(7), id_col="doc_id", weight_col="n_chars", k=50
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_weighted_priority_sample_k_exceeds_corpus(spark):
+    rows = [(i, "a", 5 + i) for i in range(7)]
+    out = weighted_priority_sample(
+        _docs(spark, rows), id_col="doc_id", weight_col="n_chars", k=100
+    ).collect()
+    assert len(out) == 7
+
+
+def test_int8_quantize_reconstruction(spark):
+    """Hand-checkable vector: [1, -0.5, 0] -> codes [127, -64, 0] (round
+    half away from zero, ~63.5 -> -64), exact integer norm, one
+    saturated lane, near-perfect reconstruction cosine."""
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0]), (1, [0.25, 0.25, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in int8_quantize_stats(df).collect()}
+    assert out[0]["q_norm2"] == 127 * 127 + 64 * 64
+    assert out[0]["n_saturated"] == 1
+    assert out[0]["recon_cos"] > 0.9999
+    # a constant vector saturates every lane and reconstructs exactly
+    assert out[1]["n_saturated"] == 3
+    assert out[1]["recon_cos"] == 1.0
+
+
+def test_filtered_topk_only_returns_qualifying_labels(spark):
+    from procoggraph_spark.queries.common import t
+    from tests.conftest import SF_SMOKE
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    out = brute_force_topk(
+        e.filter(F.col("label") == 2),
+        e.filter(F.col("vec_id") < 3),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+    allowed = {
+        r["vec_id"] for r in e.filter(F.col("label") == 2).collect()
+    }
+    assert {r["neighbor_id"] for r in out.collect()} <= allowed
+
+
+def test_matryoshka_order_approximates_full_dim_when_front_loaded(spark):
+    """On MRL-style embeddings (information front-loaded: cluster signal
+    in the first 16 dims, small noise in the tail 48) the truncated
+    top-10 must recover most of the full-dimension top-10 — the property
+    that makes the coarse-to-fine stack useful. The sf testdata spreads
+    its cluster signal across ALL dims, where a 16-dim slice keeps only
+    1/4 of the signal (measured overlap ~6/30 there — better than the
+    ~2.4/30 of random membership, but no approximation), so the semantic
+    pin uses a constructed front-loaded corpus."""
+    import random
+
+    rng = random.Random(7)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)
+    ]
+    rows = []
+    for i in range(200):
+        head = [
+            c + rng.gauss(0, 0.08) for c in centers[i % 4]
+        ]
+        tail = [rng.gauss(0, 0.02) for _ in range(48)]
+        rows.append((i, head + tail))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 3)
+    full = brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=10)
+    sl = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    trunc = brute_force_topk(
+        e.select("vec_id", sl), q.select("vec_id", sl),
+        id_col="vec_id", vec_col="embedding", k=10,
+    )
+    fm = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    tm = {(r["query_id"], r["neighbor_id"]) for r in trunc.collect()}
+    assert len(fm & tm) >= 24  # >=80% membership overlap across 3 queries
+
+
+def test_crawl_novelty_on_planted_recrawl(spark):
+    """Cycle 0: 3 unique docs. Cycle 1: 2 copies of cycle-0 content +
+    1 new. Cycle 2: all copies. Novelty must read 1.0, 1/3, 0."""
+    rows = (
+        [(0, "alpha"), (1, "beta"), (2, "gamma")]
+        + [(50, "alpha"), (51, "beta"), (52, "delta")]
+        + [(100, "alpha"), (101, "delta")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cycle"]: r for r in crawl_novelty(df, cycle_size=50).collect()}
+    assert out[0]["n_new_keys"] == 3 and out[0]["novelty_rate"] == 1.0
+    assert out[1]["n_new_keys"] == 1
+    assert math.isclose(out[1]["novelty_rate"], round(1 / 3, 6))
+    assert out[2]["n_new_keys"] == 0 and out[2]["novelty_rate"] == 0.0
+    # total new keys across cycles == corpus distinct content
+    assert sum(r["n_new_keys"] for r in out.values()) == 4
+
+
+def test_crawl_novelty_null_text_counts_once(spark):
+    rows = [(0, None), (1, "x"), (50, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cycle"]: r for r in crawl_novelty(df, cycle_size=50).collect()}
+    assert out[0]["n_new_keys"] == 2  # NULL sentinel + "x"
+    assert out[1]["n_new_keys"] == 0  # the second NULL is a dup

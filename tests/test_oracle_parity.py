@@ -165,15 +165,16 @@ def test_driver_window_rotation():
     keys = list(QUERIES.keys())
     window = set(keys[:50])
     must_be_in = set(_PROMOTE)
-    for m in ("star_llmops2", "star_llmops3", "star_llmops4"):
+    for m in ("star_llmops2", "star_llmops3", "star_llmops4", "star_llmops5"):
         mod = importlib.import_module(f"procoggraph_spark.queries.{m}")
         must_be_in |= set(mod.QUERIES)
     missing = sorted(must_be_in - window)
     assert not missing, f"fell out of the driver sample window: {missing}"
     # boundary pin: the relational head pads the window to exactly 50
-    # (sim_ivf_pq_rerank joining star_llmops4 mid-round shifted the
-    # boundary back by one — deliberate: the new oracle row samples now)
-    assert keys[49] == "q13_compare_groups" and keys[50] == "q14_topk_by_count"
+    # (the six star_llmops5 rows joining mid-round shifted the boundary
+    # back by six — deliberate: the new oracle rows sample now, the
+    # displaced relational rows were green in r01-04)
+    assert keys[49] == "q7_rollup_by_p_type" and keys[50] == "q8_group_ratio"
 
 
 def test_queries_md_in_sync():

@@ -275,3 +275,44 @@ def test_source_cap_partial_window_group_limit(spark):
     # tree prints top-down: the Partial limit appears BELOW (after) the
     # exchange node in the string
     assert partial_at > exch_at
+
+
+def test_filtered_topk_predicate_pushed_to_scan(spark):
+    """sim_filtered_topk's scale property: filter-then-search. The
+    label predicate must reach the parquet scan (PushedFilters), so the
+    pair blow-up only ever sees the qualifying slice of the corpus."""
+    df = QUERIES["sim_filtered_topk"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "EqualTo(label,2)" in p
+    # queries are the broadcast side; no cartesian anywhere
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_weighted_priority_heap_cut_before_rank(spark):
+    """sample_weighted_priority must cut via per-partition top-k heaps
+    (TakeOrderedAndProject) BEFORE the single-partition rank window —
+    the window may only ever see the k survivors, never the corpus."""
+    df = QUERIES["sample_weighted_priority"](spark, SF_ORACLE)
+    p = plan(spark, df, mode="simple")
+    assert "TakeOrderedAndProject" in p and "Window" in p
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
+
+
+def test_temperature_mix_broadcasts_total_only(spark):
+    """mix_temperature_sources joins the per-source frame to a
+    single-row total — that side must broadcast; the source-grain agg
+    is the only hash shuffle."""
+    df = QUERIES["mix_temperature_sources"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_int8_quantize_map_only_no_python(spark):
+    """emb_int8_quantize is pure column algebra: no exchange, no
+    Python, whole-stage codegen over the scan."""
+    df = QUERIES["emb_int8_quantize"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p

@@ -183,7 +183,12 @@ def test_streaming_dedup_drops_redelivery(spark, tmp_path):
     ev = t(spark, SF_SMOKE, "events")
     inbox = str(tmp_path / "dup_inbox")
     ev.coalesce(1).write.mode("append").parquet(inbox)
-    ev.coalesce(1).write.mode("append").parquet(inbox)  # redelivery
+    # redelivery with a bumped event time (retry queues rewrite ts):
+    # still the same event_id, must still be dropped — state is keyed
+    # on the id alone, not (id, ts)
+    ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")).select(
+        *ev.columns
+    ).coalesce(1).write.mode("append").parquet(inbox)
 
     q = (
         streaming_dedup(spark, inbox, ev.schema)
