@@ -1017,3 +1017,47 @@ def crawl_novelty(
             ).alias("novelty_rate"),
         )
     )
+
+
+def substring_ngram_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    max_df: int = 20,
+) -> DataFrame:
+    """Character-level substring dedup (the Lee et al. "Deduplicating
+    Training Data" signal): two documents are near-duplicates when they
+    share ANY k-character substring — catches copied passages that
+    word-shingle Jaccard dilutes away in long documents. Emits candidate
+    pairs with the count of shared distinct k-grams.
+
+    Scale shape: per-document DISTINCT k-gram explode (stride 1 — L-k+1
+    grams per doc, deduped inside the row before the shuffle), a
+    document-frequency guard that drops grams present in > ``max_df``
+    docs (boilerplate/hot-gram quadratic blow-up absorbed at the gram
+    grain, same discipline as the word-shingle operators), then the
+    banded self-equi-join on the gram key — never an all-pairs compare.
+    """
+    t_ = F.col(text_col)
+    n = t_.isNotNull().cast("int") * (F.length(t_) - F.lit(k - 1))
+    grams = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: t_.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+    ok = g.groupBy("_g").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    gg = g.join(ok.select("_g"), "_g")
+    a = gg.select(F.col("_id").alias("id_a"), "_g")
+    b = gg.select(F.col("_id").alias("id_b"), "_g")
+    return (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -438,3 +438,62 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its tokens are under the TARGET
+    domain's unigram distribution than under the raw corpus's own —
+    avg_t[ln p_target(w) - ln p_raw(w)] with add-one smoothing over the
+    shared vocabulary. Positive means target-like; selection keeps the
+    top of the ranking (or resamples ∝ exp(weight)).
+
+    Scale shape: identical to unigram_logprob twice over — one
+    tokenize-explode feeding two term-frequency aggregations, the raw
+    token stream joined to both frequency tables on the term key
+    (vocabulary-sized shuffles, never broadcast), and the three scalar
+    totals (raw tokens, target tokens, vocabulary size) broadcast as a
+    1-row frame. Smoothing keeps terms absent from the target finite, so
+    the join to target counts is a LEFT join with a 0 fill.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tok_t = target.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    tf_r = tok.groupBy("term").agg(F.count("*").alias("c_raw"))
+    tf_t = tok_t.groupBy("term").agg(F.count("*").alias("c_tgt"))
+    totals = (
+        tf_r.join(tf_t, "term", "left")
+        .agg(
+            F.sum("c_raw").alias("n_raw"),
+            F.sum(F.coalesce(F.col("c_tgt"), F.lit(0))).alias("n_tgt"),
+            F.count("*").alias("vocab"),
+        )
+    )
+    scored = (
+        tok.join(tf_r, "term")
+        .join(tf_t, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_lr",
+            F.log(
+                (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_tgt") + F.col("vocab")).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1)).cast("double")
+                / (F.col("n_raw") + F.col("vocab")).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_lr"), 6).alias("avg_log_ratio"),
+    )

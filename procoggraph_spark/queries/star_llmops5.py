@@ -257,3 +257,82 @@ def dedup_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         cycle_size=50,
     )
+
+
+# --- DSIR importance weighting ---------------------------------------------
+
+_DSIR_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tok_t AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS term
+      FROM documents WHERE source = 'src0'
+    ),
+    tf_r AS (SELECT term, COUNT(*) AS c_raw FROM tok GROUP BY term),
+    tf_t AS (SELECT term, COUNT(*) AS c_tgt FROM tok_t GROUP BY term),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+             CAST(SUM(COALESCE(c_tgt, 0)) AS BIGINT) AS n_tgt,
+             COUNT(*) AS vocab
+      FROM tf_r LEFT JOIN tf_t USING (term)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(
+             ln((COALESCE(c_tgt, 0) + 1) * 1.0 / (n_tgt + vocab))
+             - ln((c_raw + 1) * 1.0 / (n_raw + vocab))
+           ), 6) AS avg_log_ratio
+    FROM tok
+    JOIN tf_r USING (term)
+    LEFT JOIN tf_t USING (term)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+@q("curation_dsir_selection", _DSIR_SQL)
+def curation_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection signal: every document scored by
+    avg[ln p_src0(w) - ln p_corpus(w)] — how target-domain-like (source
+    src0 as the stand-in quality domain) its unigram stream is versus
+    the raw corpus, with add-one smoothing. Two vocabulary-keyed
+    aggregations + term joins; the three scalar totals broadcast."""
+    from procoggraph_spark.operators.text import dsir_logratio
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_logratio(
+        d, d.filter(F.col("source") == "src0"),
+        id_col="doc_id", text_col="text",
+    )
+
+
+# --- Character-level substring dedup ---------------------------------------
+
+_SUBSTRING_PAIRS_SQL = """
+    WITH g AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS gr
+      FROM documents,
+           LATERAL unnest(generate_series(1, length(text) - 39)) AS u(i)
+      WHERE length(text) >= 40
+    ),
+    ok AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) <= 20),
+    gg AS (SELECT doc_id, g.gr FROM g JOIN ok USING (gr))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM gg a JOIN gg b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@q("dedup_substring_pairs", _SUBSTRING_PAIRS_SQL)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level substring dedup: candidate pairs sharing any
+    40-char substring (copied-passage detection word shingles dilute in
+    long documents), with per-doc-distinct grams, a ≤20-doc-frequency
+    hot-gram guard, and a gram-keyed equi-join — never all-pairs."""
+    from procoggraph_spark.operators.dedup import substring_ngram_pairs
+
+    return substring_ngram_pairs(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id", text_col="text", k=40, max_df=20,
+    )

@@ -181,3 +181,84 @@ def test_crawl_novelty_null_text_counts_once(spark):
     out = {r["cycle"]: r for r in crawl_novelty(df, cycle_size=50).collect()}
     assert out[0]["n_new_keys"] == 2  # NULL sentinel + "x"
     assert out[1]["n_new_keys"] == 0  # the second NULL is a dup
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """Docs written in the target domain's vocabulary must score a
+    higher avg log-ratio than docs in a disjoint vocabulary, and
+    target-unseen terms stay finite via smoothing."""
+    from procoggraph_spark.operators.text import dsir_logratio
+
+    rows = (
+        [(i, "alpha beta gamma delta", "tgt") for i in range(5)]
+        + [(10 + i, "zeta eta theta iota", "web") for i in range(5)]
+        + [(20, "alpha beta zeta eta", "web"), (21, "alpha beta gamma eta", "web")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_logratio(
+        df, df.filter(F.col("source") == "tgt"), id_col="doc_id",
+        text_col="text",
+    )
+    by = {r["doc_id"]: r["avg_log_ratio"] for r in out.collect()}
+    assert by[0] > 0 > by[10]          # in-domain positive, off-domain negative
+    assert by[0] > by[21] > by[20] > by[10]  # mixing shifts monotonically
+    assert all(math.isfinite(v) for v in by.values())
+
+
+def _rand_pad(seed: int, n: int = 42) -> str:
+    """Per-doc independent letter pad — no 40-char run can repeat across
+    docs (periodic digit pads DO collide cyclically; measured)."""
+    import random
+    import string
+
+    rng = random.Random(9000 + seed)
+    return "".join(rng.choice(string.ascii_uppercase) for _ in range(n))
+
+
+def test_substring_pairs_planted_passage(spark):
+    """Two docs sharing a 60-char passage pair up (21 shared 40-grams);
+    docs sharing only a 30-char run do not; a passage pasted into 25
+    docs is absorbed by the max_df hot-gram guard."""
+    from procoggraph_spark.operators.dedup import substring_ngram_pairs
+
+    passage = "x" * 26 + "the quick brown fox jumps over the lazy dog."  # 70ch
+    short = "y" * 30
+    boiler = "please subscribe to our newsletter today now!"  # 45ch, disjoint
+    # per-doc pads are 40+ chars of UNIQUE content (digit triple repeated),
+    # so no 40-window spanning pad+shared-content can match across docs —
+    # every cross-doc gram lies fully inside the planted passage/boiler
+    rows = (
+        [(0, "A" * 10 + passage + "B" * 10), (1, "C" * 10 + passage + "D" * 10)]
+        + [(2, "E" * 20 + short + "F" * 20), (3, "G" * 20 + short + "H" * 20)]
+        + [
+            # a per-doc UNIQUE single char flanks the boiler on both
+            # sides: any window spanning out of the boiler contains it,
+            # so cross-doc grams lie fully INSIDE the boiler (df=25 >
+            # max_df -> all absorbed). The unique char must sit at the
+            # immediately adjacent position — multi-char markers sharing
+            # their first char (digit pairs) leak a spanning gram to
+            # every doc with the same leading digit (measured df=10).
+            (100 + i, _rand_pad(2 * i) + chr(0x100 + i) + boiler
+             + chr(0x180 + i) + _rand_pad(2 * i + 1))
+            for i in range(25)
+        ]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_ngram_pairs(df, k=40, max_df=20).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == len(passage) - 39
+    assert (2, 3) not in pairs
+    # the 25-doc boilerplate exceeds max_df=20: its 6 grams are absorbed
+    # at the gram grain, so the boiler docs never pair up
+    assert not any(a >= 100 or b >= 100 for a, b in pairs)
+
+
+def test_substring_pairs_null_and_short_text(spark):
+    from procoggraph_spark.operators.dedup import substring_ngram_pairs
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "tiny"), (2, "z" * 39)], "doc_id long, text string"
+    )
+    assert substring_ngram_pairs(df, k=40).count() == 0

@@ -174,7 +174,7 @@ def test_driver_window_rotation():
     # (the six star_llmops5 rows joining mid-round shifted the boundary
     # back by six — deliberate: the new oracle rows sample now, the
     # displaced relational rows were green in r01-04)
-    assert keys[49] == "q7_rollup_by_p_type" and keys[50] == "q8_group_ratio"
+    assert keys[49] == "q6_all_mode" and keys[50] == "q7_rollup_by_p_brand"
 
 
 def test_queries_md_in_sync():

@@ -316,3 +316,22 @@ def test_int8_quantize_map_only_no_python(spark):
     p = plan(spark, df)
     assert "Exchange" not in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_dsir_no_cartesian_beyond_totals(spark):
+    """curation_dsir_selection: term joins are hash equi-joins; the only
+    nested-loop is the broadcast of the 1-row totals frame. No Python."""
+    df = QUERIES["curation_dsir_selection"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_substring_pairs_equi_join_no_cartesian(spark):
+    """dedup_substring_pairs: candidate generation is the gram-keyed
+    equi-join (SortMergeJoin/ShuffledHashJoin), never an all-pairs
+    nested loop."""
+    df = QUERIES["dedup_substring_pairs"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
