@@ -1048,7 +1048,13 @@ def substring_ngram_pairs(
             F.transform(F.sequence(F.lit(1), n), lambda i: t_.substr(i, F.lit(k)))
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+    # the gram table feeds the df-guard agg AND both sides of the pair
+    # self-join — without a checkpoint the substring explode re-executes
+    # up to 4x (self-joins re-run shared lineage); same discipline as
+    # the containment shingle table
+    g = df.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("_g")
+    ).localCheckpoint(eager=False)
     ok = g.groupBy("_g").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_df
     )

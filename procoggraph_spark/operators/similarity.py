@@ -580,26 +580,56 @@ def int8_quantize_stats(
     n_sat are exact integer folds, and recon_cos is rounded to the 1e-6
     grid. Pure column algebra over the array — scan-speed, no shuffle,
     no Python.
+
+    Expression-shape note (measured 40×): a column expression referenced
+    inside a higher-order-function lambda is INLINED per element — a
+    naive ``transform(v, x -> round(x*127/array_max(...)))`` re-derives
+    the O(d) max for every element and every output column (O(d²) × 4
+    interpreted evals per row, ~1.9 s for 5k×64d). Binding the max as a
+    ``zip_with`` ARGUMENT via array_repeat evaluates it once per row,
+    and a single struct-accumulator fold derives all four statistics in
+    one pass over (value, code) pairs.
     """
     v = F.col(vec_col).cast("array<double>")
     amax = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
     )
-    q = F.transform(v, lambda x: F.round(x * F.lit(127.0) / amax, 0))
-    qn2 = F.aggregate(
-        F.transform(q, lambda x: (x * x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # codes: amax enters as a zip_with argument (array_repeat evaluates
+    # it ONCE), never as a lambda-captured expression
+    q = F.zip_with(
+        v,
+        F.array_repeat(amax, F.size(v)),
+        lambda x, m: F.round(x * F.lit(127.0) / m, 0),
     )
-    nsat = F.aggregate(
-        F.transform(q, lambda x: F.when(F.abs(x) >= 127.0, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("long")
-    recon = dot(v, q) / (l2_norm(v) * l2_norm(q))
-    return df.select(
-        F.col(id_col),
-        qn2.alias("q_norm2"),
-        nsat.alias("n_saturated"),
-        F.round(recon, 6).alias("recon_cos"),
+    zero = F.struct(
+        F.lit(0).cast("long").alias("qn2"),
+        F.lit(0).cast("long").alias("nsat"),
+        F.lit(0.0).alias("dvq"),
+        F.lit(0.0).alias("vn2"),
+        F.lit(0.0).alias("qn2d"),
+    )
+    stats = F.aggregate(
+        F.zip_with(v, q, lambda x, c: F.struct(x.alias("x"), c.alias("c"))),
+        zero,
+        lambda a, e: F.struct(
+            (a["qn2"] + (e["c"] * e["c"]).cast("long")).alias("qn2"),
+            (
+                a["nsat"]
+                + F.when(F.abs(e["c"]) >= 127.0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("nsat"),
+            (a["dvq"] + e["x"] * e["c"]).alias("dvq"),
+            (a["vn2"] + e["x"] * e["x"]).alias("vn2"),
+            (a["qn2d"] + e["c"] * e["c"]).alias("qn2d"),
+        ),
+    )
+    return df.select(F.col(id_col), stats.alias("_s")).select(
+        id_col,
+        F.col("_s.qn2").alias("q_norm2"),
+        F.col("_s.nsat").alias("n_saturated"),
+        F.round(
+            F.col("_s.dvq")
+            / (F.sqrt(F.col("_s.vn2")) * F.sqrt(F.col("_s.qn2d"))),
+            6,
+        ).alias("recon_cos"),
     )
