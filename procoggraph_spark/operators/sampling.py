@@ -376,3 +376,93 @@ def weighted_priority_sample(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("priority"), F.asc(id_col))),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 5,
+    k: int = 200,
+) -> DataFrame:
+    """Curriculum ordering: quality-banded schedule with a deterministic
+    shuffle inside each band — highest-quality band first (the common
+    "clean data late↔early" curriculum knob), order within a band given
+    by the portable multiplicative hash so the schedule is reproducible
+    in any engine and stable across reruns/partitionings.
+
+    Scale shape: the band + shuffle key are scan-side column algebra;
+    the global cut is ``TakeOrderedAndProject`` (per-partition top-k
+    heaps merged on the driver — no global sort), and the rank window
+    runs over the already-cut k rows only.
+    """
+    from procoggraph_spark.operators.text import quality_score
+
+    qs = quality_score(F.col(text_col))
+    band = F.least(
+        F.floor(qs * F.lit(float(bands))).cast("long"), F.lit(bands - 1)
+    )
+    salt = ((F.col(id_col) % _R) * _A) % _M
+    cut = (
+        df.select(
+            F.col(id_col),
+            band.alias("band"),
+            salt.alias("shuffle_key"),
+        )
+        .orderBy(F.desc("band"), F.asc("shuffle_key"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("band"), F.asc("shuffle_key"), F.asc(id_col))
+    return cut.withColumn("rank", F.row_number().over(w))
+
+
+def epoch_repeat_plan(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    budget: int = 5_000_000,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023 shape):
+    give each source a sqrt-temperature token allocation from ``budget``,
+    then cap repetition at ``max_epochs`` passes over the source's
+    unique tokens — emitting how many tokens will actually be served,
+    how many epochs that is, and the allocation that cannot be served
+    without exceeding the repeat cap (the signal to re-balance or crawl
+    more).
+
+    Portability: integer sqrt-floor weights (exact share denominators),
+    floor allocations, and integer served/excess — the only doubles are
+    the rounded epoch ratios. Scale shape: identical to
+    ``temperature_mix`` (one hash agg to source grain + broadcast
+    1-row total), bounded by source cardinality.
+    """
+    per = df.groupBy(source_col).agg(
+        F.sum(weight_col).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = per.agg(F.sum("weight").cast("long").alias("_tw"))
+    share = F.col("weight").cast("double") / F.col("_tw").cast("double")
+    alloc = F.floor(share * F.lit(float(budget))).cast("long")
+    cap = F.lit(max_epochs) * F.col("n_tokens")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_tokens",
+            "weight",
+            alloc.alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens").cast("double"), 6).alias(
+                "epochs_wanted"
+            ),
+            F.round(
+                F.least(alloc, cap) / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs_served"),
+            F.least(alloc, cap).alias("served_tokens"),
+            F.greatest(alloc - cap, F.lit(0)).alias("excess_tokens"),
+        )
+    )

@@ -633,3 +633,145 @@ def int8_quantize_stats(
             6,
         ).alias("recon_cos"),
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    label — the closest non-matches, which are exactly the negatives a
+    contrastive/embedding trainer wants in each batch.
+
+    Same scale shape as ``brute_force_topk`` (broadcast query side,
+    per-row norms, deterministic window cut); the label inequality is
+    applied with the pair predicate so no same-label pair survives to
+    the ranking. Output: (query_id, query_label, neighbor_id,
+    neighbor_label, cosine_sim, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        ).withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    scored = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_label_vote(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """kNN label propagation: classify each unlabeled vector by the
+    majority label of its k nearest labeled neighbors (cosine), ties
+    broken toward the smallest label — the cheap semi-supervised
+    labeling pass (auto-tagging an unlabeled corpus slice from a
+    labeled seed set).
+
+    Built on ``brute_force_topk`` (the exact primitive; swap in the
+    LSH/IVF searchers for the 100 TB path — the vote logic is
+    identical), then one neighbor→label join and a per-query majority
+    window. Output: (vec_id, pred_label, n_votes, vote_frac).
+    """
+    nn = brute_force_topk(
+        labeled,
+        unlabeled,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+    )
+    votes = (
+        nn.join(
+            labeled.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_lbl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "_lbl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("_lbl")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("_lbl").alias("pred_label"),
+            "n_votes",
+            F.round(F.col("n_votes") / F.lit(float(k)), 6).alias("vote_frac"),
+        )
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+) -> DataFrame:
+    """ANN quality evaluation: per-query recall of an approximate top-k
+    result against the exact top-k ground truth (both frames carry
+    (query_id, neighbor_id) rows). The eval harness every ANN rollout
+    gates on — run it on a sampled query set, not the full corpus.
+
+    Scale shape: both inputs are query-set-sized (k rows per sampled
+    query), so the hit join and per-query counts are trivially small;
+    the expensive parts are the searchers that PRODUCE the inputs.
+    """
+    pair = ["query_id", "neighbor_id"]
+    hits = (
+        exact.select(*pair)
+        .join(approx.select(*pair), pair)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .na.fill(0, ["n_hits"])
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

@@ -7,7 +7,7 @@ these run at scan speed over 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword langid
@@ -496,4 +496,124 @@ def dsir_logratio(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_lr"), 6).alias("avg_log_ratio"),
+    )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_word_frac: float = 0.5,
+) -> DataFrame:
+    """Gopher-style structural quality rules (Rae et al. 2021 §A1.1,
+    public heuristics), word-level variant: per document the rule
+    metrics — word count, mean word length, alphabetic-word fraction,
+    stopword hits, duplicate-word fraction — plus the composed
+    ``gopher_keep`` flag from the published-threshold shape.
+
+    The keep flag is computed from the UNROUNDED metrics (the rounded
+    columns are for reporting), so the decision is the same arithmetic
+    in any engine. Pure column algebra over one tokenize per row — no
+    shuffle, scan speed at 100 TB.
+    """
+    ws = F.col("_ws")
+    n = F.size(ws)
+    nn = F.greatest(n, F.lit(1))
+    total_len = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    mtl = total_len / nn
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("^[a-zA-Z]+$"))) / nn
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    dup = (n - F.size(F.array_distinct(ws))) / nn
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mtl >= min_mean_word_len)
+        & (mtl <= max_mean_word_len)
+        & (alpha >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+        & (dup <= max_dup_word_frac)
+    )
+    return df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ws")
+    ).select(
+        id_col,
+        n.alias("n_words"),
+        F.round(mtl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("frac_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        F.round(dup, 6).alias("dup_word_frac"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per corpus slice: BPE-ish tokens per
+    whitespace word (fertility — the multilingual tokenizer-efficiency
+    number every training pipeline tracks per language) and characters
+    per BPE token. One tokenize per row feeding a hash aggregation to
+    (lang, source) grain — map-side combine, bounded output."""
+    txt = F.col(text_col)
+    per_doc = df.select(
+        *group_cols,
+        F.size(bpe_ish_tokens(txt)).cast("long").alias("_bpe"),
+        F.size(tokens(txt)).cast("long").alias("_ws"),
+        F.length(txt).cast("long").alias("_chars"),
+    )
+    return per_doc.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_bpe").alias("n_bpe_tokens"),
+        F.sum("_ws").alias("n_ws_tokens"),
+        F.sum("_chars").alias("n_chars"),
+        F.round(
+            F.sum("_bpe") / F.greatest(F.sum("_ws"), F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("_chars") / F.greatest(F.sum("_bpe"), F.lit(1)), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document inside its source by the unigram-LM cross-entropy proxy
+    (``unigram_logprob``) and cut each source into ``n_buckets``
+    head/middle/tail bands, reporting per-band document counts, mean
+    score, and token mass — the table a curation pipeline uses to decide
+    which perplexity band of which source to keep.
+
+    Determinism: the ntile order is (rounded score, doc id) — total, so
+    band assignment is engine- and partitioning-stable. Scale shape:
+    the per-source ntile is a per-source sort (CCNet's own shape — one
+    sort per language); at 100 TB replace the exact ntile with
+    percentile_approx cut points broadcast against the scan, same
+    output contract.
+    """
+    lp = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    joined = lp.join(df.select(id_col, source_col), id_col)
+    w = Window.partitionBy(source_col).orderBy("avg_neg_logprob", id_col)
+    b = joined.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return b.groupBy(source_col, "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )

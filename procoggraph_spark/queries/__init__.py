@@ -44,6 +44,7 @@ def registry():
         star_llmops3,
         star_llmops4,
         star_llmops5,
+        star_llmops6,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -70,6 +71,7 @@ def registry():
         star_llmops3,
         star_llmops4,
         star_llmops5,
+        star_llmops6,
         star_relational,
         star_multimodal,
         star_streaming,

@@ -165,16 +165,21 @@ def test_driver_window_rotation():
     keys = list(QUERIES.keys())
     window = set(keys[:50])
     must_be_in = set(_PROMOTE)
-    for m in ("star_llmops2", "star_llmops3", "star_llmops4", "star_llmops5"):
+    for m in (
+        "star_llmops2",
+        "star_llmops3",
+        "star_llmops4",
+        "star_llmops5",
+        "star_llmops6",
+    ):
         mod = importlib.import_module(f"procoggraph_spark.queries.{m}")
         must_be_in |= set(mod.QUERIES)
     missing = sorted(must_be_in - window)
     assert not missing, f"fell out of the driver sample window: {missing}"
-    # boundary pin: the relational head pads the window to exactly 50
-    # (the six star_llmops5 rows joining mid-round shifted the boundary
-    # back by six — deliberate: the new oracle rows sample now, the
-    # displaced relational rows were green in r01-04)
-    assert keys[49] == "q6_all_mode" and keys[50] == "q7_rollup_by_p_brand"
+    # boundary pin: with the nine star_llmops6 rows the llmops modules
+    # fill the 50-row window exactly (10 promotes + 14 + 7 + 2 + 8 + 9)
+    # — the displaced relational pad rows were green in r01-04
+    assert keys[49] == "sim_recall_eval" and keys[50] == "a1_pricing_summary"
 
 
 def test_queries_md_in_sync():
