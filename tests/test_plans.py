@@ -335,3 +335,95 @@ def test_substring_pairs_equi_join_no_cartesian(spark):
     p = plan(spark, df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gopher_rules_map_only(spark):
+    """text_gopher_rules is scan-speed column algebra: no exchange, no
+    Python, whole-stage codegen from scan to project."""
+    df = QUERIES["text_gopher_rules"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange (") == 0
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_fertility_single_exchange_no_python(spark):
+    """text_tokenizer_fertility: one hash agg to (lang, source) grain —
+    exactly one exchange (map-side partial agg), no Python."""
+    df = QUERIES["text_tokenizer_fertility"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange (") == 1
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_perplexity_buckets_no_cartesian_no_python(spark):
+    """curation_perplexity_buckets: the only nested-loop join allowed
+    is the broadcast of the 1-row corpus total (unigram_logprob's
+    shape); the vocabulary join and the source join are hash joins."""
+    df = QUERIES["curation_perplexity_buckets"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_curriculum_heap_cut_before_rank(spark):
+    """curation_curriculum_order must cut the corpus with per-partition
+    top-k heaps (TakeOrderedAndProject) BEFORE the single-partition
+    rank window — the window only ever sees the k survivors."""
+    df = QUERIES["curation_curriculum_order"](spark, SF_ORACLE)
+    p = plan(spark, df, mode="simple")
+    assert "TakeOrderedAndProject" in p and "Window" in p
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
+
+
+def test_epoch_plan_broadcasts_total_only(spark):
+    """curation_epoch_plan: per-source agg is the only hash exchange;
+    the 1-row weight total joins back via broadcast."""
+    df = QUERIES["curation_epoch_plan"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_broadcast_queries_no_python(spark):
+    """sim_hard_negatives follows the exact-primitive shape: the query
+    side broadcasts (never the corpus), no Python, no CartesianProduct
+    (the pair join is the documented BroadcastNestedLoop over the
+    broadcast query set)."""
+    df = QUERIES["sim_hard_negatives"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    # the pushed query predicate proves the small side is the broadcast
+    assert "LessThan(vec_id,5)" in p
+
+
+def test_knn_vote_no_python_no_cartesian(spark):
+    df = QUERIES["emb_knn_label_vote"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_zorder_stats_map_plus_single_agg(spark):
+    """layout_zorder_stats: Morton key algebra on the scan + one hash
+    aggregation on the bucket — exactly one exchange, no Python, and
+    the scan reads only the two key columns."""
+    df = QUERIES["layout_zorder_stats"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange (") == 1
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    sched = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert sched and all(
+        "l_partkey" in ln and "l_suppkey" in ln and "l_quantity" not in ln
+        for ln in sched
+    )
+
+
+def test_recall_eval_joins_topk_frames_only(spark):
+    """sim_recall_eval joins two k-rows-per-query frames — no
+    CartesianProduct beyond the searchers' own documented broadcast
+    shapes, no Python anywhere."""
+    df = QUERIES["sim_recall_eval"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
