@@ -775,3 +775,24 @@ def recall_at_k(
             F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def pseudo_embedding(fingerprint: Column, *, dim: int = 8) -> Column:
+    """Deterministic pseudo-embedding from an integer fingerprint: the
+    j-th component is the multiplicative-mix hash of (fingerprint,
+    2j+1), scaled to [-0.5, 0.5). A stand-in for a real encoder with
+    the same Spark-side contract (array<double> column, scan-side, no
+    Python) and fully portable 64-bit integer arithmetic, so any SQL
+    engine replays the identical vectors — the text twin of the
+    multimodal fake-feature kernel.
+
+    Overflow discipline: each step pre-reduces mod 2^31 before the
+    Knuth multiply, keeping every product under 2^63 (ANSI-safe).
+    """
+    comps = []
+    for j in range(dim):
+        a = fingerprint.cast("long") % 2147483648
+        b = (a * F.lit(2 * j + 1)) % 2147483648
+        c = (b * F.lit(2654435761)) % 4294967296
+        comps.append(c.cast("double") / F.lit(4294967296.0) - F.lit(0.5))
+    return F.array(*comps)

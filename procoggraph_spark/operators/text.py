@@ -617,3 +617,59 @@ def perplexity_buckets(
         F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization before content-keyed dedup: lower-
+    case, strip every non-alphanumeric to a space, collapse whitespace
+    runs, trim. Pure regexp algebra — scan speed, and exactly
+    replicable in any engine's regexp_replace."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, "[^a-z0-9]+", " ")
+    return F.trim(out)
+
+
+def oov_rate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Vocabulary-coverage audit: build the corpus's top-``vocab_size``
+    term vocabulary (by frequency, ties toward the lexicographically
+    smaller term) and report per document the token count, OOV token
+    count, and OOV rate — the number a tokenizer/vocab rollout is gated
+    on (how much of the corpus a candidate vocabulary fails to cover).
+
+    Scale shape: term frequencies aggregate with map-side combine; the
+    vocabulary cut is a TakeOrderedAndProject (vocab-sized, never a
+    corpus sort) and broadcasts to the token stream for the OOV probe —
+    the corpus-sized side never reshuffles beyond the per-doc count.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

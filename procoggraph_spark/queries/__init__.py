@@ -45,6 +45,7 @@ def registry():
         star_llmops4,
         star_llmops5,
         star_llmops6,
+        star_llmops7,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -72,6 +73,7 @@ def registry():
         star_llmops4,
         star_llmops5,
         star_llmops6,
+        star_llmops7,
         star_relational,
         star_multimodal,
         star_streaming,

@@ -1,0 +1,343 @@
+"""Round-6 fourth batch: pipeline-hardening operators — normalized
+content dedup, vocabulary-coverage (OOV) audit, join-key skew
+diagnostics, the salted skew-safe join, SCD type-2 dimension
+maintenance, and the RAG chunk-index serving capstone. All six fully
+oracle-backed (portable arithmetic throughout). Registered after
+star_llmops6 — PAST the round-6 driver window by design (the window is
+full at 50); these rotate into external sampling on round 7, and are
+pre-verified vs DuckDB at sf0.001 + sf0.01 like every past-window batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import dedup as D
+from procoggraph_spark.operators import skew as K
+from procoggraph_spark.operators import similarity as S
+from procoggraph_spark.operators import temporal as TP
+from procoggraph_spark.operators import text as X
+from procoggraph_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- Normalized content dedup ----------------------------------------------
+
+_NORM_DEDUP_SQL = """
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS content_key
+      FROM documents
+    )
+    SELECT content_key, MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM n GROUP BY content_key
+    """
+
+
+@q("dedup_normalized_exact", _NORM_DEDUP_SQL)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonical normalization (lowercase, strip
+    punctuation, collapse whitespace): catches the case/punct-variant
+    copies raw-byte dedup misses. Keyed on md5 of the normalized text
+    (fixed 32-byte shuffle key instead of the full document — the right
+    key size at 100 TB); same hash-groupBy single-shuffle shape as
+    dedup_exact."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "content_key", F.md5(X.normalize_text(F.col("text")))
+    )
+    return D.exact_dedup(d, key_cols=["content_key"], id_col="doc_id")
+
+
+# --- Vocabulary coverage / OOV audit ---------------------------------------
+
+_OOV_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r
+        FROM tf
+      ) WHERE r <= 100
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab USING (term)
+    GROUP BY doc_id
+    """
+
+
+@q("text_oov_rate", _OOV_SQL)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per-document OOV rate against the
+    corpus's top-100 term vocabulary (frequency-ranked, lexicographic
+    tiebreak) — the tokenizer/vocab rollout gate. Vocab cut is
+    TakeOrderedAndProject + broadcast probe (see operators/text.oov_rate)."""
+    return X.oov_rate(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        vocab_size=100,
+    )
+
+
+# --- Join-key skew diagnostics ---------------------------------------------
+
+_SKEW_AUDIT_SQL = """
+    WITH k AS (
+      SELECT CASE WHEN l_partkey % 4 = 0 THEN 1
+                  ELSE l_suppkey END AS join_key
+      FROM lineitem
+    ),
+    c AS (SELECT join_key, COUNT(*) AS n_rows FROM k GROUP BY join_key),
+    s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT join_key, n_rows, row_share, skew_ratio, rank FROM (
+      SELECT c.join_key, CAST(c.n_rows AS BIGINT) AS n_rows,
+             ROUND(c.n_rows * 1.0 / s.total, 6) AS row_share,
+             ROUND(c.n_rows * s.n_keys * 1.0 / s.total, 6) AS skew_ratio,
+             ROW_NUMBER() OVER (ORDER BY c.n_rows DESC, c.join_key) AS rank
+      FROM c, s
+    ) WHERE rank <= 10
+    """
+
+
+@q("diag_key_skew", _SKEW_AUDIT_SQL)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report on a synthetically hot-keyed lineitem (a
+    quarter of the rows collapse onto supplier 1): top-10 keys with row
+    share and skew ratio vs the uniform mean — the pre-join audit that
+    decides salting factors (see operators/skew.key_skew_audit)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 4 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("join_key")
+    )
+    return K.key_skew_audit(li, "join_key", top_k=10)
+
+
+# --- Salted skew-safe join --------------------------------------------------
+
+_SALTED_JOIN_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_partkey % 4 = 0 THEN 1
+                  ELSE l_suppkey END AS join_key,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM f JOIN supplier s ON f.join_key = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """
+
+
+@q("j_salted_skew_join", _SALTED_JOIN_SQL)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: the hot-keyed lineitem joins supplier with
+    the dimension side replicated over 8 salts and the fact side salted
+    from the portable hash of l_orderkey — the hot key's rows spread
+    over 8 reducers, and the per-nation rollup is value-identical to
+    the plain join (the oracle IS the plain join). The broadcast hint
+    is deliberately absent: this is the pattern for dims too big to
+    broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 4 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("join_key"),
+        "l_orderkey",
+        "l_quantity",
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("join_key"), "s_nationkey"
+    )
+    from procoggraph_spark.queries.common import dsum2
+
+    joined = K.salted_join(
+        li, sup, key_col="join_key", salt_from="l_orderkey", salts=8
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        dsum2(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+# --- SCD type-2 dimension maintenance --------------------------------------
+
+_SCD2_SQL = """
+    WITH b AS (SELECT c_custkey, c_mktsegment FROM customer),
+    u AS (
+      SELECT c_custkey, c_mktsegment || '-V2' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'SEG-NEW' FROM customer
+      WHERE c_custkey % 10 = 5
+    ),
+    ch AS (
+      SELECT b.c_custkey, b.c_mktsegment AS old_seg,
+             u.c_mktsegment AS new_seg
+      FROM b JOIN u USING (c_custkey)
+      WHERE b.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+    )
+    SELECT b.c_custkey, b.c_mktsegment, 1 AS version, TRUE AS is_current
+    FROM b ANTI JOIN ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, old_seg, 1, FALSE FROM ch
+    UNION ALL
+    SELECT c_custkey, new_seg, 2, TRUE FROM ch
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, 1, TRUE
+    FROM u ANTI JOIN b USING (c_custkey)
+    """
+
+
+@q("scd2_customer_segment", _SCD2_SQL)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge of a CDC delta into the customer dimension:
+    every 10th customer changes market segment (old row closed at
+    version 1, new row opened at version 2) and a synthetic set of new
+    customers inserts — the versioned-history maintenance every
+    warehouse dimension needs. Single full-outer join + struct-array
+    inline, no double scan (see operators/temporal.scd2_merge)."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_mktsegment")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.concat(F.col("c_mktsegment"), F.lit("-V2")).alias(
+            "c_mktsegment"
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 10 == 5).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit("SEG-NEW").alias("c_mktsegment"),
+        )
+    )
+    return TP.scd2_merge(
+        base, updates, key_col="c_custkey", attr_col="c_mktsegment"
+    )
+
+
+# --- RAG chunk-index serving capstone --------------------------------------
+
+
+def _pseudo_emb_sql(var: str, *, dim: int = 8) -> str:
+    """DuckDB list literal replaying operators/similarity.pseudo_embedding
+    over an integer fingerprint expression ``var``."""
+    comps = []
+    for j in range(dim):
+        comps.append(
+            f"((({var} % 2147483648) * {2 * j + 1} % 2147483648)"
+            f" * 2654435761 % 4294967296) / 4294967296.0 - 0.5"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def _rag_oracle_sql() -> str:
+    rh = """list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, least(length(chunk_text), 64)),
+                              i -> CAST(ascii(substr(chunk_text, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647)"""
+    return f"""
+    WITH ch AS (
+      SELECT doc_id, s AS chunk_start,
+             substr(text, CAST(s + 1 AS INT), 200) AS chunk_text
+      FROM documents,
+           LATERAL unnest(generate_series(0, length(text) - 1, 160)) AS u(s)
+      WHERE s = 0 OR s + 40 < length(text)
+    ),
+    emb AS (
+      SELECT doc_id, chunk_start,
+             {_pseudo_emb_sql(rh)} AS v
+      FROM ch
+    ),
+    qs AS (SELECT doc_id AS query_doc, chunk_start AS query_start, v AS qv
+           FROM emb WHERE doc_id < 3),
+    scored AS (
+      SELECT q.query_doc, q.query_start,
+             e.doc_id AS neighbor_doc, e.chunk_start AS neighbor_start,
+             ROUND(list_dot_product(qv, e.v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+      FROM qs q, emb e WHERE e.doc_id <> q.query_doc
+    )
+    SELECT query_doc, query_start, neighbor_doc, neighbor_start,
+           cosine_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_doc, query_start
+          ORDER BY cosine_sim DESC, neighbor_doc, neighbor_start) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@q("rag_index_pipeline", _rag_oracle_sql())
+def rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing + retrieval capstone, one Catalyst plan end-to-end:
+    chunk every document (200/40 overlap, sequence+explode generator),
+    fingerprint each chunk (Rabin-Karp fold), derive a deterministic
+    8-dim pseudo-embedding (the portable stand-in for the encoder —
+    same array<double> contract), and serve cross-document top-3
+    retrieval for the chunks of the first 3 documents. The retrieval
+    here is the exact primitive over a broadcast query set; at corpus
+    scale the LSH/IVF searchers (same embedding column) are the serving
+    path. No Python anywhere — the whole pipeline is column algebra."""
+    d = t(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(
+        d, id_col="doc_id", text_col="text", chunk_size=200, overlap=40
+    )
+    emb = chunks.select(
+        "doc_id",
+        "chunk_start",
+        S.pseudo_embedding(
+            X.rolling_hash_fingerprint(F.col("chunk_text")), dim=8
+        ).alias("v"),
+    )
+    qs = F.broadcast(
+        emb.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_doc"),
+            F.col("chunk_start").alias("query_start"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        emb.join(qs, emb["doc_id"] != qs["query_doc"])
+        .select(
+            "query_doc",
+            "query_start",
+            F.col("doc_id").alias("neighbor_doc"),
+            F.col("chunk_start").alias("neighbor_start"),
+            F.round(
+                S.dot(F.col("qv"), F.col("v"))
+                / (S.l2_norm(F.col("qv")) * S.l2_norm(F.col("v"))),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_doc", "query_start").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_doc"), F.asc("neighbor_start")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )

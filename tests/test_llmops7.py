@@ -1,0 +1,154 @@
+"""Semantic tests for the round-6 fourth-batch operators (the
+star_llmops7 registry rows): normalized dedup, OOV audit, skew
+diagnostics, salted join, SCD2 merge, and the RAG index capstone.
+Oracle parity is covered by test_oracle_parity; these pin the operator
+SEMANTICS on constructed inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.dedup import exact_dedup
+from procoggraph_spark.operators.skew import (
+    key_skew_audit,
+    salted_join,
+)
+from procoggraph_spark.operators.temporal import scd2_merge
+from procoggraph_spark.operators.text import normalize_text, oov_rate
+
+
+def test_normalize_text_collapses_variants(spark):
+    """Case/punct/whitespace variants normalize to the same key; a
+    genuinely different text does not."""
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO----WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    d = df.withColumn("k", F.md5(normalize_text(F.col("text"))))
+    out = {
+        r["canonical_doc_id"]: r["n_copies"]
+        for r in exact_dedup(d, key_cols=["k"], id_col="doc_id").collect()
+    }
+    assert out == {1: 3, 4: 1}
+
+
+def test_oov_rate_vocab_cut_and_ties(spark):
+    """With vocab_size=1 only the most frequent term is in-vocab; the
+    frequency tie breaks lexicographically."""
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc aa aa")], "doc_id long, text string"
+    )
+    # counts: aa=4, bb=2, cc=1 -> vocab {aa}
+    out = {r["doc_id"]: r for r in oov_rate(df, vocab_size=1).collect()}
+    assert out[1]["n_oov"] == 1 and out[1]["oov_rate"] == round(1 / 3, 6)
+    assert out[2]["n_oov"] == 2 and out[2]["oov_rate"] == 0.5
+    # tie: with 'aa aa bb bb', vocab_size=1 keeps 'aa' (lexicographic)
+    df2 = spark.createDataFrame([(1, "aa aa bb bb")], "doc_id long, text string")
+    r = oov_rate(df2, vocab_size=1).collect()[0]
+    assert r["n_oov"] == 2
+
+
+def test_key_skew_audit_flags_hot_key(spark):
+    """90 rows on one key + 10 singleton keys: the hot key ranks first
+    with share 0.9 and skew_ratio 9.9 (11 keys, mean 100/11)."""
+    rows = [(1,)] * 90 + [(100 + i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_audit(df, "k", top_k=3).collect()
+    head = [r for r in out if r["rank"] == 1][0]
+    assert head["k"] == 1 and head["n_rows"] == 90
+    assert head["row_share"] == 0.9
+    assert head["skew_ratio"] == round(90 * 11 / 100, 6)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted join is value-identical to the plain join, including
+    rows under the hot key, for inner and left joins."""
+    fact = spark.createDataFrame(
+        [(1, i, 10.0) for i in range(50)] + [(2, 100, 5.0), (9, 101, 1.0)],
+        "k long, row_id long, qty double",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    plain = sorted(
+        map(tuple, fact.join(dim, "k").select("k", "row_id", "name").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(fact, dim, key_col="k", salt_from="row_id", salts=4)
+            .select("k", "row_id", "name")
+            .collect(),
+        )
+    )
+    assert plain == salted
+    # left join keeps the dangling fact row exactly once
+    left = salted_join(
+        fact, dim, key_col="k", salt_from="row_id", salts=4, how="left"
+    )
+    assert left.count() == 52
+    assert left.filter(F.col("k") == 9).count() == 1
+
+
+def test_scd2_merge_three_cases(spark):
+    """Unchanged key -> one current v1 row; changed -> closed v1 + open
+    v2; inserted -> current v1; a no-op delta row (same value) counts
+    as unchanged."""
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k long, attr string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (3, "C"), (4, "D")], "k long, attr string"
+    )
+    out = sorted(
+        map(
+            tuple,
+            scd2_merge(base, updates, key_col="k", attr_col="attr").collect(),
+        )
+    )
+    assert out == [
+        (1, "A", 1, True),
+        (2, "B", 1, False),
+        (2, "B2", 2, True),
+        (3, "C", 1, True),
+        (4, "D", 1, True),
+    ]
+
+
+def test_scd2_merge_null_attr_rows_survive(spark):
+    """A present row with a NULL attribute is present (not dropped):
+    NULL -> value is a change; NULL -> NULL is unchanged."""
+    base = spark.createDataFrame([(1, None), (2, None)], "k long, attr string")
+    updates = spark.createDataFrame([(1, "X"), (2, None)], "k long, attr string")
+    out = sorted(
+        map(
+            tuple,
+            scd2_merge(base, updates, key_col="k", attr_col="attr").collect(),
+        ),
+        key=str,
+    )
+    assert (1, None, 1, False) in out and (1, "X", 2, True) in out
+    assert (2, None, 1, True) in out and len(out) == 3
+
+
+def test_rag_pipeline_retrieval_contract(spark):
+    """The registry capstone returns 3 cross-document neighbors per
+    query chunk, never a same-document chunk, with ranks 1..3 in
+    descending similarity."""
+    from procoggraph_spark.queries.star_llmops7 import rag_index_pipeline
+    from tests.conftest import SF_SMOKE
+
+    out = rag_index_pipeline(spark, SF_SMOKE).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_doc"] != r["query_doc"]
+        per_q.setdefault((r["query_doc"], r["query_start"]), []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)

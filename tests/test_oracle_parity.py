@@ -178,8 +178,11 @@ def test_driver_window_rotation():
     assert not missing, f"fell out of the driver sample window: {missing}"
     # boundary pin: with the nine star_llmops6 rows the llmops modules
     # fill the 50-row window exactly (10 promotes + 14 + 7 + 2 + 8 + 9)
-    # — the displaced relational pad rows were green in r01-04
-    assert keys[49] == "sim_recall_eval" and keys[50] == "a1_pricing_summary"
+    # — the displaced relational pad rows were green in r01-04. The
+    # star_llmops7 batch sits immediately PAST the window (round-7
+    # rotation fodder, pre-verified at sf0.001+sf0.01).
+    assert keys[49] == "sim_recall_eval"
+    assert keys[50] == "dedup_normalized_exact"
 
 
 def test_queries_md_in_sync():

@@ -427,3 +427,64 @@ def test_recall_eval_joins_topk_frames_only(spark):
     p = plan(spark, df)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_normalized_dedup_single_exchange_no_python(spark):
+    df = QUERIES["dedup_normalized_exact"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange (") == 1
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_oov_vocab_cut_is_heap_then_broadcast(spark):
+    """text_oov_rate: the vocabulary cut must be TakeOrderedAndProject
+    (vocab-sized heap cut, never a corpus sort) and the vocab probe a
+    broadcast hash join."""
+    df = QUERIES["text_oov_rate"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_skew_audit_heap_cut_before_rank(spark):
+    """diag_key_skew: per-partition top-k heaps cut the key histogram
+    BEFORE the single-partition rank window."""
+    df = QUERIES["diag_key_skew"](spark, SF_ORACLE)
+    p = plan(spark, df, mode="simple")
+    assert "TakeOrderedAndProject" in p and "Window" in p
+    assert p.index("TakeOrderedAndProject") > p.index("Window")
+
+
+def test_salted_join_replicates_dim_not_fact(spark):
+    """j_salted_skew_join: the salt explode (Generate) sits on the
+    dimension side; the join is an equi-join on (key, salt) — no
+    cartesian, no Python."""
+    df = QUERIES["j_salted_skew_join"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "Generate" in p  # the salt explode on the dim side
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_scd2_single_full_outer_join(spark):
+    """scd2_customer_segment: exactly one join in the plan (the full
+    outer on the key) — the history expansion is an inline, not a
+    three-branch union re-joining the inputs."""
+    df = QUERIES["scd2_customer_segment"](spark, SF_ORACLE)
+    p = plan(spark, df, mode="simple")
+    joins = sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, p
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rag_pipeline_no_python_one_plan(spark):
+    """rag_index_pipeline: chunk -> fingerprint -> embed -> retrieve is
+    one Catalyst plan with no Python stage and no cartesian product
+    (the query side broadcasts)."""
+    df = QUERIES["rag_index_pipeline"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the chunker
