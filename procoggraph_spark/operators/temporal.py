@@ -191,3 +191,69 @@ def scd2_merge(
             F.col("_h.is_current").alias("is_current"),
         )
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    delta: DataFrame,
+    *,
+    key_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Apply one CDC delta to an EXISTING SCD2 history (the iterated /
+    streaming-micro-batch generalization of ``scd2_merge``, which is
+    the special case of a base snapshot sitting at version 1): a
+    changed attribute closes the key's current row and opens
+    version+1; a new key inserts at version 1; all other history rows
+    pass through untouched. Conflicting attr values for one key inside
+    a single delta resolve deterministically to the greatest value.
+
+    Scale shape: one hash left-join of the history against the
+    key-deduped delta plus one anti-join for the inserts — the history
+    is never windowed or double-joined; at warehouse scale partition
+    the history by key bucket so a micro-batch rewrites only touched
+    partitions.
+    """
+    d = delta.groupBy(key_col).agg(F.max(attr_col).alias("_d_attr"))
+    j = history.join(
+        d.withColumn("_in_d", F.lit(True)), key_col, "left"
+    )
+    changed = (
+        F.col("is_current")
+        & F.coalesce(F.col("_in_d"), F.lit(False))
+        & ~F.col(attr_col).eqNullSafe(F.col("_d_attr"))
+    )
+    kept = j.select(
+        key_col,
+        attr_col,
+        "version",
+        (F.col("is_current") & ~changed).alias("is_current"),
+    )
+    opened = j.filter(changed).select(
+        key_col,
+        F.col("_d_attr").alias(attr_col),
+        (F.col("version") + F.lit(1)).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = d.join(
+        history.select(key_col).distinct(), key_col, "left_anti"
+    ).select(
+        key_col,
+        F.col("_d_attr").alias(attr_col),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return kept.unionByName(opened).unionByName(inserts)
+
+
+def scd2_from_snapshot(
+    base: DataFrame, *, key_col: str, attr_col: str
+) -> DataFrame:
+    """Bootstrap an SCD2 history from a current snapshot: every row at
+    version 1, current."""
+    return base.select(
+        key_col,
+        attr_col,
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )

@@ -341,3 +341,56 @@ def rag_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 3
     )
+
+
+# --- Iterated SCD2 (two CDC batches -> multi-version history) ---------------
+
+_SCD2_TWO_BATCH_SQL = """
+    WITH b AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT c_custkey, c_mktsegment, 1 AS version,
+           (c_custkey % 10 <> 0) AS is_current
+    FROM b
+    UNION ALL
+    SELECT c_custkey, c_mktsegment || '-V2', 2, (c_custkey % 20 <> 0)
+    FROM b WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment || '-V3', 3, TRUE
+    FROM b WHERE c_custkey % 20 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'SEG-NEW', 1, TRUE
+    FROM b WHERE c_custkey % 10 = 5
+    """
+
+
+@q("scd2_two_batch_history", _SCD2_TWO_BATCH_SQL)
+def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated SCD2: bootstrap the customer dimension, apply two CDC
+    deltas in sequence (every 10th key changes segment in batch 1 +
+    new keys insert; every 20th changes again in batch 2) — keys hit
+    twice carry a 3-version history. This is the batch twin of
+    ``streaming.windows.streaming_scd2`` (each micro-batch is one
+    ``scd2_apply``; equality pytest in tests/test_streaming.py)."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_mktsegment")
+    hist = TP.scd2_from_snapshot(
+        base, key_col="c_custkey", attr_col="c_mktsegment"
+    )
+    d1 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("-V2")).alias("c_mktsegment"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 10 == 5).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit("SEG-NEW").alias("c_mktsegment"),
+        )
+    )
+    hist = TP.scd2_apply(
+        hist, d1, key_col="c_custkey", attr_col="c_mktsegment"
+    )
+    d2 = c.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("-V3")).alias("c_mktsegment"),
+    )
+    return TP.scd2_apply(
+        hist, d2, key_col="c_custkey", attr_col="c_mktsegment"
+    )

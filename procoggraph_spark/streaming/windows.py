@@ -543,3 +543,82 @@ def streaming_ivf_pq_index(
     return ivf_pq_index_numpy(
         stream, cell_centroids, codebooks, id_col=id_col, vec_col=vec_col
     )
+
+
+def streaming_scd2(
+    spark,
+    cdc_path: str,
+    schema,
+    history_dir: str,
+    *,
+    key_col: str,
+    attr_col: str,
+    checkpoint: str,
+):
+    """SCD type-2 dimension maintenance over a CDC stream: each
+    micro-batch of (key, attr) delta rows merges into the versioned
+    history parquet via ``operators.temporal.scd2_apply`` — changed
+    keys close their current row and open version+1, new keys insert
+    at version 1.
+
+    Durability follows the streaming_cms pattern: the merged history
+    writes to a fresh versioned directory and an atomic symlink rename
+    repoints ``history_dir`` (readers see the old version until the
+    rename lands; a crash-replayed batch whose version is already live
+    is skipped, making the at-least-once foreachBatch contract
+    exactly-once here). At warehouse scale, partition the history by
+    key bucket and rewrite only touched partitions instead of the full
+    swap. Caller awaits the returned query.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from procoggraph_spark.operators.temporal import scd2_apply
+
+    stream = spark.readStream.schema(schema).parquet(cdc_path)
+    hist_schema = T.StructType(
+        [
+            schema[key_col],
+            schema[attr_col],
+            T.StructField("version", T.IntegerType(), False),
+            T.StructField("is_current", T.BooleanType(), False),
+        ]
+    )
+
+    def merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        prev = (
+            os.path.realpath(history_dir)
+            if os.path.lexists(history_dir)
+            else None
+        )
+        vdir = f"{history_dir}.v{batch_id}"
+        if prev is not None and prev == os.path.realpath(vdir):
+            return  # crash-replay of an already-applied batch
+        if prev is not None and os.path.exists(prev):
+            hist = sess.read.parquet(prev)
+        else:
+            hist = sess.createDataFrame([], hist_schema)
+        merged = scd2_apply(
+            hist,
+            batch_df.select(key_col, attr_col),
+            key_col=key_col,
+            attr_col=attr_col,
+        )
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp_link = f"{history_dir}.lnk.{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(vdir, tmp_link)
+        os.replace(tmp_link, history_dir)
+        if prev is not None and prev != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -152,3 +152,54 @@ def test_rag_pipeline_retrieval_contract(spark):
         assert [r["rank"] for r in rows] == [1, 2, 3]
         sims = [r["cosine_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_scd2_apply_generalizes_merge(spark):
+    """scd2_apply(snapshot-as-history, delta) equals scd2_merge(base,
+    delta); a second apply builds version-3 history."""
+    from procoggraph_spark.operators.temporal import (
+        scd2_apply,
+        scd2_from_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, "A"), (2, "B")], "k long, attr string")
+    d1 = spark.createDataFrame([(2, "B2"), (3, "C")], "k long, attr string")
+    h0 = scd2_from_snapshot(base, key_col="k", attr_col="attr")
+    h1 = scd2_apply(h0, d1, key_col="k", attr_col="attr")
+    merged = scd2_merge(base, d1, key_col="k", attr_col="attr")
+    assert sorted(map(tuple, h1.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    d2 = spark.createDataFrame([(2, "B3")], "k long, attr string")
+    h2 = sorted(map(tuple, scd2_apply(h1, d2, key_col="k", attr_col="attr").collect()))
+    assert h2 == [
+        (1, "A", 1, True),
+        (2, "B", 1, False),
+        (2, "B2", 2, False),
+        (2, "B3", 3, True),
+        (3, "C", 1, True),
+    ]
+
+
+def test_scd2_apply_intra_batch_conflict_deterministic(spark):
+    """Two conflicting attr values for one key in a single delta
+    resolve to the greatest value, deterministically."""
+    from procoggraph_spark.operators.temporal import (
+        scd2_apply,
+        scd2_from_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, "A")], "k long, attr string")
+    delta = spark.createDataFrame(
+        [(1, "X"), (1, "Z"), (1, "Y")], "k long, attr string"
+    )
+    h = scd2_apply(
+        scd2_from_snapshot(base, key_col="k", attr_col="attr"),
+        delta,
+        key_col="k",
+        attr_col="attr",
+    )
+    assert sorted(map(tuple, h.collect())) == [
+        (1, "A", 1, False),
+        (1, "Z", 2, True),
+    ]

@@ -530,3 +530,62 @@ def test_streaming_ivf_pq_index_equals_batch(spark, tmp_path):
         for r in ivf_pq_index_numpy(e, cents, books).collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_streaming_scd2_matches_iterated_batch(spark, tmp_path):
+    """Two CDC micro-batches drained sequentially through
+    streaming_scd2 leave the same versioned history as two batch
+    scd2_apply passes; a redelivered drain with no new files changes
+    nothing (checkpointed exactly-once)."""
+    from procoggraph_spark.operators.temporal import (
+        scd2_apply,
+        scd2_from_snapshot,
+    )
+    from procoggraph_spark.streaming.windows import streaming_scd2
+
+    inbox = str(tmp_path / "cdc_inbox")
+    hist_dir = str(tmp_path / "dim_history")
+    ckpt = str(tmp_path / "ckpt")
+
+    d1 = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k long, attr string"
+    )
+    d2 = spark.createDataFrame([(2, "B2"), (4, "D")], "k long, attr string")
+    schema = d1.schema
+
+    d1.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_scd2(
+        spark, inbox, schema, hist_dir, key_col="k", attr_col="attr",
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    d2.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_scd2(
+        spark, inbox, schema, hist_dir, key_col="k", attr_col="attr",
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(hist_dir).collect()))
+
+    empty = scd2_from_snapshot(
+        spark.createDataFrame([], schema), key_col="k", attr_col="attr"
+    )
+    expect = scd2_apply(
+        scd2_apply(empty, d1, key_col="k", attr_col="attr"),
+        d2,
+        key_col="k",
+        attr_col="attr",
+    )
+    assert got == sorted(map(tuple, expect.collect()))
+    assert (1, "A", 1, True) in got and (2, "B", 1, False) in got
+    assert (2, "B2", 2, True) in got and (4, "D", 1, True) in got
+
+    # redelivered drain: no new files -> history unchanged
+    q = streaming_scd2(
+        spark, inbox, schema, hist_dir, key_col="k", attr_col="attr",
+        checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    again = sorted(map(tuple, spark.read.parquet(hist_dir).collect()))
+    assert again == got
