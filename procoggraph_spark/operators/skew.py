@@ -63,8 +63,12 @@ def key_skew_audit(
 
 def salt_of(col: Column, *, salts: int) -> Column:
     """Deterministic salt in [0, salts) from an integer column (the
-    portable multiplicative hash — engine- and rerun-stable)."""
-    return (((col % _R) * _A) % _M) % salts
+    portable multiplicative hash — engine- and rerun-stable). pmod
+    keeps the salt non-negative for negative inputs too — a plain %
+    would emit a negative salt there, and every such fact row would
+    silently vanish from the inner join against the 0..salts-1 dim
+    replicas."""
+    return F.pmod(((F.pmod(col, F.lit(_R))) * _A) % _M, F.lit(salts))
 
 
 def salted_join(

@@ -203,3 +203,14 @@ def test_scd2_apply_intra_batch_conflict_deterministic(spark):
         (1, "A", 1, False),
         (1, "Z", 2, True),
     ]
+
+
+def test_salted_join_negative_keys_not_dropped(spark):
+    """A negative salt_from value must still produce a salt in
+    [0, salts) — no silent row loss in the inner join."""
+    fact = spark.createDataFrame(
+        [(1, -5, 1.0), (1, -2147483600, 2.0)], "k long, row_id long, qty double"
+    )
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    out = salted_join(fact, dim, key_col="k", salt_from="row_id", salts=4)
+    assert out.count() == 2
