@@ -673,3 +673,53 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def curation_data_card(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    max_repetition: float = 0.2,
+) -> DataFrame:
+    """The corpus "data card": per source, how many documents each
+    curation gate dropped and how many survived — the provenance table
+    every published dataset ships so consumers can see what was
+    filtered and why. Attribution is FIRST-failing-gate in the fixed
+    pipeline order (language → quality → repetition), so the counts
+    per source sum exactly to n_docs and re-running the pipeline cannot
+    shift blame between gates.
+
+    Scale shape: the three gate signals are the existing scan-side
+    column algebra (no joins), and the card is one hash agg to source
+    grain — the whole audit is a single pass over the corpus.
+    """
+    txt = F.col(text_col)
+    decision = (
+        F.when(~predict_lang(txt).isin(*langs), "drop_lang")
+        .when(quality_score(txt) < min_quality, "drop_quality")
+        .when(repeated_ngram_ratio(txt) > max_repetition, "drop_repetition")
+        .otherwise("kept")
+    )
+    per = df.select(F.col(source_col), decision.alias("_d"))
+    n = F.count("*")
+    return per.groupBy(source_col).agg(
+        n.alias("n_docs"),
+        F.sum(F.when(F.col("_d") == "drop_lang", 1).otherwise(0))
+        .cast("long")
+        .alias("n_drop_lang"),
+        F.sum(F.when(F.col("_d") == "drop_quality", 1).otherwise(0))
+        .cast("long")
+        .alias("n_drop_quality"),
+        F.sum(F.when(F.col("_d") == "drop_repetition", 1).otherwise(0))
+        .cast("long")
+        .alias("n_drop_repetition"),
+        F.sum(F.when(F.col("_d") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("_d") == "kept", 1).otherwise(0)) / n, 6
+        ).alias("kept_rate"),
+    )

@@ -394,3 +394,100 @@ def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.scd2_apply(
         hist, d2, key_col="c_custkey", attr_col="c_mktsegment"
     )
+
+
+# --- Corpus data card (per-source gate attribution) -------------------------
+
+_DATA_CARD_SQL = """
+    WITH s AS (
+      SELECT doc_id, source, text,
+             string_split(trim(text), ' ') AS ws,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text,
+                 '[!-/:-@\\[-`{-~]', '', 'g')) AS np
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+          len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+          len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
+          len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
+          len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+          len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
+        FROM s
+      )
+    ),
+    qual AS (
+      SELECT doc_id,
+             ROUND((
+               (CASE WHEN n >= 100 THEN 1.0 ELSE n / 100.0 END)
+               + (1.0 - least(np * 1.0 / greatest(n, 1) * 5.0, 1.0))
+               + least(len(list_filter(ws, w -> list_contains(
+                     ['the','a','an','of','and','or','to','in','is','it'], w)))
+                     * 1.0 / greatest(len(ws), 1) * 5.0, 1.0)
+               + (CASE WHEN (list_sum(list_transform(ws, w -> length(w)))
+                             * 1.0 / greatest(len(ws), 1))
+                            BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END)
+             ) / 4.0, 6) AS quality
+      FROM s
+    ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) <= 0 THEN 0.0
+                  ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
+                             / len(grams), 6) END AS rep_ratio
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                              i -> ws[i] || ' ' || ws[i+1]) AS grams
+        FROM s
+      )
+    ),
+    d AS (
+      SELECT s.source,
+             CASE WHEN lang.pred_lang <> 'en' THEN 'drop_lang'
+                  WHEN qual.quality < 0.5 THEN 'drop_quality'
+                  WHEN rep.rep_ratio > 0.2 THEN 'drop_repetition'
+                  ELSE 'kept' END AS dec
+      FROM s JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+             JOIN rep USING (doc_id)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dec = 'drop_lang' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_lang,
+           CAST(SUM(CASE WHEN dec = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_quality,
+           CAST(SUM(CASE WHEN dec = 'drop_repetition' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drop_repetition,
+           CAST(SUM(CASE WHEN dec = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(SUM(CASE WHEN dec = 'kept' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS kept_rate
+    FROM d GROUP BY source
+    """
+
+
+@q("curation_data_card", _DATA_CARD_SQL)
+def curation_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published-dataset data card: per source, documents dropped by
+    each curation gate (first-failing attribution in pipeline order:
+    language → quality → repetition) and the kept rate — counts sum
+    exactly to n_docs per source. One scan, one agg (see
+    operators/text.curation_data_card)."""
+    return X.curation_data_card(
+        t(spark, sf_dir, "documents"),
+        source_col="source",
+        text_col="text",
+        langs=("en",),
+        min_quality=0.5,
+        max_repetition=0.2,
+    )

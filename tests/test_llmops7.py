@@ -214,3 +214,38 @@ def test_salted_join_negative_keys_not_dropped(spark):
     dim = spark.createDataFrame([(1, "a")], "k long, name string")
     out = salted_join(fact, dim, key_col="k", salt_from="row_id", salts=4)
     assert out.count() == 2
+
+
+def test_data_card_first_gate_attribution(spark):
+    """Counts sum to n_docs; a doc failing multiple gates is attributed
+    to the FIRST gate in pipeline order (language before quality)."""
+    from procoggraph_spark.operators.text import curation_data_card
+
+    rows = [
+        # fails lang AND quality -> attributed to lang
+        (1, "s1", "zz der und das die nicht ist"),
+        # passes lang (en marker), fails quality: punct-saturated, short,
+        # mean word length out of range -> q = 0.4475 < 0.5
+        (2, "s1", "the " + "!" * 25),
+        # kept: long enough, stopwords, clean
+        (
+            3,
+            "s1",
+            "the quick brown fox jumps over a lazy dog and it runs to the "
+            "den with speed and grace while birds are watching from an oak",
+        ),
+        # repetition: passes lang+quality but repeats one bigram heavily
+        (4, "s2", "the cat sat and " * 30 + "the end is near in the it of"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in curation_data_card(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3
+    assert (
+        s1["n_drop_lang"] + s1["n_drop_quality"] + s1["n_drop_repetition"]
+        + s1["n_kept"]
+        == 3
+    )
+    assert s1["n_drop_lang"] == 1 and s1["n_drop_quality"] == 1
+    assert s1["n_kept"] == 1
+    assert out["s2"]["n_drop_repetition"] == 1
