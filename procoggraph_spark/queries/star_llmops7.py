@@ -491,3 +491,81 @@ def curation_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=0.5,
         max_repetition=0.2,
     )
+
+
+# --- Feature engineering: target encoding + robust scaling ------------------
+
+_TARGET_ENCODE_SQL = """
+    WITH g AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gs,
+             COUNT(*) AS gn
+      FROM orders
+    ),
+    c AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_o_orderpriority,
+           ROUND(s / n, 6) AS cat_mean,
+           ROUND((s + 10.0 * (gs / gn)) / (n + 10.0), 6) AS encoded
+    FROM c, g
+    """
+
+
+@q("feat_target_encode", _TARGET_ENCODE_SQL)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding of order priority against total price
+    (exact long-cents sums, broadcast global mean) — the
+    high-cardinality categorical encoder for model-ready tables."""
+    from procoggraph_spark.operators.features import target_encode
+
+    return target_encode(
+        t(spark, sf_dir, "orders"),
+        category_col="o_orderpriority",
+        target_col="o_totalprice",
+        smoothing=10.0,
+    )
+
+
+_ROBUST_SCALE_SQL = """
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    ),
+    b AS (
+      SELECT source,
+             CAST(MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                           THEN n_chars END) AS BIGINT) AS lo,
+             CAST(MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                           THEN n_chars END) AS BIGINT) AS hi
+      FROM r GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, lo, hi,
+           CAST(least(greatest(d.n_chars, lo), hi) AS BIGINT) AS clipped,
+           ROUND(CASE WHEN hi = lo THEN 0.0
+                 ELSE (least(greatest(d.n_chars, lo), hi) - lo) * 1.0
+                      / (hi - lo) END, 6) AS scaled
+    FROM d JOIN b USING (source)
+    """
+
+
+@q("feat_robust_scale", _ROBUST_SCALE_SQL)
+def feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorize (rank-based p05/p95 — discrete, no engine
+    interpolation semantics) + min-max scale of document lengths — the
+    outlier-robust numeric normalization; bounds broadcast back onto
+    the scan."""
+    from procoggraph_spark.operators.features import robust_scale
+
+    return robust_scale(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        group_col="source",
+        value_col="n_chars",
+        lo_q=0.05,
+        hi_q=0.95,
+    )

@@ -249,3 +249,48 @@ def test_data_card_first_gate_attribution(spark):
     assert s1["n_drop_lang"] == 1 and s1["n_drop_quality"] == 1
     assert s1["n_kept"] == 1
     assert out["s2"]["n_drop_repetition"] == 1
+
+
+def test_target_encode_smoothing_pulls_rare_categories(spark):
+    """A 1-row category encodes near the global mean; a heavy category
+    encodes near its own mean; exact arithmetic check on tiny input."""
+    from procoggraph_spark.operators.features import target_encode
+
+    rows = [("big", 100.0)] * 90 + [("rare", 500.0)]
+    df = spark.createDataFrame(rows, "cat string, price double")
+    out = {
+        r["cat"]: r
+        for r in target_encode(
+            df, category_col="cat", target_col="price", smoothing=10.0
+        ).collect()
+    }
+    gmean = (90 * 100.0 + 500.0) / 91
+    assert out["rare"]["cat_mean"] == 500.0
+    assert out["rare"]["encoded"] == round((500.0 + 10 * gmean) / 11, 6)
+    assert abs(out["rare"]["encoded"] - gmean) < abs(500.0 - gmean) * 0.2
+    assert out["big"]["encoded"] == round(
+        (9000.0 + 10 * gmean) / 100, 6
+    )
+
+
+def test_robust_scale_clips_outliers(spark):
+    """Values below p05 / above p95 clip to the band edges (scaled 0/1);
+    interior values scale linearly; a constant group scales to 0."""
+    from procoggraph_spark.operators.features import robust_scale
+
+    rows = [(i, "g", v) for i, v in enumerate([0, 10, 20, 30, 40, 50, 60,
+                                               70, 80, 90, 100, 110, 120,
+                                               130, 140, 150, 160, 170,
+                                               180, 100000])]
+    rows += [(100 + i, "const", 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    out = robust_scale(
+        df, id_col="id", group_col="grp", value_col="v"
+    ).collect()
+    g = {r["id"]: r for r in out if r["grp"] == "g"}
+    # n=20: lo_rank=1 -> 0, hi_rank=19 -> 180
+    assert g[0]["scaled"] == 0.0
+    assert g[19]["clipped"] == 180 and g[19]["scaled"] == 1.0
+    assert g[9]["scaled"] == 0.5
+    const = [r for r in out if r["grp"] == "const"]
+    assert all(r["scaled"] == 0.0 and r["clipped"] == 7 for r in const)

@@ -402,3 +402,49 @@ def test_ivf_pq_index_twin_property(spark, vecs):
     assert canon(ivf_pq_index(df, cents, books)) == canon(
         ivf_pq_index_numpy(df, cents, books)
     )
+
+
+# --- round-6 portable-arithmetic properties --------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_key_is_invertible(spark, pairs):
+    """The Morton key must be a bijection on [0,256)^2: de-interleaving
+    the key recovers both inputs exactly (no bit collisions/drops)."""
+    df = spark.createDataFrame(pairs, "x long, y long")
+    from procoggraph_spark.operators.layout import zorder_key
+
+    got = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r["x"], r["y"])
+
+
+@given(st.lists(st.integers(0, 2**31 - 2), min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_pseudo_embedding_matches_python(spark, fps):
+    """pseudo_embedding replays exactly in pure Python (the portability
+    contract the DuckDB oracles rely on), and every component lies in
+    [-0.5, 0.5)."""
+    from procoggraph_spark.operators.similarity import pseudo_embedding
+
+    df = spark.createDataFrame([(f,) for f in fps], "fp long")
+    got = df.select(
+        "fp", pseudo_embedding(F.col("fp"), dim=4).alias("v")
+    ).collect()
+    for r in got:
+        for j, c in enumerate(r["v"]):
+            b = (r["fp"] % 2147483648) * (2 * j + 1) % 2147483648
+            expect = (b * 2654435761 % 4294967296) / 4294967296.0 - 0.5
+            assert c == expect
+            assert -0.5 <= c < 0.5
