@@ -32,7 +32,12 @@ def salted_join(
 
     The salt column is derived from a hash of the full row (stable, no
     RNG) — uniform without needing a random source. Cost: the small
-    side is replicated ``salt``× (keep it the dimension side)."""
+    side is replicated ``salt``× (keep it the dimension side).
+
+    See ``operators.skew.salted_join`` for the portable-salt variant
+    (salt from a designated high-cardinality column via the
+    multiplicative hash — SQL-oracle-replayable) plus the
+    ``key_skew_audit`` histogram that decides when salting is needed."""
     salted_l = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt))
     )

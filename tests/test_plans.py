@@ -493,3 +493,24 @@ def test_rag_pipeline_no_python_one_plan(spark):
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
     assert "CartesianProduct" not in p
     assert "Generate" in p  # the chunker
+
+
+def test_target_encode_broadcasts_global_only(spark):
+    """feat_target_encode: category-grain hash agg + a broadcast 1-row
+    global aggregate — no per-row window, no cartesian beyond the
+    single-row broadcast join."""
+    df = QUERIES["feat_target_encode"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_robust_scale_bounds_broadcast_back(spark):
+    """feat_robust_scale: the rank window shuffles on the group once;
+    the group-grain bounds frame joins back via broadcast hash join."""
+    df = QUERIES["feat_robust_scale"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
