@@ -449,6 +449,9 @@ def epoch_repeat_plan(
     share = F.col("weight").cast("double") / F.col("_tw").cast("double")
     alloc = F.floor(share * F.lit(float(budget))).cast("long")
     cap = F.lit(max_epochs) * F.col("n_tokens")
+    # an all-empty source (zero token mass) would otherwise divide by
+    # zero into NaN/inf — clamp the denominator; its alloc is 0 anyway
+    denom = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
     return (
         per.join(F.broadcast(tot))
         .select(
@@ -456,11 +459,11 @@ def epoch_repeat_plan(
             "n_tokens",
             "weight",
             alloc.alias("alloc_tokens"),
-            F.round(alloc / F.col("n_tokens").cast("double"), 6).alias(
+            F.round(alloc / denom, 6).alias(
                 "epochs_wanted"
             ),
             F.round(
-                F.least(alloc, cap) / F.col("n_tokens").cast("double"), 6
+                F.least(alloc, cap) / denom, 6
             ).alias("epochs_served"),
             F.least(alloc, cap).alias("served_tokens"),
             F.greatest(alloc - cap, F.lit(0)).alias("excess_tokens"),

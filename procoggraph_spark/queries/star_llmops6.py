@@ -231,10 +231,12 @@ _EPOCH_PLAN_SQL = """
       FROM w, tot
     )
     SELECT source, n_tokens, weight, alloc AS alloc_tokens,
-           ROUND(CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           ROUND(CAST(alloc AS DOUBLE)
+                 / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6)
                AS epochs_wanted,
            ROUND(CAST(least(alloc, 4 * n_tokens) AS DOUBLE)
-                 / CAST(n_tokens AS DOUBLE), 6) AS epochs_served,
+                 / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6)
+               AS epochs_served,
            CAST(least(alloc, 4 * n_tokens) AS BIGINT) AS served_tokens,
            CAST(greatest(alloc - 4 * n_tokens, 0) AS BIGINT) AS excess_tokens
     FROM p
