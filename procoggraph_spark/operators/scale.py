@@ -116,3 +116,41 @@ def bucketed_join(
     """Join two co-bucketed tables; with matching bucketing the plan
     shows zero Exchange on either side (asserted in tests)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def incremental_agg_refresh(
+    materialized: DataFrame,
+    delta: DataFrame,
+    *,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Refresh a materialized rollup from a delta WITHOUT rescanning the
+    base: aggregate the delta to the rollup grain, union it with the
+    existing aggregate rows, and re-reduce — valid for any decomposable
+    aggregate (sum/count here; min/max compose the same way). At 100 TB
+    this is the difference between touching the delta partition and
+    recomputing the fact table; refresh(base_agg, delta) is provably
+    identical to recompute(base ∪ delta), which is exactly what the
+    registry oracle checks.
+
+    ``materialized`` carries ``key_cols + sum_cols + count_col`` (the
+    output of a previous run or of ``delta`` aggregated from scratch
+    against an empty frame). Scale shape: the delta agg is a hash agg
+    with map-side combine; the merge shuffles only rollup-grain rows
+    (bounded by key cardinality, not data size).
+    """
+    delta_agg = delta.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+        F.count("*").alias(count_col),
+    )
+    return (
+        materialized.select(*key_cols, *sum_cols, count_col)
+        .unionByName(delta_agg)
+        .groupBy(*key_cols)
+        .agg(
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+            F.sum(count_col).cast("long").alias(count_col),
+        )
+    )

@@ -569,3 +569,52 @@ def feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo_q=0.05,
         hi_q=0.95,
     )
+
+
+# --- Incremental materialized-aggregate refresh -----------------------------
+
+_INC_REFRESH_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+@q("agg_incremental_refresh", _INC_REFRESH_SQL)
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: 90% of lineitem plays the
+    pre-aggregated base, the other 10% arrives as the delta, and the
+    refresh merges delta partials into the rollup WITHOUT rescanning
+    the base — the oracle is the full recompute over everything, so
+    the equality refresh(base_agg, delta) ≡ recompute(base ∪ delta) is
+    what the gate checks (see operators/scale.incremental_agg_refresh).
+    Exact long-cents sums keep the merge bit-reproducible."""
+    from procoggraph_spark.operators.scale import incremental_agg_refresh
+    from procoggraph_spark.queries.common import cents
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_orderkey",
+        cents(F.col("l_quantity"), 2).alias("qty_cents"),
+    )
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    delta = li.filter(F.col("l_orderkey") % 10 == 0)
+    mat = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_cents").cast("long").alias("qty_cents"),
+        F.count("*").alias("n_rows"),
+    )
+    refreshed = incremental_agg_refresh(
+        mat,
+        delta.select("l_returnflag", "l_linestatus", "qty_cents"),
+        key_cols=["l_returnflag", "l_linestatus"],
+        sum_cols=["qty_cents"],
+    )
+    return refreshed.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qty_cents") / 100.0).alias("total_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -243,3 +243,54 @@ def test_leakage_split_survives_viral_dup_group(spark):
     got = out.filter(F.col("kp") == "the viral licence block").select(
         "split").distinct().collect()[0]["split"]
     assert got == canon_split
+
+
+def test_incremental_agg_refresh_equals_recompute(spark):
+    """refresh(base_agg, delta) must equal recompute(base ∪ delta) for
+    decomposable aggregates, including keys present only in the delta
+    and an empty delta no-op."""
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.scale import incremental_agg_refresh
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1), ("c", 100)], "k string, v long"
+    )
+    mat = base.groupBy("k").agg(
+        F.sum("v").cast("long").alias("v"), F.count("*").alias("n_rows")
+    )
+    got = sorted(
+        map(
+            tuple,
+            incremental_agg_refresh(
+                mat, delta, key_cols=["k"], sum_cols=["v"]
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            base.unionByName(delta)
+            .groupBy("k")
+            .agg(
+                F.sum("v").cast("long").alias("v"),
+                F.count("*").cast("long").alias("n_rows"),
+            )
+            .collect(),
+        )
+    )
+    assert got == full
+    # empty delta: refresh is the identity on the materialized rows
+    empty = spark.createDataFrame([], "k string, v long")
+    noop = sorted(
+        map(
+            tuple,
+            incremental_agg_refresh(
+                mat, empty, key_cols=["k"], sum_cols=["v"]
+            ).collect(),
+        )
+    )
+    assert noop == sorted(map(tuple, mat.collect()))
