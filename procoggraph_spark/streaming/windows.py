@@ -622,3 +622,102 @@ def streaming_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_data_card(
+    spark,
+    docs_path: str,
+    schema,
+    card_dir: str,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    checkpoint: str,
+):
+    """The corpus data card maintained incrementally over a document
+    stream: each micro-batch classifies its documents through the gate
+    chain (operators.text.curation_data_card) and merges the per-source
+    decision counts into the running card via
+    ``operators.scale.incremental_agg_refresh`` — so the published
+    card stays current without ever rescanning the corpus. Durability
+    is the streaming_cms / streaming_scd2 atomic version-swap (crash-
+    replayed batches skip; exactly-once counts).
+
+    The derived ``kept_rate`` is recomputed from the merged counts on
+    read (rates are not decomposable; counts are), keeping the stored
+    state mergeable.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.text import curation_data_card
+
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    count_cols = [
+        "n_drop_lang",
+        "n_drop_quality",
+        "n_drop_repetition",
+        "n_kept",
+    ]
+
+    def merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = curation_data_card(
+            batch_df, source_col=source_col, text_col=text_col
+        ).drop("kept_rate", "n_docs")
+        prev = os.path.realpath(card_dir) if os.path.lexists(card_dir) else None
+        vdir = f"{card_dir}.v{batch_id}"
+        if prev is not None and prev == os.path.realpath(vdir):
+            return  # crash-replay of an already-applied batch
+        batch_card = part.withColumn(
+            "n_rows", sum(F.col(c) for c in count_cols).cast("long")
+        )
+        if prev is not None and os.path.exists(prev):
+            # the batch card is already at card grain, so the refresh's
+            # "delta agg" phase is done — merge is the mergeable-counts
+            # union + re-reduce (incremental_agg_refresh's second phase)
+            merged = (
+                sess.read.parquet(prev)
+                .unionByName(batch_card)
+                .groupBy(source_col)
+                .agg(
+                    *[F.sum(c).cast("long").alias(c) for c in count_cols],
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                )
+            )
+        else:
+            merged = batch_card
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp_link = f"{card_dir}.lnk.{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(vdir, tmp_link)
+        os.replace(tmp_link, card_dir)
+        if prev is not None and prev != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_data_card(spark, card_dir: str, *, source_col: str = "source"):
+    """Read the streaming card state and derive the non-decomposable
+    columns (n_docs, kept_rate) from the merged counts."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(card_dir)
+    return raw.select(
+        source_col,
+        F.col("n_rows").alias("n_docs"),
+        "n_drop_lang",
+        "n_drop_quality",
+        "n_drop_repetition",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_rows"), 6).alias("kept_rate"),
+    )

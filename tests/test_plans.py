@@ -514,3 +514,31 @@ def test_robust_scale_bounds_broadcast_back(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_release_diff_joins_hashes_not_documents(spark):
+    """corpus_release_diff: md5 computed below the join (the full-outer
+    join carries 32-byte hashes, not documents) and one join total."""
+    df = QUERIES["corpus_release_diff"](spark, SF_ORACLE)
+    p = plan(spark, df, mode="simple")
+    joins = sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1
+    assert "FullOuter" in p
+    # the probe: text must not appear ABOVE the join (hash projected early)
+    above_join = p[: p.index("Join")]
+    assert "text#" not in above_join
+
+
+def test_length_buckets_single_exchange(spark):
+    df = QUERIES["serve_length_buckets"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange (") == 1
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_centroid_drift_no_cartesian_no_python(spark):
+    df = QUERIES["emb_centroid_drift"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "Generate" in p  # posexplode to (label, half, dim) grain

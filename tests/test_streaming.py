@@ -589,3 +589,46 @@ def test_streaming_scd2_matches_iterated_batch(spark, tmp_path):
     q.awaitTermination(120)
     again = sorted(map(tuple, spark.read.parquet(hist_dir).collect()))
     assert again == got
+
+
+def test_streaming_data_card_matches_batch(spark, tmp_path):
+    """Two document micro-batches drained through streaming_data_card
+    leave exactly the batch operator's card over the union; a
+    redelivered drain changes nothing."""
+    from procoggraph_spark.operators.text import curation_data_card
+    from procoggraph_spark.streaming.windows import (
+        read_data_card,
+        streaming_data_card,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inbox = str(tmp_path / "docs_inbox")
+    card_dir = str(tmp_path / "card")
+    ckpt = str(tmp_path / "ckpt_card")
+
+    b1.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_data_card(
+        spark, inbox, docs.schema, card_dir, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+    b2.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_data_card(
+        spark, inbox, docs.schema, card_dir, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, read_data_card(spark, card_dir).collect()))
+    expect = sorted(map(tuple, curation_data_card(docs).select(
+        "source", "n_docs", "n_drop_lang", "n_drop_quality",
+        "n_drop_repetition", "n_kept", "kept_rate",
+    ).collect()))
+    assert got == expect
+
+    q = streaming_data_card(
+        spark, inbox, docs.schema, card_dir, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+    assert sorted(map(tuple, read_data_card(spark, card_dir).collect())) == got
