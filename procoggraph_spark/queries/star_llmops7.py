@@ -804,3 +804,47 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_shift")
         )
     )
+
+
+# --- KV prefix-cache sharing estimate ---------------------------------------
+
+_PREFIX_SHARING_SQL = """
+    WITH p AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_slice(string_split(trim(text), ' '), 1, 8), ' '))
+                 AS prefix_key,
+             least(len(string_split(trim(text), ' ')), 8) AS ptok
+      FROM documents
+    )
+    SELECT prefix_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(ptok) AS BIGINT) AS prefix_tokens,
+           CAST((COUNT(*) - 1) * MIN(ptok) AS BIGINT) AS saved_tokens
+    FROM p GROUP BY prefix_key HAVING COUNT(*) >= 2
+    """
+
+
+@q("serve_prefix_sharing", _PREFIX_SHARING_SQL)
+def serve_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV prefix-cache planning: group requests by their first-8-token
+    prefix and report, per shared prefix, how many requests share it
+    and how many prefill tokens a prefix cache saves ((n-1) × prefix
+    length) — the serving-side measurement behind automatic prefix
+    caching. Hash-groupBy on a 32-byte prefix key, one shuffle."""
+    d = t(spark, sf_dir, "documents")
+    ws = X.tokens(F.col("text"))
+    p = d.select(
+        F.md5(F.concat_ws(" ", F.slice(ws, 1, 8))).alias("prefix_key"),
+        F.least(F.size(ws), F.lit(8)).alias("ptok"),
+    )
+    return (
+        p.groupBy("prefix_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("ptok").cast("long").alias("prefix_tokens"),
+            ((F.count("*") - 1) * F.min("ptok")).cast("long").alias(
+                "saved_tokens"
+            ),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
