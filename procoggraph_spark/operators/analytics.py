@@ -1,0 +1,348 @@
+"""Product/corpus analytics operators: cohort retention, funnel
+conversion, event-transition mining, duplicate-cluster governance,
+table profiling, gate-threshold sensitivity, class weights, RFM
+segmentation.
+
+Reference parity note: the reference's dashboard layer answers grouped
+rollups and ratio tables over its graph model (e.g.
+`procoggraph_flask/app.py` summary/ratio endpoints); these operators
+are the same rollup/ratio shapes generalized to the event-stream and
+corpus tables, expressed as single-pass Spark column algebra.
+
+Scale posture shared by every operator here: per-entity state is a few
+scalars (never an event history), windows partition by a bounded or
+per-entity key (never the global row space), global ratios come from
+broadcast single-row aggregates, and sweep grids collapse the corpus
+to a bounded histogram before any cross product.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention triangle: cohort = Monday-truncated week
+    of the user's first event; one row per (cohort_week, week_offset)
+    with the count and share of the cohort active that week.
+
+    Two hash aggregations (first week per user; distinct user-weeks) +
+    one user-keyed equi-join; cohort sizes join back on the bounded
+    week grain. Week offsets are exact (day difference of two
+    week-truncated timestamps is always a multiple of 7).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    act = events.select(user_col, wk.alias("w")).distinct()
+    sz = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    ret = (
+        act.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(sz, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str] = ("signup", "view", "purchase"),
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """N-step funnel with strict temporal chaining: step k counts users
+    whose FIRST qualifying step-k event falls strictly after their
+    step-(k-1) timestamp. One user-keyed hash agg + equi-join per step
+    (per-user state: one timestamp); the long-format result unpivots a
+    single-row aggregate via stack — nothing wide ever sorts.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_ts0"))
+    )
+    counts = [cur.agg(F.count("*").alias("n1"))]
+    prev_ts = "_ts0"
+    for i, step in enumerate(steps[1:], start=1):
+        cur = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, prev_ts), user_col)
+            .filter(F.col(ts_col) > F.col(prev_ts))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"_ts{i}"))
+        )
+        prev_ts = f"_ts{i}"
+        counts.append(cur.agg(F.count("*").alias(f"n{i + 1}")))
+    one = counts[0]
+    for c in counts[1:]:
+        one = one.crossJoin(c)
+    rows = [f"1L, '{steps[0]}', n1, 1.0D"]
+    for i, step in enumerate(steps[1:], start=2):
+        name = f"{step}_after_{steps[i - 2]}"
+        rows.append(
+            f"{i}L, '{name}', n{i}, round(n{i} / cast(n{i - 1} as double), 6)"
+        )
+    return one.selectExpr(
+        f"stack({len(rows)}, {', '.join(rows)})"
+        " AS (step, step_name, n_users, conv_from_prev)"
+    ).orderBy("step")
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    top_k: int | None = 20,
+) -> DataFrame:
+    """First-order transition table over per-user event sequences: lag
+    within a user-partitioned window (state bounded by one user's
+    history), (prev, next) pair counts, and row-normalized transition
+    probabilities; optional top-k with a full deterministic tiebreak.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = (
+        events.withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col(type_col).alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    out = pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p_next"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("n"), "prev_type", "next_type").limit(top_k)
+    return out
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Duplicate-cluster size histogram: content-key groups → cluster
+    size → (n_clusters, n_docs, doc_share) per size. The governance
+    table that decides whether near-dup dedup pays for itself. Two hash
+    aggs; the share window runs over the tiny bounded histogram only.
+    """
+    k = key if key is not None else F.md5(F.col(text_col))
+    sized = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(k.alias("_ck"))
+        .agg(F.count("*").alias("sz"))
+    )
+    h = sized.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        (F.first("sz") * F.count("*")).cast("long").alias("n_docs"),
+    )
+    return h.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(
+            F.col("n_docs")
+            / F.sum("n_docs").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("doc_share"),
+    ).orderBy("cluster_size")
+
+
+def gate_sensitivity(
+    df: DataFrame,
+    *,
+    size_col: str = "n_chars",
+    step: int = 100,
+    n_steps: int = 10,
+) -> DataFrame:
+    """Threshold-sensitivity sweep for a min-size curation gate: for
+    each threshold step*t (t in 1..n_steps), the doc count and size
+    share surviving `size >= threshold`. The corpus collapses to a
+    bounded bucket histogram (floor(size/step) capped at n_steps —
+    bucket >= t  <=>  size >= step*t) in ONE aggregation; the grid ×
+    histogram product is n_steps × (n_steps+1) rows, so the sweep is
+    driver-trivial at any corpus size.
+    """
+    spark = df.sparkSession
+    b = df.groupBy(
+        F.least(F.floor(F.col(size_col) / step), F.lit(n_steps)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"), F.sum(size_col).cast("long").alias("chars")
+    )
+    tot = b.agg(F.sum("n").alias("n_total"), F.sum("chars").alias("c_total"))
+    g = spark.range(1, n_steps + 1).select(F.col("id").alias("tstep"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(b), b.bucket >= F.col("tstep"), "left")
+        .groupBy("tstep", "n_total", "c_total")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum("chars"), F.lit(0)).alias("kept_chars"),
+        )
+        .select(
+            (F.col("tstep") * step).cast("long").alias("min_chars"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total").cast("double"), 6).alias(
+                "kept_frac"
+            ),
+            F.round(
+                F.col("kept_chars") / F.col("c_total").cast("double"), 6
+            ).alias("char_share"),
+        )
+        .orderBy("min_chars")
+    )
+
+
+def class_weights(df: DataFrame, *, class_col: str = "lang") -> DataFrame:
+    """Inverse-frequency sample weights per class: the sklearn
+    'balanced' weight n_total / (n_classes * n_c) and the softer
+    sqrt(n_total / n_c) variant. One bounded class agg; totals
+    broadcast back."""
+    c = df.groupBy(class_col).agg(F.count("*").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").alias("n_total"), F.count("*").alias("n_classes"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            class_col,
+            "n_docs",
+            F.round(
+                F.col("n_total")
+                / (F.col("n_classes") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("weight_balanced"),
+            F.round(
+                F.sqrt(F.col("n_total") / F.col("n_docs").cast("double")), 6
+            ).alias("weight_sqrt"),
+        )
+        .orderBy(class_col)
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    cents_col: Column,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quartile scores (ntile over a deterministic (metric, custkey)
+    order; quartile 1 = best) concatenated into a segment label, rolled
+    up to segment counts and exact-cents monetary totals.
+
+    `cents_col` must be an exact integer-cents expression (see
+    queries.common.cents) so monetary sums are associative. The global
+    ntile is a single-partition sort at sf scale; the 100 TB path swaps
+    in approx-quantile cut points (same pattern as the CCNet perplexity
+    buckets operator).
+    """
+    mx = orders.agg(F.max(F.col(date_col).cast("date")).alias("_mx"))
+    base = (
+        orders.groupBy(F.col(cust_col).alias("custkey"))
+        .agg(
+            F.max(F.col(date_col).cast("date")).alias("_last"),
+            F.count("*").alias("freq"),
+            F.sum(cents_col).alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("_mx", "_last").alias("r_days"),
+            "freq",
+            "m_cents",
+        )
+    )
+    scored = base.select(
+        "custkey",
+        "m_cents",
+        F.ntile(n_tiles).over(Window.orderBy("r_days", "custkey")).alias("r_q"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.desc("freq"), "custkey"))
+        .alias("f_q"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.desc("m_cents"), "custkey"))
+        .alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("m_cents") / 100.0).alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+def table_profile(
+    df: DataFrame,
+    *,
+    numeric_cols: Sequence[str],
+    string_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-pass long-format table profiler: per column — row count,
+    nulls, exact distinct count, numeric min/max (numeric columns) or
+    lexicographic min/max (string columns). ALL metrics compute in a
+    SINGLE aggregation over one scan (multiple count-distincts expand
+    map-side), then the one result row unpivots via stack.
+    """
+    aggs = [F.count("*").alias("n_rows")]
+    for c in tuple(numeric_cols) + tuple(string_cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    parts = []
+    for c in numeric_cols:
+        parts.append(
+            f"'{c}', n_rows, {c}__nulls, {c}__nd, "
+            f"cast({c}__min as double), cast({c}__max as double), "
+            f"cast(null as string), cast(null as string)"
+        )
+    for c in string_cols:
+        parts.append(
+            f"'{c}', n_rows, {c}__nulls, {c}__nd, "
+            f"cast(null as double), cast(null as double), "
+            f"{c}__min, {c}__max"
+        )
+    return row.selectExpr(
+        f"stack({len(parts)}, {', '.join(parts)}) AS (col_name, n_rows,"
+        " n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    ).orderBy("col_name")

@@ -46,6 +46,7 @@ def registry():
         star_llmops5,
         star_llmops6,
         star_llmops7,
+        star_llmops8,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -74,6 +75,7 @@ def registry():
         star_llmops5,
         star_llmops6,
         star_llmops7,
+        star_llmops8,
         star_relational,
         star_multimodal,
         star_streaming,

@@ -1,0 +1,361 @@
+"""Round-6 fifth batch: corpus/product analytics and governance —
+cohort retention, funnel conversion, event-transition mining over the
+events stream table; duplicate-cluster size governance; one-pass table
+profiling; curation-gate threshold sensitivity; inverse-frequency class
+weights; RFM segmentation. All eight fully oracle-backed (portable
+arithmetic throughout). Registered after star_llmops7 — PAST the full
+round-6 driver window; round-7 rotation fodder, pre-verified vs DuckDB
+at sf0.001 + sf0.01 like every past-window batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators import analytics as A
+from procoggraph_spark.queries.common import cents, t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+# --- Cohort retention over the event stream --------------------------------
+# Weekly-cohort retention triangle: cohort = Monday-truncated week of a
+# user's first event (both engines truncate weeks to Monday), activity =
+# the distinct (user, week) grid, offset = whole weeks since the cohort
+# week (day difference of two week-truncated dates is always a multiple
+# of 7). Two hash aggregations + one user-keyed join; the per-user state
+# is one date, never the event history.
+
+_COHORT_SQL = """
+    WITH first AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+      FROM events
+    ),
+    sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+    ret AS (
+      SELECT f.cohort_week,
+             date_diff('day', f.cohort_week, a.w) / 7 AS week_offset,
+             COUNT(*) AS n_active
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, CAST(r.week_offset AS BIGINT) AS week_offset,
+           r.n_active, s.cohort_size,
+           ROUND(r.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM ret r JOIN sz s ON r.cohort_week = s.cohort_week
+    """
+
+
+@q("events_cohort_retention", _COHORT_SQL)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: for each signup-week cohort,
+    the share of its users active in each subsequent week — the
+    engagement decay table every product dashboard carries. Shape: two
+    hash aggs (first-week per user, distinct user-weeks) + one
+    user-keyed equi-join; cohort sizes join back on the bounded
+    week grain. No window over the unbounded user space."""
+    return A.cohort_retention(t(spark, sf_dir, "events"))
+
+
+# --- Multi-step funnel conversion ------------------------------------------
+# signup -> view -> purchase with strict temporal chaining: each step's
+# first qualifying timestamp must fall AFTER the previous step's. Three
+# user-keyed aggregations; the per-user state is three timestamps. The
+# long-format output (one row per step) unpivots a single-row aggregate.
+
+_FUNNEL_SQL = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS ts_s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_v
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.ts_s
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_p
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.ts_v
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM s) AS n1,
+             (SELECT COUNT(*) FROM v) AS n2,
+             (SELECT COUNT(*) FROM p) AS n3
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users,
+             1.0 AS conv_from_prev FROM c
+      UNION ALL
+      SELECT 2, 'view_after_signup', n2,
+             ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_view', n3,
+             ROUND(n3 / CAST(n2 AS DOUBLE), 6) FROM c
+    ) ORDER BY step
+    """
+
+
+@q("events_funnel_conversion", _FUNNEL_SQL)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel (signup → view → purchase) with strict
+    temporal chaining: step N counts users whose first qualifying event
+    falls after their step-N-1 timestamp. Three user-keyed hash aggs +
+    two equi-joins; the final 3-row table unpivots one single-row
+    aggregate (stack), so nothing wide ever sorts."""
+    return A.funnel_conversion(
+        t(spark, sf_dir, "events"), ("signup", "view", "purchase")
+    )
+
+
+# --- Event-transition mining (Markov first-order) --------------------------
+
+_TRANSITIONS_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM o WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS row_total FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           ROUND(c.n / CAST(t.row_total AS DOUBLE), 6) AS p_next
+    FROM c JOIN tot t ON c.prev_type = t.prev_type
+    ORDER BY c.n DESC, c.prev_type, c.next_type LIMIT 20
+    """
+
+
+@q("events_top_transitions", _TRANSITIONS_SQL)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition table: per-user event sequences
+    (lag over a user-partitioned window — state bounded by one user's
+    history, never global), pair counts, and row-normalized transition
+    probabilities; top-20 with a full deterministic tiebreak. The
+    sequence-mining primitive behind session-flow dashboards."""
+    return A.event_transitions(t(spark, sf_dir, "events"), top_k=20)
+
+
+
+# --- Duplicate-cluster size governance -------------------------------------
+
+_CLUSTER_SIZES_SQL = """
+    WITH k AS (
+      SELECT md5(text) AS ck, COUNT(*) AS sz
+      FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+    ),
+    h AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+             CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+      FROM k GROUP BY sz
+    )
+    SELECT cluster_size, n_clusters, n_docs,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share
+    FROM h ORDER BY cluster_size
+    """
+
+
+@q("dedup_cluster_sizes", _CLUSTER_SIZES_SQL)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup governance table
+    (how much of the corpus sits in 2×/3×/k× clusters decides whether
+    near-dup even pays for itself). One content-key hash agg, then a
+    second agg onto the BOUNDED size grain; the share window runs over
+    the tiny histogram table only, never the key space."""
+    return A.cluster_size_histogram(t(spark, sf_dir, "documents"))
+
+
+
+# --- One-pass table profiling ----------------------------------------------
+# Long-format data-quality profile of the orders table: per column —
+# nulls, exact distinct count, numeric min/max (numeric columns) or
+# lexicographic min/max (string columns). Spark computes ALL metrics in
+# ONE aggregation pass (multiple count-distincts expand map-side) and
+# unpivots the single result row with stack; the oracle unions
+# per-column scans (DuckDB re-scans; correctness twin, not a perf twin).
+
+_PROFILE_SQL = """
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL,
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL,
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """
+
+
+@q("diag_table_profile", _PROFILE_SQL)
+def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (nulls / exact distincts / min-max per
+    column, long format) — the ingest data-quality gate. All metrics
+    for all five columns compute in a SINGLE aggregation over one scan
+    (multi-distinct expands map-side; 5 columns → one Expand, one
+    exchange), then the single result row unpivots via stack. The
+    oracle's UNION-of-scans shape is the correctness twin only."""
+    return A.table_profile(
+        t(spark, sf_dir, "orders"),
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        string_cols=("o_orderstatus", "o_orderpriority"),
+    )
+
+
+
+# --- Curation-gate threshold sensitivity -----------------------------------
+# How many documents (and what character share) survive a min-length
+# gate, swept over a 10-point threshold grid. Documents collapse to a
+# BOUNDED bucket histogram first (floor(n_chars/100) capped at 10 —
+# bucket >= t  <=>  n_chars >= 100*t); the grid x histogram product is
+# 10 x 11 rows, so the sweep itself costs nothing regardless of corpus
+# size. The 100 TB shape: one scan, one bounded agg, driver-sized rest.
+
+_GATE_SENSITIVITY_SQL = """
+    WITH b AS (
+      SELECT LEAST(n_chars // 100, 10) AS bucket, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS n_total, SUM(chars) AS c_total FROM b),
+    g AS (SELECT unnest(generate_series(1, 10)) AS tstep)
+    SELECT CAST(g.tstep * 100 AS BIGINT) AS min_chars,
+           CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS n_kept,
+           ROUND(COALESCE(SUM(b.n), 0) / CAST(t.n_total AS DOUBLE), 6)
+             AS kept_frac,
+           ROUND(COALESCE(SUM(b.chars), 0) / CAST(t.c_total AS DOUBLE), 6)
+             AS char_share
+    FROM g CROSS JOIN tot t
+    LEFT JOIN b ON b.bucket >= g.tstep
+    GROUP BY g.tstep, t.n_total, t.c_total
+    ORDER BY min_chars
+    """
+
+
+@q("curation_gate_sensitivity", _GATE_SENSITIVITY_SQL)
+def curation_gate_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for a min-length curation gate:
+    docs and character share surviving each of 10 candidate thresholds —
+    the picks-the-knob table run before committing a gate. Corpus
+    collapses to a bounded length-bucket histogram in one agg; the
+    10×11-row grid join and share math are driver-trivial at any
+    corpus size."""
+    return A.gate_sensitivity(
+        t(spark, sf_dir, "documents"), size_col="n_chars", step=100, n_steps=10
+    )
+
+
+
+# --- Inverse-frequency class weights ---------------------------------------
+
+_CLASS_WEIGHTS_SQL = """
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_classes FROM c)
+    SELECT c.lang, c.n_docs,
+           ROUND(t.n_total / CAST(t.n_classes * c.n_docs AS DOUBLE), 6)
+             AS weight_balanced,
+           ROUND(SQRT(t.n_total / CAST(c.n_docs AS DOUBLE)), 6)
+             AS weight_sqrt
+    FROM c CROSS JOIN t ORDER BY c.lang
+    """
+
+
+@q("feat_class_weights", _CLASS_WEIGHTS_SQL)
+def feat_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class sample weights for imbalanced training: the sklearn
+    'balanced' inverse-frequency weight and the softer sqrt variant,
+    per language. One bounded class agg; the totals row broadcasts
+    back — the standard loss-reweighting feed."""
+    return A.class_weights(t(spark, sf_dir, "documents"), class_col="lang")
+
+
+
+# --- RFM customer segmentation ---------------------------------------------
+# Quartile scores for recency / frequency / monetary via ntile over a
+# fully deterministic (metric, custkey) order — identical bucket edges
+# on both engines. Monetary sums ride exact long-cents. The global
+# ntile sort is the sf-scale shape; the documented 100 TB path swaps in
+# approx-quantile cut points exactly as curation_perplexity_buckets does.
+
+_RFM_SQL = """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS r_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey,
+             NTILE(4) OVER (ORDER BY r_days, custkey) AS r_q,
+             NTILE(4) OVER (ORDER BY freq DESC, custkey) AS f_q,
+             NTILE(4) OVER (ORDER BY m_cents DESC, custkey) AS m_q,
+             m_cents
+      FROM base
+    )
+    SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+             AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(m_cents) / 100.0 AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1 ORDER BY segment
+    """
+
+
+@q("orders_rfm_segments", _RFM_SQL)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile over deterministic tie-broken order; best quartile
+    = 1) concatenated into a 3-digit segment, rolled up to segment
+    counts and exact-cents monetary totals. The marketing-selection
+    twin of the curation quality bands."""
+    return A.rfm_segments(
+        t(spark, sf_dir, "orders"),
+        cents_col=cents(F.col("o_totalprice")),
+    )

@@ -1,0 +1,165 @@
+"""Semantic tests for the analytics operators (the star_llmops8
+registry rows): cohort retention, strict-chained funnels, transition
+mining, duplicate-cluster governance, one-pass profiling, gate
+sensitivity, class weights, RFM segmentation. Parity with the DuckDB
+oracles is covered by test_oracle_parity; these pin operator SEMANTICS
+on constructed inputs where the expected answer is derivable by hand.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.analytics import (
+    class_weights,
+    cluster_size_histogram,
+    cohort_retention,
+    event_transitions,
+    funnel_conversion,
+    gate_sensitivity,
+    rfm_segments,
+    table_profile,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _ts(d, h=0):
+    return datetime(2024, 1, d, h)
+
+
+def test_funnel_strict_temporal_chaining(spark):
+    """Step k counts only users whose first step-k event is strictly
+    after their step-(k-1) timestamp: a view BEFORE signup doesn't
+    count, and a purchase before the qualifying view doesn't count."""
+    rows = [
+        # user 1: signup -> view -> purchase, in order (all 3 steps)
+        (0, _ts(1), 1, "signup"), (1, _ts(2), 1, "view"), (2, _ts(3), 1, "purchase"),
+        # user 2: view precedes signup, no view after (step 1 only)
+        (3, _ts(1), 2, "view"), (4, _ts(2), 2, "signup"),
+        # user 3: signup -> view, but the only purchase is BEFORE the view
+        (5, _ts(1), 3, "signup"), (6, _ts(2), 3, "purchase"), (7, _ts(3), 3, "view"),
+    ]
+    out = funnel_conversion(
+        _events(spark, rows), ("signup", "view", "purchase")
+    ).collect()
+    assert [(r["step_name"], r["n_users"]) for r in out] == [
+        ("signup", 3),
+        ("view_after_signup", 2),
+        ("purchase_after_view", 1),
+    ]
+    assert out[1]["conv_from_prev"] == round(2 / 3, 6)
+    assert out[2]["conv_from_prev"] == 0.5
+
+
+def test_cohort_retention_triangle(spark):
+    """u1 active in its cohort week and the next, u2 only in the cohort
+    week -> offset 0 retention 1.0, offset 1 retention 0.5. Mid-week
+    events truncate into the same Monday cohort."""
+    rows = [
+        (0, _ts(1), 1, "view"),   # 2024-01-01 is a Monday
+        (1, _ts(3), 1, "view"),   # same week, mid-week
+        (2, _ts(8), 1, "view"),   # next week
+        (3, _ts(2), 2, "view"),   # cohort week only
+    ]
+    out = {
+        (r["week_offset"]): r
+        for r in cohort_retention(_events(spark, rows)).collect()
+    }
+    assert out[0]["cohort_size"] == 2 and out[0]["retention"] == 1.0
+    assert out[1]["n_active"] == 1 and out[1]["retention"] == 0.5
+
+
+def test_event_transitions_counts_and_row_normalization(spark):
+    rows = [
+        (0, _ts(1), 1, "a"), (1, _ts(2), 1, "b"),
+        (2, _ts(3), 1, "a"), (3, _ts(4), 1, "b"),
+        (4, _ts(1), 2, "b"), (5, _ts(2), 2, "c"),
+    ]
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in event_transitions(_events(spark, rows), top_k=None).collect()
+    }
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p_next"] == 1.0
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p_next"] == 0.5
+    assert out[("b", "c")]["n"] == 1 and out[("b", "c")]["p_next"] == 0.5
+
+
+def test_cluster_size_histogram_planted_clusters(spark):
+    d = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z"), (6, None)],
+        "doc_id long, text string",
+    )
+    out = {r["cluster_size"]: r for r in cluster_size_histogram(d).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 1
+    # NULL text excluded; shares over the 6 non-null docs
+    assert out[3]["doc_share"] == 0.5 and out[1]["doc_share"] == round(1 / 6, 6)
+
+
+def test_table_profile_nulls_distincts_minmax(spark):
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "b"), (2, None)],
+        "x long, s string",
+    )
+    out = {
+        r["col_name"]: r
+        for r in table_profile(d, numeric_cols=("x",), string_cols=("s",)).collect()
+    }
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 2  # distinct ignores NULL
+    assert out["x"]["min_num"] == 1.0 and out["x"]["max_num"] == 2.0
+    assert out["x"]["min_str"] is None
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_num"] is None
+
+
+def test_gate_sensitivity_bucket_cap_and_counts(spark):
+    d = spark.createDataFrame(
+        [(0, 50), (1, 150), (2, 250), (3, 5000)], "doc_id long, n_chars long"
+    )
+    out = {r["min_chars"]: r for r in gate_sensitivity(d, n_steps=3).collect()}
+    # >=100: 150, 250, 5000; >=200: 250, 5000; >=300 (capped bucket): 5000
+    assert out[100]["n_kept"] == 3
+    assert out[200]["n_kept"] == 2
+    assert out[300]["n_kept"] == 1
+    assert out[100]["kept_frac"] == 0.75
+    assert out[300]["char_share"] == round(5000 / 5450, 6)
+
+
+def test_class_weights_balanced_formula(spark):
+    d = spark.createDataFrame(
+        [(i, "en") for i in range(10)] + [(100 + i, "de") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    out = {r["lang"]: r for r in class_weights(d, class_col="lang").collect()}
+    assert out["en"]["weight_balanced"] == 2.0  # 40 / (2 * 10)
+    assert out["de"]["weight_balanced"] == round(40 / 60, 6)
+    assert out["en"]["weight_sqrt"] == 2.0  # sqrt(40 / 10)
+
+
+def test_rfm_segments_quartiles_deterministic(spark):
+    # 4 customers, strictly ordered on every metric: best-on-everything
+    # gets segment 111, worst gets 444; monetary totals ride exact cents.
+    rows = []
+    for c in range(4):
+        # customer c: last order day 20-c*2, (4-c) orders of 100*(4-c)
+        for k in range(4 - c):
+            rows.append((c * 10 + k, c, float(100 * (4 - c)), _ts(20 - c * 2)))
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = {r["segment"]: r for r in rfm_segments(
+        o, cents_col=(F.round(F.col("o_totalprice") * 100, 0)).cast("long")
+    ).collect()}
+    assert set(out) == {"111", "222", "333", "444"}
+    assert out["111"]["n_customers"] == 1
+    assert out["111"]["total_monetary"] == 1600.0  # 4 orders x 400.00
