@@ -346,3 +346,225 @@ def table_profile(
         f"stack({len(parts)}, {', '.join(parts)}) AS (col_name, n_rows,"
         " n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
     ).orderBy("col_name")
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Batch sessionization by gaps-and-islands: a new session starts
+    when the gap to the user's previous event exceeds `gap_seconds`;
+    per session — event count, duration, purchase count. The explicit
+    twin of the engine session window (streaming/windows.session_counts)
+    with per-session stats, and the key-space cousin of the A7 integer
+    range compression (same islands idiom, one shuffle).
+
+    Both windows partition by user (state bounded by one user's
+    history). Gap math truncates timestamps to whole epoch seconds on
+    both engines (Spark long cast == DuckDB date_diff('second')), so
+    results are engine-portable.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    sec = F.col(ts_col).cast("long")
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            (sec - F.lag(sec).over(w)).isNull()
+            | ((sec - F.lag(sec).over(w)) > gap_seconds),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(user_col, F.col("_sess").alias("session_seq"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            (F.max(sec) - F.min(sec)).alias("duration_sec"),
+            F.sum((F.col(type_col) == purchase_type).cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .orderBy(user_col, "session_seq")
+    )
+
+
+def volume_anomaly(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    trail: int = 24,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Hourly event-volume anomaly detection: per event type, each
+    hour's count is z-scored against the TRAILING `trail` observed
+    hourly buckets (ROWS frame — a missing hour shortens history, it
+    does not zero-fill), flagging |z| >= z_cut. Only rows with a full
+    trailing window are emitted.
+
+    Mean/variance derive from exact integer frame sums (sum, sum of
+    squares) so the doubles are bit-identical across engines — never
+    from a windowed stddev aggregate, whose accumulation order is
+    engine-specific. Events collapse to the bounded (type, hour) grain
+    before any window."""
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(-trail, -1)
+    )
+    s = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count("n").over(w)
+    stats = hourly.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        s.alias("_s"),
+        s2.alias("_s2"),
+        cnt.alias("_cnt"),
+    ).filter(F.col("_cnt") == trail)
+    mean = F.col("_s") / float(trail)
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / float(trail)) / float(
+        trail - 1
+    )
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
+    return stats.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round(mean, 6).alias("trail_mean"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) >= z_cut, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def basket_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_k: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence: distinct items per basket, ordered
+    within-basket self-join (item_a < item_b), pair support counts and
+    support share over all baskets; top-k with a full deterministic
+    tiebreak. Fanout is k-choose-2 per basket with k bounded by basket
+    size (TPC-H: <= 7 lines/order) — the basket-keyed equi-join never
+    goes all-pairs across baskets."""
+    d = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = d.select("_b").distinct().agg(
+        F.count("*").alias("_n_baskets")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._i") < F.col("b._i")))
+        .groupBy(
+            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(
+                F.col("support") / F.col("_n_baskets").cast("double"), 6
+            ).alias("support_share"),
+        )
+        .orderBy(F.desc("support"), "item_a", "item_b")
+        .limit(top_k)
+    )
+
+
+def repurchase_gaps(
+    orders: DataFrame,
+    dims: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Repurchase-cadence analysis: per-customer day gaps between
+    consecutive orders (lag over a customer-partitioned window — state
+    bounded per customer), rolled up per market segment with exact
+    integer gap sums (mean derives from them as one double division).
+    The dimension joins broadcast-side."""
+    w = Window.partitionBy(cust_col).orderBy(date_col, "o_orderkey")
+    d = F.col(date_col).cast("date")
+    gaps = (
+        orders.withColumn("_gap", F.datediff(d, F.lag(d).over(w)))
+        .filter(F.col("_gap").isNotNull())
+        .join(F.broadcast(dims), F.col(cust_col) == F.col(dim_key))
+    )
+    return (
+        gaps.groupBy(F.col(segment_col).alias("segment"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("_gap").alias("min_gap_days"),
+            F.max("_gap").alias("max_gap_days"),
+            F.round(
+                F.sum("_gap") / F.count("*").cast("double"), 6
+            ).alias("avg_gap_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+def user_activity_pareto(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """User-activity Pareto ('whale curve'): users ranked into activity
+    deciles (ntile over a deterministic (count desc, user) order), per
+    decile — user count, event count, event share, cumulative share.
+    The user-grain twin of the source-level corpus_pareto_coverage.
+    Per-user counts are one hash agg; the ntile sort runs on the user
+    grain (the 100 TB path swaps in approx-quantile cut points, same
+    pattern as the CCNet perplexity buckets)."""
+    per_user = events.groupBy(user_col).agg(F.count("*").alias("n"))
+    tiled = per_user.select(
+        "n",
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.desc("n"), user_col))
+        .alias("decile"),
+    )
+    tot = tiled.agg(F.sum("n").alias("_tot"))
+    by_dec = (
+        tiled.groupBy("decile")
+        .agg(F.count("*").alias("n_users"), F.sum("n").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return by_dec.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.round(F.col("n_events") / F.col("_tot").cast("double"), 6).alias(
+            "event_share"
+        ),
+        F.round(
+            F.sum("n_events").over(wcum) / F.col("_tot").cast("double"), 6
+        ).alias("cum_share"),
+    ).orderBy("decile")

@@ -1,11 +1,15 @@
 """Round-6 fifth batch: corpus/product analytics and governance —
-cohort retention, funnel conversion, event-transition mining over the
-events stream table; duplicate-cluster size governance; one-pass table
-profiling; curation-gate threshold sensitivity; inverse-frequency class
-weights; RFM segmentation. All eight fully oracle-backed (portable
-arithmetic throughout). Registered after star_llmops7 — PAST the full
-round-6 driver window; round-7 rotation fodder, pre-verified vs DuckDB
-at sf0.001 + sf0.01 like every past-window batch.
+cohort retention, funnel conversion, event-transition mining,
+gaps-and-islands sessionization, hourly volume anomaly detection, and
+user-activity Pareto over the events table; market-basket
+co-occurrence and repurchase cadence over orders/lineitem;
+duplicate-cluster size governance; one-pass table profiling;
+curation-gate threshold sensitivity; inverse-frequency class weights;
+RFM segmentation. All thirteen fully oracle-backed (portable
+arithmetic throughout; implementations in operators/analytics.py).
+Registered after star_llmops7 — PAST the full round-6 driver window;
+round-7 rotation fodder, pre-verified vs DuckDB at sf0.001 + sf0.01
+like every past-window batch.
 """
 
 from __future__ import annotations
@@ -359,3 +363,172 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"),
         cents_col=cents(F.col("o_totalprice")),
     )
+
+
+# --- Batch sessionization (gaps-and-islands) -------------------------------
+# Second-session batch: sessionize / volume anomaly / basket pairs /
+# repurchase gaps / user pareto — same past-window registration.
+
+_SESSIONIZE_SQL = """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_sec,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM s GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """
+
+
+@q("events_sessionize", _SESSIONIZE_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) with
+    per-session stats — the explicit batch twin of the engine session
+    window, per-user-bounded windows throughout."""
+    return A.sessionize(t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+# --- Hourly volume anomaly detection ---------------------------------------
+
+_VOLUME_ANOMALY_SQL = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT event_type, bucket_start, n,
+             SUM(n) OVER w AS s,
+             SUM(n * n) OVER w AS s2,
+             COUNT(n) OVER w AS c
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_start, n,
+           ROUND(s / 24.0, 6) AS trail_mean,
+           ROUND(CASE WHEN (s2 - s * s / 24.0) / 23.0 > 0
+                 THEN (n - s / 24.0) / sqrt((s2 - s * s / 24.0) / 23.0)
+                 END, 6) AS z_score,
+           COALESCE(CASE WHEN (s2 - s * s / 24.0) / 23.0 > 0
+                 THEN abs((n - s / 24.0) / sqrt((s2 - s * s / 24.0) / 23.0))
+                      >= 3.0 END, FALSE) AS is_anomaly
+    FROM wstat WHERE c = 24
+    """
+
+
+@q("events_volume_anomaly", _VOLUME_ANOMALY_SQL)
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly flags: each (type, hour) count z-scored
+    against its trailing 24 observed buckets; moments derive from exact
+    integer frame sums, never a windowed stddev (engine-specific
+    accumulation order). The ops-monitoring twin of the drift audits."""
+    return A.volume_anomaly(t(spark, sf_dir, "events"), trail=24)
+
+
+# --- Market-basket co-occurrence -------------------------------------------
+
+_BASKET_SQL = """
+    WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM d),
+    p AS (
+      SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS support
+      FROM d a JOIN d b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, support,
+           ROUND(support / CAST(nb.n_baskets AS DOUBLE), 6) AS support_share
+    FROM p CROSS JOIN nb
+    ORDER BY support DESC, item_a, item_b LIMIT 20
+    """
+
+
+@q("basket_part_pairs", _BASKET_SQL)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part co-occurrence over order lines: within-order
+    item pairs (basket-keyed equi-join, fanout bounded by basket size),
+    support counts + share, deterministic top-20. The association-
+    mining primitive behind recommendation candidates."""
+    return A.basket_pairs(t(spark, sf_dir, "lineitem"), top_k=20)
+
+
+# --- Repurchase cadence ----------------------------------------------------
+
+_REPURCHASE_SQL = """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_gaps,
+           MIN(g.gap) AS min_gap_days,
+           MAX(g.gap) AS max_gap_days,
+           ROUND(SUM(g.gap) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_gap_days
+    FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+    WHERE g.gap IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@q("orders_repurchase_gaps", _REPURCHASE_SQL)
+def orders_repurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cadence per market segment: day gaps between a
+    customer's consecutive orders (customer-bounded lag window), exact
+    integer gap sums rolled up per segment with the dimension joined
+    broadcast-side."""
+    return A.repurchase_gaps(
+        t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    )
+
+
+# --- User-activity Pareto (whale curve) ------------------------------------
+
+_USER_PARETO_SQL = """
+    WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    td AS (
+      SELECT n, NTILE(10) OVER (ORDER BY n DESC, user_id) AS decile FROM u
+    ),
+    d AS (
+      SELECT decile, COUNT(*) AS n_users, SUM(n) AS n_events
+      FROM td GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n_events) AS t FROM d)
+    SELECT d.decile, d.n_users, CAST(d.n_events AS BIGINT) AS n_events,
+           ROUND(d.n_events / CAST(tot.t AS DOUBLE), 6) AS event_share,
+           ROUND(SUM(d.n_events) OVER (ORDER BY d.decile
+                                       ROWS UNBOUNDED PRECEDING)
+                 / CAST(tot.t AS DOUBLE), 6) AS cum_share
+    FROM d CROSS JOIN tot ORDER BY d.decile
+    """
+
+
+@q("events_user_pareto", _USER_PARETO_SQL)
+def events_user_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity Pareto deciles: share and cumulative share of
+    events produced by each activity decile — the whale-curve
+    concentration diagnostic, user-grain twin of the source-level
+    Pareto coverage. Cumulative window runs over the bounded 10-row
+    decile table only."""
+    return A.user_activity_pareto(t(spark, sf_dir, "events"), n_tiles=10)

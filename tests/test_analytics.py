@@ -163,3 +163,70 @@ def test_rfm_segments_quartiles_deterministic(spark):
     assert set(out) == {"111", "222", "333", "444"}
     assert out["111"]["n_customers"] == 1
     assert out["111"]["total_monetary"] == 1600.0  # 4 orders x 400.00
+
+
+def test_sessionize_gap_splits_and_stats(spark):
+    """Events 10s apart share a session; a >30-min gap starts a new
+    one. Duration and purchase counts are per session."""
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 0, 0, 10), 1, "purchase"),
+        (2, datetime(2024, 1, 1, 2, 0, 0), 1, "view"),   # > 30 min later
+        (3, datetime(2024, 1, 1, 0, 0, 0), 2, "view"),
+    ]
+    from procoggraph_spark.operators.analytics import sessionize
+
+    out = sessionize(_events(spark, rows), gap_seconds=1800).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["session_seq"], r["n_events"], r["duration_sec"], r["n_purchases"])
+            for r in u1] == [(1, 2, 10, 1), (2, 1, 0, 0)]
+    assert len([r for r in out if r["user_id"] == 2]) == 1
+
+
+def test_volume_anomaly_flags_spike_after_full_window(spark):
+    """24 quiet hours then a spike: the spike hour z-scores high and
+    flags; hours without a full trailing window emit nothing."""
+    from procoggraph_spark.operators.analytics import volume_anomaly
+
+    rows = []
+    eid = 0
+    for h in range(24):  # baseline: alternate 1 / 3 events per hour
+        for k in range(1 if h % 2 == 0 else 3):
+            rows.append((eid, datetime(2024, 1, 1, h, k), 1, "view"))
+            eid += 1
+    for k in range(50):  # spike in hour 24
+        rows.append((eid, datetime(2024, 1, 2, 0, k % 60), 1, "view"))
+        eid += 1
+    out = volume_anomaly(_events(spark, rows), trail=24).collect()
+    assert len(out) == 1  # only the spike hour has a full trailing window
+    r = out[0]
+    assert r["n"] == 50 and r["trail_mean"] == 2.0
+    assert r["is_anomaly"] and r["z_score"] > 3
+
+
+def test_basket_pairs_support_and_bounds(spark):
+    li = spark.createDataFrame(
+        # order 1: parts {10, 20, 30}; order 2: {10, 20}; order 3: {10}
+        [(1, 10), (1, 20), (1, 30), (1, 10), (2, 10), (2, 20), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    from procoggraph_spark.operators.analytics import basket_pairs
+
+    out = {(r["item_a"], r["item_b"]): r for r in basket_pairs(li).collect()}
+    assert out[(10, 20)]["support"] == 2
+    assert out[(10, 30)]["support"] == 1 and out[(20, 30)]["support"] == 1
+    assert out[(10, 20)]["support_share"] == round(2 / 3, 6)
+    assert (20, 10) not in out  # ordered pairs only, no mirror rows
+
+
+def test_user_activity_pareto_concentration(spark):
+    """One whale (90 events) + 9 users with 1 each, 10 tiles: decile 1
+    is the whale with ~91% share; cum_share ends at 1.0."""
+    from procoggraph_spark.operators.analytics import user_activity_pareto
+
+    rows = [(i, datetime(2024, 1, 1, 0, i % 60), 99, "view") for i in range(90)]
+    rows += [(100 + u, datetime(2024, 1, 1, 1, u), u, "view") for u in range(9)]
+    out = user_activity_pareto(_events(spark, rows), n_tiles=10).collect()
+    assert out[0]["decile"] == 1 and out[0]["n_events"] == 90
+    assert out[0]["event_share"] == round(90 / 99, 6)
+    assert out[-1]["cum_share"] == 1.0
