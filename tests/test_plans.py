@@ -542,3 +542,74 @@ def test_centroid_drift_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
     assert "Generate" in p  # posexplode to (label, half, dim) grain
+
+
+def test_basket_pairs_equi_join_no_cartesian(spark):
+    """Basket co-occurrence must self-join on the basket key (hash or
+    sort-merge equi-join) — never an all-pairs product; the basket
+    total joins broadcast-side."""
+    df = QUERIES["basket_part_pairs"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
+
+
+def test_gate_sensitivity_bounded_grid_broadcasts(spark):
+    """The threshold sweep collapses the corpus to one bounded bucket
+    agg; the grid x histogram join and totals are broadcast — exactly
+    one fact-sized exchange in the whole plan."""
+    df = QUERIES["curation_gate_sensitivity"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("BroadcastExchange") >= 2  # totals row + histogram
+    assert "CartesianProduct" not in p
+
+
+def test_table_profile_single_pass(spark):
+    """All per-column metrics (incl. 5 exact distincts) must come from
+    ONE scan of orders — Expand-based multi-distinct, not a union of
+    per-column scans like the oracle twin."""
+    df = QUERIES["diag_table_profile"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    import re
+    # formatted mode lists each node twice (tree + detail); count
+    # distinct scan node ids
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    assert len(scan_ids) == 1
+    assert "Expand" in p
+    assert "Union" not in p
+
+
+def test_sessionize_windows_partition_by_user(spark):
+    """Gaps-and-islands windows must partition by user (bounded state),
+    and the whole sessionize = windows + one grouped agg — no join."""
+    df = QUERIES["events_sessionize"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("user_id" in s for s in specs)
+
+
+def test_volume_anomaly_windows_on_bounded_grain(spark):
+    """The anomaly z-score windows run on the (type, hour) grain —
+    partitioned by event_type — after the fact table has collapsed to
+    hourly counts (one grouped agg below the window)."""
+    df = QUERIES["events_volume_anomaly"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("event_type" in s for s in specs)
+    assert "CartesianProduct" not in p
+
+
+def test_cohort_retention_no_global_window(spark):
+    """Cohort retention is pure aggs + equi-joins — no window function
+    at all (the classic formulation uses one over users; this must
+    not)."""
+    df = QUERIES["events_cohort_retention"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
