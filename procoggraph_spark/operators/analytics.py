@@ -458,24 +458,26 @@ def basket_pairs(
     item_col: str = "l_partkey",
     top_k: int = 20,
 ) -> DataFrame:
-    """Market-basket co-occurrence: distinct items per basket, ordered
-    within-basket self-join (item_a < item_b), pair support counts and
-    support share over all baskets; top-k with a full deterministic
-    tiebreak. Fanout is k-choose-2 per basket with k bounded by basket
-    size (TPC-H: <= 7 lines/order) — the basket-keyed equi-join never
-    goes all-pairs across baskets."""
-    d = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    n_baskets = d.select("_b").distinct().agg(
-        F.count("*").alias("_n_baskets")
+    """Market-basket co-occurrence: one basket-keyed aggregation
+    collapses each basket to its distinct item set (collect_set dedups
+    map-side), within-basket pairs (item_a < item_b) then explode
+    INLINE — k-choose-2 rows per basket with k bounded by basket size
+    (TPC-H: <= 7 lines/order) — and a second bounded agg counts pair
+    support. Two exchanges total; no self-join ever materializes, and
+    nothing goes all-pairs across baskets."""
+    per_basket = df.groupBy(F.col(basket_col).alias("_b")).agg(
+        F.collect_set(F.col(item_col)).alias("_items")
     )
-    a, b = d.alias("a"), d.alias("b")
+    # basket total straight off the (column-pruned) scan — cheaper than
+    # re-evaluating the collect_set aggregation a second time
+    n_baskets = df.agg(
+        F.count_distinct(F.col(basket_col)).alias("_n_baskets")
+    )
     pairs = (
-        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._i") < F.col("b._i")))
-        .groupBy(
-            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
-        )
+        per_basket.select(F.explode("_items").alias("item_a"), "_items")
+        .select("item_a", F.explode("_items").alias("item_b"))
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("support"))
     )
     return (

@@ -545,15 +545,15 @@ def test_centroid_drift_no_cartesian_no_python(spark):
 
 
 def test_basket_pairs_equi_join_no_cartesian(spark):
-    """Basket co-occurrence must self-join on the basket key (hash or
-    sort-merge equi-join) — never an all-pairs product; the basket
-    total joins broadcast-side."""
+    """Basket co-occurrence generates within-basket pairs by exploding
+    the per-basket item set — no self-join on the fact table at all
+    (only the broadcast single-row basket total), and never an
+    all-pairs product."""
     df = QUERIES["basket_part_pairs"](spark, SF_ORACLE)
     p = plan(spark, df)
     assert "CartesianProduct" not in p
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
-        "BroadcastHashJoin" in p
-    )
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("Generate") >= 2  # the two explodes
     assert "TakeOrderedAndProject" in p  # top-20 never global-sorts
 
 
