@@ -155,3 +155,138 @@ def bloom_probe(
     for p in positions:
         cond = cond & F.element_at(F.col("_bloom"), p).isNotNull()
     return out.withColumn(flag_col, cond).drop("_bloom")
+
+
+def histogram_quantiles(
+    df,
+    *,
+    value_col: str,
+    bins: int = 64,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """Histogram-based quantile sketch: equi-width bin counts between
+    the observed min/max (bounded ``bins``-row state, cell-wise
+    mergeable across partitions/streams exactly like the CMS count
+    table), answered by walking the cumulative histogram — the
+    quantile tier of the sketch family next to CMS (frequency), Bloom
+    (membership) and HLL (cardinality). Error is bounded by one bin
+    width ((max-min)/bins), pinned by pytest against the exact
+    quantile.
+
+    Estimate = right edge of the first bin whose cumulative count
+    reaches ceil(q * n) — pure integer/double arithmetic an oracle can
+    replay bit-for-bit (no engine interpolation semantics). The
+    cumulative window runs over the bounded histogram only; the
+    min/max row broadcasts back to the scan."""
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(value_col).cast("double").alias("_mn"),
+        F.max(value_col).cast("double").alias("_mx"),
+        F.count(value_col).alias("_n"),
+    )
+    binned = (
+        df.select(F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(
+            # degenerate range (all values equal) -> single bin 0
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("_v") - F.col("_mn"))
+                            / ((F.col("_mx") - F.col("_mn")) / float(bins))),
+                    F.lit(bins - 1),
+                )
+            ).cast("long").alias("bin"),
+            "_mn", "_mx", "_n",
+        )
+        .groupBy("bin", "_mn", "_mx", "_n")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    hit = (
+        grid.join(
+            F.broadcast(cum), cum.cum >= F.ceil(grid.q * cum._n), "left"
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.first("_mn").alias("_mn"),
+            F.first("_mx").alias("_mx"),
+        )
+    )
+    # est stays an UNROUNDED double: both engines derive it with the
+    # identical op sequence on identical doubles (bit-exact), while
+    # ROUND(x, 6) at a decimal half-boundary is engine-specific
+    # (HALF_UP on the decimal repr vs round-half-away on the binary).
+    return hit.select(
+        "q",
+        (
+            F.col("_mn")
+            + (F.col("bin") + 1)
+            * ((F.col("_mx") - F.col("_mn")) / float(bins))
+        ).alias("est"),
+    ).orderBy("q")
+
+
+def psi_drift(
+    df,
+    *,
+    value_col: str,
+    snapshot_col,
+    step: int = 100,
+    n_buckets: int = 10,
+):
+    """Population stability index between two corpus snapshots: bucket
+    a feature into a bounded fixed-width histogram (floor(v/step)
+    capped at n_buckets), compare the two snapshots' bucket
+    distributions with add-one smoothing (so empty buckets stay
+    finite and the arithmetic is engine-portable), and report each
+    bucket's PSI contribution plus the shares. Sum of psi_contrib is
+    the headline PSI (<0.1 stable / 0.1-0.25 drifting / >0.25 shifted
+    by the usual credit-scoring convention).
+
+    One scan + one bounded (bucket, snapshot) agg; the snapshot totals
+    broadcast back. The feature-distribution twin of the
+    embedding-centroid drift monitor."""
+    b = (
+        df.select(
+            F.least(F.floor(F.col(value_col) / step), F.lit(n_buckets))
+            .cast("long").alias("bucket"),
+            snapshot_col.alias("_snap"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_snap") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("_snap") != 0, 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_a").alias("_ta"),
+        F.sum("n_b").alias("_tb"),
+        F.count("*").alias("_k"),
+    )
+    p_a = (F.col("n_a") + 1) / (F.col("_ta") + F.col("_k")).cast("double")
+    p_b = (F.col("n_b") + 1) / (F.col("_tb") + F.col("_k")).cast("double")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(p_a, 6).alias("share_a"),
+            F.round(p_b, 6).alias("share_b"),
+            F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )

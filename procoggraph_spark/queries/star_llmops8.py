@@ -5,8 +5,10 @@ user-activity Pareto over the events table; market-basket
 co-occurrence and repurchase cadence over orders/lineitem;
 duplicate-cluster size governance; one-pass table profiling;
 curation-gate threshold sensitivity; inverse-frequency class weights;
-RFM segmentation. All thirteen fully oracle-backed (portable
-arithmetic throughout; implementations in operators/analytics.py).
+RFM segmentation; plus the histogram quantile sketch (the quantile
+tier of the sketch family) and PSI feature drift. All fifteen fully
+oracle-backed (portable arithmetic throughout; implementations in
+operators/analytics.py and operators/sketches.py).
 Registered after star_llmops7 — PAST the full round-6 driver window;
 round-7 rotation fodder, pre-verified vs DuckDB at sf0.001 + sf0.01
 like every past-window batch.
@@ -532,3 +534,98 @@ def events_user_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pareto coverage. Cumulative window runs over the bounded 10-row
     decile table only."""
     return A.user_activity_pareto(t(spark, sf_dir, "events"), n_tiles=10)
+
+
+# --- Histogram quantile sketch ---------------------------------------------
+# Third micro-batch: the quantile tier of the sketch family + PSI
+# feature-drift, same past-window registration.
+
+_QUANTILE_BINS_SQL = """
+    WITH mm AS (
+      SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS mx,
+             COUNT(o_totalprice) AS n
+      FROM orders
+    ),
+    b AS (
+      SELECT CASE WHEN mm.mx = mm.mn THEN 0
+             ELSE CAST(LEAST(FLOOR((o_totalprice - mm.mn)
+                                   / ((mm.mx - mm.mn) / 64.0)), 63) AS BIGINT)
+             END AS bin,
+             COUNT(*) AS cnt
+      FROM orders CROSS JOIN mm GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ),
+    g AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT g.q,
+           mm.mn + (MIN(c.bin) + 1) * ((mm.mx - mm.mn) / 64.0) AS est
+    FROM g CROSS JOIN mm JOIN c ON c.cum >= CEIL(g.q * mm.n)
+    GROUP BY g.q, mm.mn, mm.mx ORDER BY g.q
+    """
+
+
+@q("sketch_quantile_bins", _QUANTILE_BINS_SQL)
+def sketch_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch over order totals: 64 equi-width bins
+    (bounded mergeable state, the quantile tier next to CMS/Bloom/HLL),
+    quantiles answered by walking the cumulative histogram — error
+    bounded by one bin width, arithmetic fully engine-replayable (no
+    interpolation semantics). The 100 TB path for percentile
+    dashboards where exact sorts don't pay."""
+    from procoggraph_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        t(spark, sf_dir, "orders"), value_col="o_totalprice", bins=64
+    )
+
+
+# --- PSI feature drift ------------------------------------------------------
+
+_PSI_SQL = """
+    WITH s AS (
+      SELECT LEAST(n_chars // 100, 10) AS bucket, doc_id % 2 AS snap
+      FROM documents
+    ),
+    b AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN snap <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM s GROUP BY bucket
+    ),
+    t AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+             COUNT(*) AS k
+      FROM b
+    )
+    SELECT CAST(b.bucket AS BIGINT) AS bucket, b.n_a, b.n_b,
+           ROUND((b.n_a + 1) / CAST(t.ta + t.k AS DOUBLE), 6) AS share_a,
+           ROUND((b.n_b + 1) / CAST(t.tb + t.k AS DOUBLE), 6) AS share_b,
+           ROUND(((b.n_a + 1) / CAST(t.ta + t.k AS DOUBLE)
+                  - (b.n_b + 1) / CAST(t.tb + t.k AS DOUBLE))
+                 * ln(((b.n_a + 1) / CAST(t.ta + t.k AS DOUBLE))
+                      / ((b.n_b + 1) / CAST(t.tb + t.k AS DOUBLE))), 6)
+             AS psi_contrib
+    FROM b CROSS JOIN t ORDER BY bucket
+    """
+
+
+@q("feat_psi_drift", _PSI_SQL)
+def feat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the document-length distribution
+    between two corpus snapshots (even/odd ids standing in for week-1
+    / week-2, the emb_centroid_drift convention): per-bucket shares
+    with add-one smoothing and PSI contributions — the
+    feature-distribution drift monitor next to the embedding-centroid
+    one. One scan, one bounded bucket agg, totals broadcast back."""
+    from procoggraph_spark.operators.sketches import psi_drift
+
+    return psi_drift(
+        t(spark, sf_dir, "documents"),
+        value_col="n_chars",
+        snapshot_col=(F.col("doc_id") % 2),
+        step=100,
+        n_buckets=10,
+    )

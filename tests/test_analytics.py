@@ -230,3 +230,43 @@ def test_user_activity_pareto_concentration(spark):
     assert out[0]["decile"] == 1 and out[0]["n_events"] == 90
     assert out[0]["event_share"] == round(90 / 99, 6)
     assert out[-1]["cum_share"] == 1.0
+
+
+def test_histogram_quantiles_error_bounded(spark):
+    """Estimates fall within one bin width of the exact quantile; a
+    degenerate all-equal column returns the constant."""
+    from procoggraph_spark.operators.sketches import histogram_quantiles
+
+    vals = spark.createDataFrame([(float(v),) for v in range(1, 101)], "x double")
+    out = {r["q"]: r["est"] for r in histogram_quantiles(
+        vals, value_col="x", bins=10, quantiles=(0.25, 0.5, 0.9)
+    ).collect()}
+    width = 99.0 / 10
+    for q, exact in ((0.25, 25.75), (0.5, 50.5), (0.9, 90.1)):
+        assert abs(out[q] - exact) <= width + 1e-9, (q, out[q], exact)
+
+    const = spark.createDataFrame([(7.0,)] * 5, "x double")
+    outc = histogram_quantiles(const, value_col="x", bins=10,
+                               quantiles=(0.5,)).collect()
+    assert outc[0]["est"] == 7.0
+
+
+def test_psi_drift_zero_for_identical_positive_for_shifted(spark):
+    from procoggraph_spark.operators.sketches import psi_drift
+
+    # identical halves -> every contribution is exactly 0
+    same = spark.createDataFrame(
+        [(i, 100 * (i % 5)) for i in range(100)], "doc_id long, n_chars long"
+    )
+    out = psi_drift(same, value_col="n_chars",
+                    snapshot_col=(F.col("doc_id") % 2), step=100).collect()
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+
+    # snapshot B shifted long -> total PSI clearly positive
+    shifted = spark.createDataFrame(
+        [(2 * i, 100) for i in range(50)] + [(2 * i + 1, 900) for i in range(50)],
+        "doc_id long, n_chars long",
+    )
+    outs = psi_drift(shifted, value_col="n_chars",
+                     snapshot_col=(F.col("doc_id") % 2), step=100).collect()
+    assert sum(r["psi_contrib"] for r in outs) > 0.25
