@@ -69,12 +69,16 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """N-step funnel with strict temporal chaining: step k counts users
     whose FIRST qualifying step-k event falls strictly after their
-    step-(k-1) timestamp. One user-keyed hash agg + equi-join per step
-    (per-user state: one timestamp); the long-format result unpivots a
-    single-row aggregate via stack — nothing wide ever sorts.
+    step-(k-1) timestamp — and, when ``within_seconds`` is set, no more
+    than that long after it (the 'converted within 7 days' form every
+    funnel dashboard actually runs). One user-keyed hash agg +
+    equi-join per step (per-user state: one timestamp); the long-format
+    result unpivots a single-row aggregate via stack — nothing wide
+    ever sorts.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -86,10 +90,18 @@ def funnel_conversion(
     counts = [cur.agg(F.count("*").alias("n1"))]
     prev_ts = "_ts0"
     for i, step in enumerate(steps[1:], start=1):
+        qual = F.col(ts_col) > F.col(prev_ts)
+        if within_seconds is not None:
+            # cast through TIMESTAMP: NTZ-robust (see sessionize)
+            qual = qual & (
+                F.col(ts_col).cast("timestamp").cast("long")
+                <= F.col(prev_ts).cast("timestamp").cast("long")
+                + within_seconds
+            )
         cur = (
             events.filter(F.col(type_col) == step)
             .join(cur.select(user_col, prev_ts), user_col)
-            .filter(F.col(ts_col) > F.col(prev_ts))
+            .filter(qual)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"_ts{i}"))
         )
@@ -371,7 +383,9 @@ def sessionize(
     results are engine-portable.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    sec = F.col(ts_col).cast("long")
+    # NTZ-robust epoch seconds: TIMESTAMP_NTZ refuses a direct long
+    # cast; casting through TIMESTAMP first is a no-op for LTZ inputs
+    sec = F.col(ts_col).cast("timestamp").cast("long")
     flagged = events.withColumn(
         "_new",
         F.when(

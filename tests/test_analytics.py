@@ -270,3 +270,21 @@ def test_psi_drift_zero_for_identical_positive_for_shifted(spark):
     outs = psi_drift(shifted, value_col="n_chars",
                      snapshot_col=(F.col("doc_id") % 2), step=100).collect()
     assert sum(r["psi_contrib"] for r in outs) > 0.25
+
+
+def test_funnel_conversion_window_bound(spark):
+    """With within_seconds set, a step that happens too long after the
+    previous one no longer converts."""
+    rows = [
+        (0, datetime(2024, 1, 1), 1, "signup"),
+        (1, datetime(2024, 1, 2), 1, "view"),      # 1 day after signup
+        (2, datetime(2024, 1, 20), 2, "signup"),
+        (3, datetime(2024, 1, 30), 2, "view"),     # 10 days after signup
+    ]
+    out = funnel_conversion(
+        _events(spark, rows), ("signup", "view"),
+        within_seconds=7 * 86400,
+    ).collect()
+    assert [(r["step_name"], r["n_users"]) for r in out] == [
+        ("signup", 2), ("view_after_signup", 1),
+    ]
