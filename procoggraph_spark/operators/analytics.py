@@ -434,6 +434,20 @@ def volume_anomaly(
         F.col(type_col).alias("event_type"),
         F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
     ).agg(F.count("*").alias("n"))
+    return anomaly_from_hourly(hourly, trail=trail, z_cut=z_cut)
+
+
+def anomaly_from_hourly(
+    hourly: DataFrame,
+    *,
+    trail: int = 24,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Anomaly z-scores over an ALREADY-bucketED hourly count table
+    (event_type, bucket_start, n) — the shared scoring half of
+    volume_anomaly, also served on read over the incrementally
+    maintained hourly state of streaming_volume_monitor (counts are
+    mergeable; z-scores are not, so they derive at read time)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_start")

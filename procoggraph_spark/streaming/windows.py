@@ -721,3 +721,77 @@ def read_data_card(spark, card_dir: str, *, source_col: str = "source"):
         "n_kept",
         F.round(F.col("n_kept") / F.col("n_rows"), 6).alias("kept_rate"),
     )
+
+
+def streaming_volume_monitor(
+    spark,
+    events_path: str,
+    schema,
+    state_dir: str,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    checkpoint: str,
+):
+    """The hourly volume-anomaly monitor maintained incrementally over
+    an event stream: each micro-batch aggregates to (event_type, hour)
+    counts and merges them into the running hourly table — counts are
+    mergeable, so a late event for an already-seen hour folds in
+    correctly. Durability is the streaming_cms / streaming_data_card
+    atomic version-swap (crash-replayed batches skip; exactly-once
+    counts). Z-scores are NOT stored: they derive at read time via
+    analytics.anomaly_from_hourly (scores aren't decomposable; counts
+    are), so the monitor state stays O(types × hours) and mergeable.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = batch_df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
+        ).agg(F.count("*").alias("n"))
+        prev = os.path.realpath(state_dir) if os.path.lexists(state_dir) else None
+        vdir = f"{state_dir}.v{batch_id}"
+        if prev is not None and prev == os.path.realpath(vdir):
+            return  # crash-replay of an already-applied batch
+        if prev is not None and os.path.exists(prev):
+            merged = (
+                sess.read.parquet(prev)
+                .unionByName(part)
+                .groupBy("event_type", "bucket_start")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = part.withColumn("n", F.col("n").cast("long"))
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp_link = f"{state_dir}.lnk.{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(vdir, tmp_link)
+        os.replace(tmp_link, state_dir)
+        if prev is not None and prev != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_volume_anomalies(
+    spark, state_dir: str, *, trail: int = 24, z_cut: float = 3.0
+):
+    """Serve anomaly z-scores over the maintained hourly state."""
+    from procoggraph_spark.operators.analytics import anomaly_from_hourly
+
+    return anomaly_from_hourly(
+        spark.read.parquet(state_dir), trail=trail, z_cut=z_cut
+    )

@@ -632,3 +632,40 @@ def test_streaming_data_card_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(map(tuple, read_data_card(spark, card_dir).collect())) == got
+
+
+def test_streaming_volume_monitor_matches_batch(spark, tmp_path):
+    """Two event micro-batches drained through streaming_volume_monitor
+    leave exactly the batch operator's anomaly table over the union —
+    including hours split ACROSS the two batches (counts merge); a
+    redelivered drain changes nothing."""
+    from procoggraph_spark.operators.analytics import volume_anomaly
+    from procoggraph_spark.streaming.windows import (
+        read_volume_anomalies,
+        streaming_volume_monitor,
+    )
+
+    ev = t(spark, SF_SMOKE, "events")
+    # split by event id parity so most hours appear in BOTH batches —
+    # the merge must fold same-hour counts, not just append rows
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    inbox = str(tmp_path / "events_inbox")
+    state_dir = str(tmp_path / "hourly")
+    ckpt = str(tmp_path / "ckpt_vol")
+
+    b1.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_volume_monitor(spark, inbox, ev.schema, state_dir, checkpoint=ckpt)
+    q.awaitTermination(180)
+    b2.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_volume_monitor(spark, inbox, ev.schema, state_dir, checkpoint=ckpt)
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, read_volume_anomalies(spark, state_dir).collect()))
+    expect = sorted(map(tuple, volume_anomaly(ev).collect()))
+    assert got == expect and len(got) > 0
+
+    q = streaming_volume_monitor(spark, inbox, ev.schema, state_dir, checkpoint=ckpt)
+    q.awaitTermination(180)
+    assert sorted(map(tuple, read_volume_anomalies(spark, state_dir).collect())) == got
