@@ -598,3 +598,112 @@ def user_activity_pareto(
             F.sum("n_events").over(wcum) / F.col("_tot").cast("double"), 6
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+def pairwise_diversity(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus diversity as the mean pairwise dot product over ALL
+    vector pairs — computed WITHOUT forming any pair via the sum
+    identity  Σ_{i≠j} vᵢ·vⱼ = ||Σᵢ vᵢ||² − Σᵢ ||vᵢ||², so the whole
+    metric is one posexplode + one bounded per-dim aggregation (state =
+    dim scalars) instead of an O(n²) join. The data-mix diversity
+    gauge: a collapsing corpus (near-identical vectors) drives the
+    mean pairwise dot toward the mean self dot.
+
+    Returns one row: n_vectors, mean_pairwise_dot, mean_self_dot.
+    """
+    d = emb.select(F.posexplode(vec_col).alias("pos", "v"))
+    per_dim = d.groupBy("pos").agg(
+        F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("sq")
+    )
+    n = emb.select(F.count("*").alias("n"))
+    agg = per_dim.agg(
+        F.sum(F.col("s") * F.col("s")).alias("_ss"),
+        F.sum("sq").alias("_self"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.round(
+                (F.col("_ss") - F.col("_self"))
+                / (F.col("n") * (F.col("n") - 1)).cast("double"),
+                6,
+            ).alias("mean_pairwise_dot"),
+            F.round(F.col("_self") / F.col("n").cast("double"), 6).alias(
+                "mean_self_dot"
+            ),
+        )
+        .withColumnRenamed("n", "n_vectors")
+    )
+
+
+def activity_heatmap(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday × hour activity heatmap (ISO weekday, Monday = 1) with
+    per-cell share of total — the bounded 7×24 grain every usage
+    dashboard renders. One aggregation; the total broadcasts back."""
+    g = events.groupBy(
+        (F.weekday(F.col(ts_col)) + 1).alias("isodow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("_t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "isodow",
+            "hour",
+            "n",
+            F.round(F.col("n") / F.col("_t").cast("double"), 6).alias("share"),
+        )
+        .orderBy("isodow", "hour")
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    target_type: str = "purchase",
+    cents_scale: int = 2,
+) -> DataFrame:
+    """Last-touch attribution: each target event (purchase) credits the
+    user's immediately preceding event type; per touch type — count,
+    share of attributed targets, and exact-cents value total. The
+    marketing-attribution primitive, one user-bounded lag window + one
+    bounded agg."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    hits = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter((F.col(type_col) == target_type) & F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(
+                F.round(F.col(value_col) * (10 ** cents_scale), 0).cast("long")
+            ).alias("_vc"),
+        )
+    )
+    tot = hits.agg(F.sum("n_conversions").alias("_t"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "touch_type",
+            "n_conversions",
+            F.round(F.col("n_conversions") / F.col("_t").cast("double"), 6).alias(
+                "conversion_share"
+            ),
+            (F.col("_vc") / float(10 ** cents_scale)).alias("total_value"),
+        )
+        .orderBy("touch_type")
+    )

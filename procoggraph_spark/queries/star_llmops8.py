@@ -629,3 +629,96 @@ def feat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         step=100,
         n_buckets=10,
     )
+
+
+# --- Corpus diversity without pairs ----------------------------------------
+# Fourth micro-batch: diversity / heatmap / attribution.
+
+_DIVERSITY_SQL = """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (
+      SELECT g.pos, e.v[g.pos] AS v
+      FROM e, LATERAL unnest(generate_series(1, 64)) AS g(pos)
+    ),
+    per_dim AS (
+      SELECT pos, SUM(v) AS s, SUM(v * v) AS sq FROM d GROUP BY pos
+    ),
+    a AS (SELECT SUM(s * s) AS ss, SUM(sq) AS self FROM per_dim),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT n.n AS n_vectors,
+           ROUND((a.ss - a.self) / CAST(n.n * (n.n - 1) AS DOUBLE), 6)
+             AS mean_pairwise_dot,
+           ROUND(a.self / CAST(n.n AS DOUBLE), 6) AS mean_self_dot
+    FROM a CROSS JOIN n
+    """
+
+
+@q("sim_pairwise_diversity", _DIVERSITY_SQL)
+def sim_pairwise_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise dot product over ALL embedding pairs WITHOUT
+    forming a single pair: the sum identity Σ_{i≠j} vi·vj = ||Σv||² −
+    Σ||v||² turns the O(n²) diversity metric into one posexplode + one
+    per-dim bounded agg — the data-mix collapse gauge at any corpus
+    size."""
+    return A.pairwise_diversity(t(spark, sf_dir, "embeddings"))
+
+
+# --- Weekday × hour activity heatmap ---------------------------------------
+
+_HEATMAP_SQL = """
+    WITH g AS (
+      SELECT isodow(ts) AS isodow, EXTRACT(hour FROM ts) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS t FROM g)
+    SELECT CAST(g.isodow AS INT) AS isodow, CAST(g.hour AS INT) AS hour,
+           g.n, ROUND(g.n / CAST(t.t AS DOUBLE), 6) AS share
+    FROM g CROSS JOIN t ORDER BY isodow, hour
+    """
+
+
+@q("events_activity_heatmap", _HEATMAP_SQL)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-weekday × hour activity heatmap with per-cell share — one
+    aggregation onto the bounded 7×24 grain, total broadcast back."""
+    e = t(spark, sf_dir, "events")
+    out = A.activity_heatmap(e)
+    return out.select(
+        F.col("isodow").cast("int").alias("isodow"),
+        F.col("hour").cast("int").alias("hour"),
+        "n",
+        "share",
+    )
+
+
+# --- Last-touch purchase attribution ---------------------------------------
+
+_ATTRIBUTION_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    h AS (
+      SELECT prev_type AS touch_type, COUNT(*) AS n_conversions,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS vc
+      FROM o WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_conversions) AS t FROM h)
+    SELECT h.touch_type, h.n_conversions,
+           ROUND(h.n_conversions / CAST(t.t AS DOUBLE), 6)
+             AS conversion_share,
+           CAST(h.vc / 100.0 AS DOUBLE) AS total_value
+    FROM h CROSS JOIN t ORDER BY h.touch_type
+    """
+
+
+@q("events_last_touch_attribution", _ATTRIBUTION_SQL)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to the user's immediately
+    preceding event type: counts, shares, exact-cents value totals —
+    one user-bounded lag window + one bounded agg."""
+    return A.last_touch_attribution(t(spark, sf_dir, "events"))

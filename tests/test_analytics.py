@@ -288,3 +288,62 @@ def test_funnel_conversion_window_bound(spark):
     assert [(r["step_name"], r["n_users"]) for r in out] == [
         ("signup", 2), ("view_after_signup", 1),
     ]
+
+
+def test_pairwise_diversity_sum_identity(spark):
+    """The one-agg identity must equal the brute-force mean pairwise
+    dot, and near-identical vectors drive it toward the self dot."""
+    import itertools
+
+    from procoggraph_spark.operators.analytics import pairwise_diversity
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    e = spark.createDataFrame([(v,) for v in vecs], "embedding array<double>")
+    r = pairwise_diversity(e).collect()[0]
+    dots = [
+        sum(a * b for a, b in zip(x, y))
+        for x, y in itertools.permutations(vecs, 2)
+    ]
+    assert r["n_vectors"] == 3
+    assert r["mean_pairwise_dot"] == round(sum(dots) / 6, 6)
+    assert r["mean_self_dot"] == round((1 + 1 + 2) / 3, 6)
+
+    clone = spark.createDataFrame([([2.0, 0.0],)] * 4, "embedding array<double>")
+    rc = pairwise_diversity(clone).collect()[0]
+    assert rc["mean_pairwise_dot"] == rc["mean_self_dot"] == 4.0
+
+
+def test_last_touch_attribution_credits_previous_event(spark):
+    from procoggraph_spark.operators.analytics import last_touch_attribution
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0), 1, "view", 0.0),
+        (1, datetime(2024, 1, 1, 1), 1, "purchase", 10.50),
+        (2, datetime(2024, 1, 1, 2), 1, "click", 0.0),
+        (3, datetime(2024, 1, 1, 3), 1, "purchase", 5.25),
+        (4, datetime(2024, 1, 1, 0), 2, "purchase", 99.0),  # first event: no touch
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["touch_type"]: r for r in last_touch_attribution(e).collect()}
+    assert set(out) == {"view", "click"}
+    assert out["view"]["n_conversions"] == 1 and out["view"]["total_value"] == 10.5
+    assert out["click"]["total_value"] == 5.25
+    assert out["view"]["conversion_share"] == 0.5
+
+
+def test_activity_heatmap_iso_weekday_and_share(spark):
+    from procoggraph_spark.operators.analytics import activity_heatmap
+
+    rows = [
+        (0, datetime(2024, 1, 1, 9), 1, "view"),   # Monday -> isodow 1
+        (1, datetime(2024, 1, 7, 23), 1, "view"),  # Sunday -> isodow 7
+        (2, datetime(2024, 1, 7, 23), 2, "view"),
+    ]
+    out = {(r["isodow"], r["hour"]): r for r in activity_heatmap(
+        _events(spark, rows)).collect()}
+    assert out[(1, 9)]["n"] == 1
+    assert out[(7, 23)]["n"] == 2
+    assert out[(7, 23)]["share"] == round(2 / 3, 6)
