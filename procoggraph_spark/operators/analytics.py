@@ -707,3 +707,188 @@ def last_touch_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def time_to_conversion(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "view",
+    goal_type: str = "purchase",
+) -> DataFrame:
+    """Per-user conversion latency: seconds from a user's FIRST
+    ``start_type`` event to their first ``goal_type`` event at-or-after
+    it (the activation-lag table behind "median time to convert").
+
+    One filtered conditional aggregation per user (first start, then
+    min goal-ts gated on ts >= first start needs the start first — so:
+    per-user first-start agg, join back, one more filtered agg), all on
+    the user key; per-user state is two timestamps. Users with a start
+    but no subsequent goal keep a NULL latency (converted = false) —
+    dropping them would bias the latency distribution. Epoch math on
+    whole seconds keeps the output integer-exact across engines.
+    """
+    # NTZ-robust epoch seconds (see sessionize): cast through TIMESTAMP
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    first_start = (
+        events.filter(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ep).alias("start_ep"))
+    )
+    goals = events.filter(F.col(type_col) == goal_type).select(
+        F.col(user_col).alias("_gu"), ep.alias("goal_ep")
+    )
+    # the >= gate lives in the JOIN clause: a post-join filter would
+    # drop users whose only goal events PRECEDE their first start,
+    # violating the keep-non-converters contract
+    conv = (
+        first_start.join(
+            goals,
+            (F.col(user_col) == F.col("_gu"))
+            & (F.col("goal_ep") >= F.col("start_ep")),
+            "left",
+        )
+        .groupBy(user_col, "start_ep")
+        .agg(F.min("goal_ep").alias("goal_ep"))
+    )
+    return conv.select(
+        F.col(user_col),
+        F.col("start_ep").cast("long").alias("start_ep"),
+        (F.col("goal_ep") - F.col("start_ep")).cast("long").alias("secs_to_convert"),
+        F.col("goal_ep").isNotNull().alias("converted"),
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    cents_col: Column = None,
+) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by the month
+    of their first order; for each (cohort_month, months-since) cell,
+    the period revenue and the running cumulative revenue per cohort —
+    the payback-curve table. ``cents_col`` must be an exact integer
+    expression (defaults to o_totalprice in cents) so the cumulative
+    sums are engine-exact.
+
+    Per-customer state is one date; the cumulative window partitions by
+    cohort month over the bounded month-offset axis (at most a few
+    hundred cells regardless of corpus size), never by customer.
+    """
+    if cents_col is None:
+        cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    mon = F.date_trunc("month", F.col(date_col))
+    first = orders.groupBy(cust_col).agg(F.min(mon).alias("cohort_month"))
+    sized = first.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    per_cell = (
+        orders.select(F.col(cust_col), mon.alias("_m"), cents_col.alias("_c"))
+        .join(first, cust_col)
+        .withColumn(
+            "month_offset",
+            (
+                (F.year("_m") - F.year("cohort_month")) * 12
+                + (F.month("_m") - F.month("cohort_month"))
+            ).cast("long"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.sum("_c").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_cell.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .join(sized, "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("cum_revenue_cents").cast("long").alias("cum_revenue_cents"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+        )
+    )
+
+
+def dau_stickiness(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day DAU / trailing-7-day WAU stickiness ratio (the DAU/MAU
+    engagement gauge at weekly horizon). A trailing DISTINCT count is
+    not a window frame — distinct does not decompose — so: collapse to
+    the distinct (user, day) grid once, then join day d to activity
+    days in [d-6, d] and count distinct users per d. The join fanout is
+    bounded by 7 × the user-day grid, and the grid (not the raw event
+    stream) is the join input. Day grain stays a DATE; ratios round at
+    6 decimals off exact integer counts.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    grid = events.select(F.col(user_col).alias("_u"), day.alias("_d")).distinct()
+    days = grid.select(F.col("_d").alias("day")).distinct()
+    dau = grid.groupBy(F.col("_d").alias("day")).agg(
+        F.countDistinct("_u").alias("dau")
+    )
+    wau = (
+        days.join(
+            grid,
+            (F.col("_d") <= F.col("day"))
+            & (F.col("_d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("_u").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def weekly_streaks(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-active-week streak per user, rolled up to a
+    streak-length histogram (the habit-formation table). Classic
+    gaps-and-islands on the distinct (user, week) grid: rank weeks per
+    user, subtract rank×7 days — consecutive weeks collapse to one
+    island key — then max island length per user and a bounded
+    histogram. The only window partitions by user over that user's
+    distinct WEEKS (bounded by calendar span, not event count).
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    grid = events.select(F.col(user_col).alias("_u"), week.alias("_w")).distinct()
+    w = Window.partitionBy("_u").orderBy("_w")
+    islands = grid.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_isl", F.date_sub(F.col("_w"), F.col("_rn") * 7)
+    )
+    streaks = (
+        islands.groupBy("_u", "_isl")
+        .agg(F.count("*").alias("_len"))
+        .groupBy("_u")
+        .agg(F.max("_len").alias("streak_weeks"))
+    )
+    return (
+        streaks.groupBy("streak_weeks")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("streak_weeks").cast("long").alias("streak_weeks"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

@@ -112,3 +112,124 @@ def robust_scale(
             6,
         ).alias("scaled"),
     )
+
+
+def dim_covariance_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top: int = 20,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Top-|covariance| off-diagonal dimension pairs of an embedding
+    corpus — the redundancy audit behind "which dims carry the same
+    signal" (feeds dim-pruning / Matryoshka truncation decisions).
+
+    Exactness: components are quantized to integers (round(x * quant))
+    FIRST, so the three sums the covariance needs (sum_i, sum_j,
+    sum_ij) are exact 64-bit integer aggregations — no float summation
+    order to disagree on across engines or partitions; the covariance
+    double is then derived from those exact sums with one fixed
+    expression. |q| <= ~quant and the cross product stays < 2^63 for
+    corpora to ~1e6 rows at quant=1e6 (documented bound).
+
+    Shape: posexplode to the (row, dim) grain, self-join on the row id
+    with j > i — the standard Gram-matrix shuffle, O(n * d^2 / 2) rows
+    with d bounded (64 here). At 100 TB the same sums come off a
+    per-partition NumPy outer-product accumulation (mapInPandas, one
+    d x d matrix per partition, then a d^2-row merge); the join form is
+    the engine-portable twin the oracle can replay.
+    """
+    q = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * quant).cast("long"),
+            )
+        ).alias("_dim", "_q"),
+    )
+    n = emb.count()
+    sums = q.groupBy("_dim").agg(F.sum("_q").alias("_s"))
+    left = q.select("_id", F.col("_dim").alias("i"), F.col("_q").alias("_qi"))
+    right = q.select("_id", F.col("_dim").alias("j"), F.col("_q").alias("_qj"))
+    cross = (
+        left.join(right, "_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("_qi") * F.col("_qj")).alias("_sij"))
+    )
+    si = sums.select(F.col("_dim").alias("i"), F.col("_s").alias("_si"))
+    sj = sums.select(F.col("_dim").alias("j"), F.col("_s").alias("_sj"))
+    qd = float(quant)
+    cov = (
+        cross.join(si, "i")
+        .join(sj, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("_sij").cast("double") / qd / qd
+                    - (F.col("_si").cast("double") / qd)
+                    * (F.col("_sj").cast("double") / qd)
+                    / n
+                )
+                / n,
+                6,
+            ).alias("cov"),
+        )
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("cov"))), F.asc("i"), F.asc("j"))
+    return (
+        cov.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("rank", "i", "j", "cov")
+    )
+
+
+def hash_bucket_audit(
+    df: DataFrame,
+    feature_col,
+    *,
+    n_buckets: int = 32,
+    max_chars: int = 64,
+) -> DataFrame:
+    """Hashing-trick collision audit: hash a categorical feature string
+    into ``n_buckets`` buckets with the portable polynomial fold
+    (operators/text.rolling_hash_fingerprint) and report, per bucket,
+    how many DISTINCT features landed there and how many rows they
+    carry — the table that tells you whether a feature-hashing width is
+    losing information before you train on it.
+
+    Collapses to the distinct feature grain first (bounded by the
+    vocabulary, not the row count), so the hash evaluates once per
+    feature; row counts ride along from an exact pre-aggregation.
+    Output is at the bounded bucket grain.
+    """
+    from procoggraph_spark.operators.text import rolling_hash_fingerprint
+
+    feats = df.select(feature_col.alias("_f")).groupBy("_f").agg(
+        F.count("*").alias("_rows")
+    )
+    bucketed = feats.withColumn(
+        "bucket",
+        (rolling_hash_fingerprint(F.col("_f"), max_chars=max_chars)
+         % n_buckets).cast("long"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("_rows").alias("n_rows"),
+            F.min("_f").alias("example_feature"),
+        )
+        .select(
+            "bucket",
+            F.col("n_features").cast("long").alias("n_features"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_features") > 1).alias("collided"),
+            "example_feature",
+        )
+    )

@@ -801,3 +801,135 @@ def pseudo_embedding(fingerprint: Column, *, dim: int = 8) -> Column:
         c = (b * F.lit(2654435761)) % 4294967296
         comps.append(c.cast("double") / F.lit(4294967296.0) - F.lit(0.5))
     return F.array(*comps)
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified rerank (Carbonell &
+    Goldstein 1998): from each query's top-``pool`` exact-cosine
+    candidates, greedily select ``k`` results maximizing
+    ``lam * rel(q, c) - mu * max_{s in selected} sim(c, s)`` — the
+    standard serving-side answer to "my top-10 are ten near-duplicates".
+
+    Scale shape: the EXPENSIVE step is producing the candidate pool
+    (brute force here; LSH/IVF/PQ at corpus scale — any searcher that
+    emits (query_id, neighbor_id, cosine_sim) slots in). Everything
+    after is bounded by pool × pool per query: one pairwise-sim join on
+    the pool (pool² rows/query), then k-1 bounded selection rounds,
+    each a hash join + per-query row_number window on ≤pool rows.
+    Nothing iterates over the corpus; the loop is driver-side plan
+    construction only (no collect).
+
+    Portability: rel and pairwise sims are rounded to 6 decimals before
+    the score arithmetic, and ``lam``/``mu`` are passed as independent
+    literals (``1 - 0.7`` is not ``0.3`` in binary floating point) —
+    both engines then evaluate bit-identical doubles, so the greedy
+    argmax (ties broken by neighbor id) is engine-exact and the DuckDB
+    twin replays the identical selection sequence.
+    """
+    rel = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=pool
+    ).select("query_id", "neighbor_id", "cosine_sim")
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    pv = rel.join(vecs, rel.neighbor_id == vecs._vid).select(
+        "query_id", "neighbor_id", "cosine_sim", "_v", "_n"
+    )
+    a = pv.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    b = pv.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    pw = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    selected = (
+        rel.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "neighbor_id", "cosine_sim", F.lit(1).alias("pick"))
+    )
+    for step in range(2, k + 1):
+        remaining = rel.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        msim = (
+            pw.join(
+                selected.select(
+                    F.col("query_id").alias("_sq"),
+                    F.col("neighbor_id").alias("_sid"),
+                ),
+                (pw.query_id == F.col("_sq")) & (pw.b_id == F.col("_sid")),
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("_msim"))
+            # break lineage-shared attribute ids before joining back to a
+            # frame derived from the same pool: without the rename Spark
+            # resolves remaining.query_id == msim.query_id to the SAME
+            # attribute (trivially-true predicate) and the join degrades
+            # to neighbor-id-only, leaking msim rows across queries
+            .select(
+                F.col("query_id").alias("_mq"),
+                F.col("a_id").alias("_mid"),
+                "_msim",
+            )
+        )
+        scored = remaining.join(
+            msim,
+            (F.col("query_id") == F.col("_mq"))
+            & (F.col("neighbor_id") == F.col("_mid")),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            (
+                F.lit(lam) * F.col("cosine_sim") - F.lit(mu) * F.col("_msim")
+            ).alias("_score"),
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("_score"), F.asc("neighbor_id")
+        )
+        nxt = (
+            scored.withColumn("_rn", F.row_number().over(ws))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id", "neighbor_id", "cosine_sim",
+                F.lit(step).alias("pick"),
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected

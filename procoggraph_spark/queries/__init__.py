@@ -47,6 +47,7 @@ def registry():
         star_llmops6,
         star_llmops7,
         star_llmops8,
+        star_llmops9,
         star_multimodal,
         star_relational,
         star_relational2,
@@ -76,6 +77,7 @@ def registry():
         star_llmops6,
         star_llmops7,
         star_llmops8,
+        star_llmops9,
         star_relational,
         star_multimodal,
         star_streaming,

@@ -1,0 +1,216 @@
+"""Semantic tests for the star_llmops9 registry rows: MMR diversified
+rerank, time-to-conversion, cohort LTV, DAU/WAU stickiness, weekly
+streaks, embedding dimension covariance, and the hashing-trick bucket
+audit. Oracle parity is covered by test_oracle_parity; these pin
+operator SEMANTICS on constructed inputs where the expected answer is
+derivable by hand.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from procoggraph_spark.operators.analytics import (
+    cohort_ltv,
+    dau_stickiness,
+    time_to_conversion,
+    weekly_streaks,
+)
+from procoggraph_spark.operators.features import (
+    dim_covariance_topk,
+    hash_bucket_audit,
+)
+from procoggraph_spark.operators.similarity import mmr_diversify
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _ts(d, h=0, m=0):
+    return datetime(2024, 1, d, h, m)
+
+
+# --- MMR -------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Corpus: query vec 0 along x; candidates 1,2 nearly parallel to
+    the query (a near-duplicate pair), candidate 3 moderately relevant
+    but orthogonal to 1/2. Plain top-3 would return 1,2,3 in that
+    order; MMR at lam=0.5 must pick 1 first (pure relevance), then
+    prefer the orthogonal 3 over the redundant 2 at pick 2 (hand math:
+    score(2) = 0.5*0.992590 - 0.5*0.999767 < 0 < score(3) =
+    0.5*0.707107 - 0.5*0.703520; at lam=0.7 the relevance gap would
+    still dominate — the test pins the diversity regime)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # most relevant
+        (2, [0.98, 0.12, 0.0]),  # near-duplicate of 1
+        (3, [0.7, 0.0, 0.7]),    # less relevant, orthogonal direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_diversify(
+        df, df.filter(F.col("vec_id") == 0), k=3, pool=3, lam=0.5, mu=0.5
+    ).collect()
+    picks = {r["pick"]: r["neighbor_id"] for r in out}
+    assert picks[1] == 1
+    assert picks[2] == 3  # diversity beats the redundant 2
+    assert picks[3] == 2
+    # relevance column is the rounded cosine vs the query
+    rel1 = [r["cosine_sim"] for r in out if r["neighbor_id"] == 1][0]
+    expect = 0.99 / math.sqrt(0.99**2 + 0.1**2)
+    assert abs(rel1 - round(expect, 6)) < 1e-9
+
+
+def test_mmr_first_pick_is_pure_relevance_argmax(spark):
+    rows = [(i, [float(i == 0), 0.5, float(i) / 10.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_diversify(
+        df, df.filter(F.col("vec_id") == 0), k=2, pool=5
+    )
+    first = [r for r in out.collect() if r["pick"] == 1][0]
+    # argmax of rounded cosine with id tiebreak — must equal the
+    # brute-force rank-1 neighbor
+    from procoggraph_spark.operators.similarity import brute_force_topk
+
+    bf = brute_force_topk(
+        df, df.filter(F.col("vec_id") == 0), k=1
+    ).collect()[0]
+    assert first["neighbor_id"] == bf["neighbor_id"]
+
+
+# --- time to conversion ----------------------------------------------------
+
+
+def test_time_to_conversion_gate_and_non_converters(spark):
+    rows = [
+        # user 1: view at d1, purchase at d2 -> converts in 86400 s
+        (0, _ts(1), 1, "view"), (1, _ts(2), 1, "purchase"),
+        # user 2: purchase BEFORE the first view only -> kept, not converted
+        (2, _ts(1), 2, "purchase"), (3, _ts(2), 2, "view"),
+        # user 3: view, no purchase at all -> kept, not converted
+        (4, _ts(1), 3, "view"),
+        # user 4: never views -> absent from output
+        (5, _ts(1), 4, "purchase"),
+    ]
+    out = {r["user_id"]: r for r in time_to_conversion(_events(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["converted"] and out[1]["secs_to_convert"] == 86400
+    assert not out[2]["converted"] and out[2]["secs_to_convert"] is None
+    assert not out[3]["converted"]
+
+
+def test_time_to_conversion_same_instant_counts(spark):
+    rows = [(0, _ts(1), 1, "view"), (1, _ts(1), 1, "purchase")]
+    out = time_to_conversion(_events(spark, rows)).collect()[0]
+    assert out["converted"] and out["secs_to_convert"] == 0
+
+
+# --- cohort LTV ------------------------------------------------------------
+
+
+def test_cohort_ltv_cumulative_and_offsets(spark):
+    rows = [
+        # customer 1: first order Jan (100.00), again Mar (50.00)
+        (1, 1, datetime(2024, 1, 5), 100.0),
+        (2, 1, datetime(2024, 3, 10), 50.0),
+        # customer 2: also Jan cohort (10.00 Jan only)
+        (3, 2, datetime(2024, 1, 20), 10.0),
+        # customer 3: Feb cohort
+        (4, 3, datetime(2024, 2, 1), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = cohort_ltv(df)
+    jan = {r["month_offset"]: r for r in out.collect()
+           if r["cohort_month"].month == 1}
+    assert jan[0]["revenue_cents"] == 11000 and jan[0]["cohort_size"] == 2
+    assert jan[2]["revenue_cents"] == 5000
+    assert jan[2]["cum_revenue_cents"] == 16000  # running total skips empty Feb
+    feb = [r for r in out.collect() if r["cohort_month"].month == 2]
+    assert len(feb) == 1 and feb[0]["cohort_size"] == 1
+
+
+# --- DAU/WAU stickiness ----------------------------------------------------
+
+
+def test_dau_stickiness_trailing_seven_days(spark):
+    rows = [
+        (0, _ts(1), 1, "view"), (1, _ts(1), 2, "view"),   # day 1: users 1,2
+        (2, _ts(5), 1, "view"),                            # day 5: user 1
+        (3, _ts(9), 3, "view"),                            # day 9: user 3
+    ]
+    out = {r["day"].day: r for r in dau_stickiness(_events(spark, rows)).collect()}
+    assert out[1]["dau"] == 2 and out[1]["wau"] == 2
+    # day 5 window covers days 1-5: users {1,2} active, DAU=1
+    assert out[5]["dau"] == 1 and out[5]["wau"] == 2
+    assert out[5]["stickiness"] == 0.5
+    # day 9 window covers days 3-9: day-5 user 1 + day-9 user 3
+    assert out[9]["dau"] == 1 and out[9]["wau"] == 2
+
+
+# --- weekly streaks --------------------------------------------------------
+
+
+def test_weekly_streaks_gaps_and_islands(spark):
+    # weeks of 2024-01: Mondays are Jan 1, 8, 15, 22, 29
+    rows = [
+        # user 1: active weeks 1,2,3 then gap then week 5 -> streak 3
+        (0, _ts(2), 1, "view"), (1, _ts(9), 1, "view"), (2, _ts(16), 1, "view"),
+        (3, _ts(30), 1, "view"),
+        # user 2: single week -> streak 1
+        (4, _ts(4), 2, "view"),
+        # user 3: weeks 2,3 -> streak 2 (two events in one week count once)
+        (5, _ts(8), 3, "view"), (6, _ts(9), 3, "view"), (7, _ts(15), 3, "view"),
+    ]
+    out = {r["streak_weeks"]: r["n_users"]
+           for r in weekly_streaks(_events(spark, rows)).collect()}
+    assert out == {3: 1, 1: 1, 2: 1}
+
+
+# --- dimension covariance --------------------------------------------------
+
+
+def test_dim_covariance_planted_correlation(spark):
+    """Dims 0 and 1 identical (cov = var > 0), dim 2 constant
+    (cov 0 with everything): the (0,1) pair must rank first and its
+    covariance must equal the planted population covariance."""
+    vals = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, [v, v, 5.0, -v]) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dim_covariance_topk(df, top=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    var = sum((v - 2.5) ** 2 for v in vals) / 4
+    top2 = {(r["i"], r["j"]): r["cov"] for r in by_rank[:3]}
+    # (0,1) cov = +var, (0,3) and (1,3) cov = -var: all tied on |cov|,
+    # tiebreak (i, j) ascending
+    assert [(r["i"], r["j"]) for r in by_rank[:3]] == [(0, 1), (0, 3), (1, 3)]
+    assert top2[(0, 1)] == round(var, 6)
+    assert top2[(0, 3)] == round(-var, 6)
+    # constant dim contributes zero covariance
+    zero = [r for r in out if r["j"] == 2 or r["i"] == 2]
+    assert all(r["cov"] == 0.0 for r in zero)
+
+
+# --- hash bucket audit -----------------------------------------------------
+
+
+def test_hash_bucket_audit_conservation_and_collisions(spark):
+    rows = [(f"feat_{i % 10}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "f string")
+    out = hash_bucket_audit(df, F.col("f"), n_buckets=4).collect()
+    assert sum(r["n_rows"] for r in out) == 100
+    assert sum(r["n_features"] for r in out) == 10
+    # 10 features into 4 buckets: pigeonhole guarantees a collision
+    assert any(r["collided"] for r in out)
+    for r in out:
+        assert r["collided"] == (r["n_features"] > 1)
+        assert 0 <= r["bucket"] < 4
+        assert r["example_feature"].startswith("feat_")
