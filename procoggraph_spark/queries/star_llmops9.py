@@ -96,8 +96,8 @@ def _mmr_oracle_sql(*, k: int = 5, pool: int = 20, lam: float = 0.7,
                                      ORDER BY rel DESC, nid) AS rn
         FROM pool
       ) WHERE rn = 1),{",".join(steps)}
-    SELECT query_id, CAST(pick AS INT) AS pick, nid AS neighbor_id,
-           rel AS cosine_sim
+    SELECT query_id, nid AS neighbor_id, rel AS cosine_sim,
+           CAST(pick AS INT) AS pick
     FROM sel{k}
     """
 
@@ -155,7 +155,9 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LTV_SQL = """
     WITH f AS (
-      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS cohort_month
       FROM orders GROUP BY o_custkey
     ),
     sz AS (SELECT cohort_month, COUNT(*) AS cohort_size FROM f GROUP BY 1),
@@ -192,7 +194,8 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STICKY_SQL = """
     WITH grid AS (
-      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS d FROM events
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
     ),
     days AS (SELECT DISTINCT d AS day FROM grid),
     dau AS (SELECT d AS day, COUNT(DISTINCT u) AS dau FROM grid GROUP BY 1),
