@@ -835,20 +835,22 @@ def dau_stickiness(
     day = F.date_trunc("day", F.col(ts_col))
     grid = events.select(F.col(user_col).alias("_u"), day.alias("_d")).distinct()
     days = grid.select(F.col("_d").alias("day")).distinct()
-    dau = grid.groupBy(F.col("_d").alias("day")).agg(
-        F.countDistinct("_u").alias("dau")
-    )
-    wau = (
+    # ONE lookback join yields both counts: rows with _d == day are
+    # exactly that day's actives, so DAU is a conditional distinct on
+    # the same join output — no separate DAU branch re-scanning events
+    return (
         days.join(
             grid,
             (F.col("_d") <= F.col("day"))
             & (F.col("_d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
         )
         .groupBy("day")
-        .agg(F.countDistinct("_u").alias("wau"))
-    )
-    return (
-        dau.join(wau, "day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("_d") == F.col("day"), F.col("_u"))
+            ).alias("dau"),
+            F.countDistinct("_u").alias("wau"),
+        )
         .select(
             "day",
             F.col("dau").cast("long").alias("dau"),

@@ -198,16 +198,17 @@ _STICKY_SQL = """
       FROM events
     ),
     days AS (SELECT DISTINCT d AS day FROM grid),
-    dau AS (SELECT d AS day, COUNT(DISTINCT u) AS dau FROM grid GROUP BY 1),
-    wau AS (
-      SELECT day, COUNT(DISTINCT u) AS wau
+    j AS (
+      SELECT day,
+             COUNT(DISTINCT CASE WHEN d = day THEN u END) AS dau,
+             COUNT(DISTINCT u) AS wau
       FROM days JOIN grid
         ON grid.d <= days.day AND grid.d >= days.day - INTERVAL 6 DAY
       GROUP BY day
     )
-    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
-           ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
-    FROM dau d JOIN wau w ON w.day = d.day
+    SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           ROUND(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM j
     """
 
 

@@ -613,3 +613,92 @@ def test_cohort_retention_no_global_window(spark):
     p = plan(spark, df)
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_mmr_no_cartesian_no_python(spark):
+    """MMR rerank: the candidate pool is the only corpus-scale stage
+    (broadcast query side); every rerank round is an equi-join on
+    query_id + a per-query window on <=pool rows — no cartesian
+    product, no Python, and every window partitions by query_id."""
+    df = QUERIES["sim_mmr_diversify"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("query_id" in s for s in specs)
+
+
+def test_time_to_conversion_aggs_on_user_key(spark):
+    """Conversion lag is two filtered aggs + one user-keyed left join —
+    no window function, no cartesian."""
+    df = QUERIES["events_time_to_conversion"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cohort_ltv_window_on_bounded_month_grain(spark):
+    """The cumulative-revenue window partitions by cohort_month over
+    the bounded month-offset axis — never by customer — and runs ABOVE
+    the (cohort, offset) aggregation."""
+    df = QUERIES["orders_cohort_ltv"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("cohort_month" in s for s in specs)
+    assert all("custkey" not in s for s in specs)
+    assert "CartesianProduct" not in p
+
+
+def test_dau_stickiness_joins_grid_not_events(spark):
+    """The 7-day lookback join's inputs are the DISTINCT user-day grid
+    and the distinct day list — both aggregations sit BELOW the range
+    join, so the fanout is 7 x the grid, never the raw event stream;
+    DAU comes from a conditional distinct on the SAME join output (no
+    third branch re-scanning events)."""
+    df = QUERIES["events_dau_stickiness"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    import re
+
+    assert "CartesianProduct" not in p  # day-range join is broadcast-NL
+    # two scans only (grid + day-list branches; Spark does not dedupe
+    # shared subtrees) — the DAU fold must NOT add a third
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    assert len(scan_ids) == 2
+    join_ids = set(re.findall(r"\((\d+)\) [A-Za-z]*Join", p))
+    assert len(join_ids) == 1  # the lookback join is the only join
+
+
+def test_weekly_streaks_window_per_user(spark):
+    df = QUERIES["events_weekly_streaks"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("_u" in s for s in specs)
+    assert "CartesianProduct" not in p
+
+
+def test_dim_covariance_equi_join_exact_sums(spark):
+    """The Gram shuffle is an equi-join on the row id (never a
+    cartesian), covariance sums are integer (exact, partitioning-
+    independent), and the final top-20 window runs on the bounded d^2
+    grain."""
+    df = QUERIES["emb_dim_covariance"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Generate" in p  # posexplode to (row, dim)
+
+
+def test_hash_buckets_hashes_vocabulary_grain(spark):
+    """The polynomial fold evaluates on the DISTINCT-feature grain: an
+    aggregation sits between the scan and the hash projection, and the
+    dim join is broadcast."""
+    df = QUERIES["feat_hash_buckets"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BroadcastHashJoin" in p  # nation dim
+    assert "CartesianProduct" not in p
