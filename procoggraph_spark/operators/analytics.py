@@ -894,3 +894,57 @@ def weekly_streaks(
             F.col("n_users").cast("long").alias("n_users"),
         )
     )
+
+
+def recency_weighted_engagement(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    halflife_days: float = 7.0,
+) -> DataFrame:
+    """Recency-weighted per-user engagement score: each event
+    contributes ``1 / (1 + age_days / halflife)`` relative to the
+    corpus's newest event, so yesterday's click outweighs last month's
+    — the decayed-activity ranking behind re-engagement targeting.
+
+    Decay is HYPERBOLIC, not exponential, by design: 1/(1+x) uses only
+    IEEE division on integer-exact ages, so every engine computes
+    bit-identical terms, whereas exp() goes through libm and two
+    correctly-rounded-to-1-ulp implementations may disagree in the last
+    bit. Terms are then rounded to 9 decimals and summed as scaled
+    integers — the sum is exact and partitioning-independent (same
+    discipline as cents()). The reference timestamp is the table's own
+    MAX(ts) (broadcast single-row cross join), so the score is a pure
+    function of the data.
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    ref = events.agg(F.max(sec).alias("_ref"))
+    term = (
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + (F.col("_ref") - sec).cast("double")
+            / F.lit(86400.0)
+            / F.lit(float(halflife_days))
+        )
+    )
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .select(
+            F.col(user_col),
+            F.round(term * 1000000000).cast("long").alias("_t9"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_t9").alias("_s9"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("_s9").cast("double") / 1000000000.0, 6).alias(
+                "engagement"
+            ),
+        )
+    )

@@ -933,3 +933,103 @@ def mmr_diversify(
         )
         selected = selected.unionByName(nxt)
     return selected
+
+
+def rocchio_expand_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    feedback: int = 5,
+    beta: float = 0.5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: expand each query vector with
+    the centroid of its top-``feedback`` first-pass neighbors
+    (q' = q + beta * centroid), then re-search — the classic
+    recall-boosting second pass when the corpus phrases a concept
+    differently than the query.
+
+    Determinism discipline: centroid components come from EXACT integer
+    sums of quantized components (round(x * quant)), so the per-dim
+    mean is a pure function of the feedback set — no float summation
+    order across engines or partitions; q' is then one fixed-shape
+    double expression both engines evaluate bit-identically, and the
+    re-search reuses the rounded-cosine / id tie-break contract.
+
+    Scale shape: the first pass is any searcher (brute force here;
+    LSH/IVF/PQ at corpus scale). The feedback join explodes only the
+    feedback rows (feedback × dim per query), the centroid agg runs on
+    the bounded (query, dim) grain, and the expanded queries broadcast
+    back over the corpus for the second pass.
+    """
+    first = brute_force_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=feedback
+    ).select("query_id", "neighbor_id")
+
+    qcomp = corpus.select(
+        F.col(id_col).alias("_fid"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * quant).cast("long"),
+            )
+        ).alias("_dim", "_q"),
+    )
+    cent = (
+        first.join(qcomp, first.neighbor_id == qcomp._fid)
+        .groupBy("query_id", "_dim")
+        .agg(F.sum("_q").alias("_s"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_s"))),
+                lambda s: s["_s"],
+            ).alias("_cent")
+        )
+    )
+    qd = float(quant)
+    fb = float(feedback)
+    expanded = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * quant).cast("long"),
+            ).alias("_qq"),
+        )
+        .join(cent, "query_id")
+        .select(
+            "query_id",
+            F.zip_with(
+                F.col("_qq"),
+                F.col("_cent"),
+                lambda a, b: a.cast("double") / qd
+                + F.lit(beta) * (b.cast("double") / fb / qd),
+            ).alias("_ev"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    scored = (
+        c.crossJoin(F.broadcast(expanded.withColumn("_en", l2_norm(F.col("_ev")))))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_ev"), F.col("_cv")) / (F.col("_en") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -333,3 +333,107 @@ def feat_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("c_mktsegment"), F.lit("|"), F.col("n_name")),
         n_buckets=32,
     )
+
+
+# --- recency-weighted engagement ------------------------------------------
+
+_RECENCY_SQL = """
+    WITH ref AS (
+      SELECT MAX(CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                      AS BIGINT)) AS r
+      FROM events
+    ),
+    t AS (
+      SELECT user_id,
+             CAST(ROUND(
+               1.0 / (1.0
+                      + CAST(r - date_diff('second',
+                                           TIMESTAMP '1970-01-01 00:00:00', ts)
+                             AS DOUBLE) / 86400.0 / 7.0)
+               * 1000000000, 0) AS BIGINT) AS t9
+      FROM events CROSS JOIN ref
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(t9) AS BIGINT) / 1000000000.0, 6) AS engagement
+    FROM t GROUP BY user_id
+    """
+
+
+@q("events_recency_engagement", _RECENCY_SQL)
+def events_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement: each event contributes
+    1/(1 + age_days/7) vs the corpus's newest event. Hyperbolic decay
+    by design (pure IEEE division — no libm exp() whose last-ulp can
+    differ across engines); terms round to 9 decimals and sum as exact
+    scaled integers (partitioning-independent). See
+    operators/analytics.recency_weighted_engagement."""
+    return A.recency_weighted_engagement(t(spark, sf_dir, "events"))
+
+
+# --- Rocchio pseudo-relevance feedback ------------------------------------
+
+_ROCCHIO_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (SELECT vec_id AS query_id,
+                  list_transform(v, x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
+                    AS qq,
+                  v AS qv
+           FROM e WHERE vec_id < 5),
+    scored1 AS (
+      SELECT q.query_id, e.vec_id AS nid,
+             ROUND(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS s
+      FROM qz q, e WHERE e.vec_id <> q.query_id
+    ),
+    fb AS (SELECT query_id, nid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, nid) AS rn
+        FROM scored1
+      ) WHERE rn <= 5),
+    comp AS (
+      SELECT f.query_id, u.i - 1 AS dim,
+             CAST(ROUND(e.v[u.i] * 1000000, 0) AS BIGINT) AS qc
+      FROM fb f JOIN e ON e.vec_id = f.nid,
+           LATERAL unnest(generate_series(1, len(e.v))) AS u(i)
+    ),
+    cent AS (
+      SELECT query_id, list(s ORDER BY dim) AS cent
+      FROM (SELECT query_id, dim, CAST(SUM(qc) AS BIGINT) AS s
+            FROM comp GROUP BY 1, 2)
+      GROUP BY query_id
+    ),
+    ex AS (
+      SELECT z.query_id,
+             list_transform(generate_series(1, len(z.qq)),
+               i -> CAST(z.qq[i] AS DOUBLE) / 1000000.0
+                    + 0.5 * (CAST(c.cent[i] AS DOUBLE) / 5.0 / 1000000.0))
+               AS ev
+      FROM qz z JOIN cent c ON c.query_id = z.query_id
+    ),
+    scored2 AS (
+      SELECT x.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(x.ev, e.v) /
+                   (sqrt(list_dot_product(x.ev, x.ev)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS cosine_sim
+      FROM ex x, e WHERE e.vec_id <> x.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+               AS rank
+      FROM scored2
+    ) WHERE rank <= 10
+    """
+
+
+@q("sim_rocchio_feedback", _ROCCHIO_SQL)
+def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: q' = q + 0.5 * centroid of the
+    top-5 first-pass neighbors, then re-search — the recall-boosting
+    second pass. Centroid components come from EXACT integer sums of
+    quantized components, so q' is engine-exact; see
+    operators/similarity.rocchio_expand_topk."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.rocchio_expand_topk(e, queries, k=10, feedback=5, beta=0.5)

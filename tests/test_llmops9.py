@@ -23,7 +23,11 @@ from procoggraph_spark.operators.features import (
     dim_covariance_topk,
     hash_bucket_audit,
 )
-from procoggraph_spark.operators.similarity import mmr_diversify
+from procoggraph_spark.operators.similarity import (
+    brute_force_topk,
+    mmr_diversify,
+    rocchio_expand_topk,
+)
 
 
 def _events(spark, rows):
@@ -214,3 +218,87 @@ def test_hash_bucket_audit_conservation_and_collisions(spark):
         assert r["collided"] == (r["n_features"] > 1)
         assert 0 <= r["bucket"] < 4
         assert r["example_feature"].startswith("feat_")
+
+
+# --- recency-weighted engagement ------------------------------------------
+
+
+def test_recency_engagement_hand_computed(spark):
+    """ref = newest event; ages 0 / 7 / 21 days give hyperbolic terms
+    1.0, 0.5, 0.25 at halflife 7 — summed per user exactly."""
+    rows = [
+        (0, _ts(22), 1, "view"),   # age 0 (the ref event) -> 1.0
+        (1, _ts(15), 1, "view"),   # age 7 d -> 1/(1+1) = 0.5
+        (2, _ts(1), 2, "view"),    # age 21 d -> 1/(1+3) = 0.25
+    ]
+    from procoggraph_spark.operators.analytics import recency_weighted_engagement
+
+    out = {r["user_id"]: r for r in
+           recency_weighted_engagement(_events(spark, rows)).collect()}
+    assert out[1]["n_events"] == 2 and out[1]["engagement"] == 1.5
+    assert out[2]["n_events"] == 1 and out[2]["engagement"] == 0.25
+
+
+# --- Rocchio ---------------------------------------------------------------
+
+
+def test_rocchio_matches_numpy_replay(spark):
+    """The full operator must equal a pure-numpy replay of its own
+    contract (first-pass rounded-cosine top-feedback, integer-quantized
+    centroid, fixed q' expression, rounded re-rank with id tiebreak)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    V = rng.rand(30, 8).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = rocchio_expand_topk(
+        df, df.filter(F.col("vec_id") == 0), k=5, feedback=3, beta=0.5
+    ).collect()
+    got = [(r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+
+    Vd = V.astype(np.float64)
+    q = Vd[0]
+
+    def topk(qv, k):
+        sims = []
+        for i in range(30):
+            if i == 0:
+                continue
+            s = round(float(qv @ Vd[i] / (np.linalg.norm(qv) * np.linalg.norm(Vd[i]))), 6)
+            sims.append((-s, i))
+        sims.sort()
+        return [(i, -s) for s, i in sims[:k]]
+
+    fb = [i for i, _ in topk(q, 3)]
+    cent_int = np.rint(Vd[fb] * 1_000_000).sum(axis=0)
+    qq = np.rint(q * 1_000_000)
+    ev = qq / 1e6 + 0.5 * (cent_int / 3.0 / 1e6)
+    expect = [(r + 1, i, s) for r, (i, s) in enumerate(topk(ev, 5))]
+    assert got == expect
+
+
+def test_rocchio_pulls_query_toward_feedback_cluster(spark):
+    """Query on the x-axis; its 2 nearest neighbors lean toward y.
+    The expanded query must move TOWARD the feedback direction: cosine
+    to the pure-y document strictly increases, cosine to the
+    negative-y documents strictly decreases."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.3]),   # feedback
+        (2, [0.9, 0.31]),  # feedback
+        (3, [0.2, 0.98]),  # the doc the raw query under-ranks
+        (4, [0.6, -0.8]),
+        (5, [0.5, -0.87]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    first = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=5)
+    second = rocchio_expand_topk(
+        df, df.filter(F.col("vec_id") == 0), k=5, feedback=2, beta=0.5
+    )
+    s1 = {r["neighbor_id"]: r["cosine_sim"] for r in first.collect()}
+    s2 = {r["neighbor_id"]: r["cosine_sim"] for r in second.collect()}
+    assert s2[3] > s1[3]          # pulled toward the y direction
+    assert s2[4] < s1[4] and s2[5] < s1[5]  # pushed off the -y docs
+    assert s2[1] > s1[1]          # feedback docs themselves gain too

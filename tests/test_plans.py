@@ -702,3 +702,29 @@ def test_hash_buckets_hashes_vocabulary_grain(spark):
     p = plan(spark, df)
     assert "BroadcastHashJoin" in p  # nation dim
     assert "CartesianProduct" not in p
+
+
+def test_recency_engagement_single_fact_exchange(spark):
+    """Decayed engagement = one scan + broadcast single-row ref + one
+    user-keyed agg; the decay terms are integer-exact (no float sums)."""
+    df = QUERIES["events_recency_engagement"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p
+    assert "BatchEvalPython" not in p
+    import re
+
+    assert "Window" not in p  # pure agg, no window
+
+
+def test_rocchio_broadcasts_models_no_python(spark):
+    """Rocchio: centroid agg on the bounded (query, dim) grain, the
+    expanded-query side broadcast over the corpus re-scan — no Python,
+    no cartesian beyond the broadcast query x corpus product."""
+    df = QUERIES["sim_rocchio_feedback"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "BroadcastExchange" in p
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("query_id" in s for s in specs)
