@@ -836,9 +836,21 @@ def mmr_diversify(
     argmax (ties broken by neighbor id) is engine-exact and the DuckDB
     twin replays the identical selection sequence.
     """
-    rel = brute_force_topk(
-        corpus, queries, id_col=id_col, vec_col=vec_col, k=pool
-    ).select("query_id", "neighbor_id", "cosine_sim")
+    # localCheckpoint the pool: the k-1 selection rounds each reference
+    # rel (directly and through pw), and Spark re-evaluates shared
+    # subtrees per reference — without the cut the corpus-scale first
+    # pass re-runs O(k) times (measured 11.5 s -> ~1 s at sf0.1). The
+    # checkpointed frame is model-sized (queries x pool rows), so this
+    # is the same bounded-state discipline as the sugar-chain cache.
+    rel = (
+        brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=pool)
+        .select("query_id", "neighbor_id", "cosine_sim")
+        # repartition, NOT coalesce: coalesce(1) would collapse the
+        # corpus-scale first pass itself into one task (measured 4.2 s
+        # vs 0.4 s); the exchange is queries x pool rows
+        .repartition(1)
+        .localCheckpoint(eager=True)
+    )
 
     vecs = corpus.select(
         F.col(id_col).alias("_vid"),
@@ -871,6 +883,12 @@ def mmr_diversify(
                 6,
             ).alias("sim"),
         )
+        # same cut as rel: pw is referenced by every selection round and
+        # its build joins back to the corpus — bounded queries x pool^2
+        # rows once checkpointed; single-partition so every downstream
+        # round is a single-task job instead of 32 near-empty partitions
+        .repartition(1)
+        .localCheckpoint(eager=True)
     )
 
     w1 = Window.partitionBy("query_id").orderBy(
@@ -932,6 +950,12 @@ def mmr_diversify(
             )
         )
         selected = selected.unionByName(nxt)
+        if step < k:
+            # each round references the previous selected THREE times
+            # (anti-join, msim join, union) — without a cut the plan
+            # re-evaluates 3^k subtrees (measured 3.9 s of re-run tiny
+            # windows at k=5). selected is <= queries x k rows.
+            selected = selected.repartition(1).localCheckpoint(eager=True)
     return selected
 
 
