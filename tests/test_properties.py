@@ -448,3 +448,63 @@ def test_pseudo_embedding_matches_python(spark, fps):
             expect = (b * 2654435761 % 4294967296) / 4294967296.0 - 0.5
             assert c == expect
             assert -0.5 <= c < 0.5
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                     # user
+            st.integers(0, 30 * 86400),            # age offset seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_recency_engagement_bounds_property(spark, rows):
+    """Each hyperbolic-decay term lies in (0, 1], so per-user engagement
+    is bounded by (0, n_events] and the newest event's user scores at
+    least 1.0 — for ANY event layout."""
+    from datetime import datetime, timedelta
+
+    from procoggraph_spark.operators.analytics import (
+        recency_weighted_engagement,
+    )
+
+    base = datetime(2024, 6, 1)
+    data = [
+        (i, base + timedelta(seconds=off), u, "view")
+        for i, (u, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = recency_weighted_engagement(df).collect()
+    newest_user = max(rows, key=lambda r: (r[1], -r[0]))[0]
+    by_user = {r["user_id"]: r for r in out}
+    assert set(by_user) == {u for u, _ in rows}
+    for r in out:
+        assert 0 < r["engagement"] <= r["n_events"] + 1e-9
+    assert by_user[newest_user]["engagement"] >= 1.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcXYZ09_|", min_size=0, max_size=20),
+             min_size=1, max_size=40),
+    st.sampled_from([2, 8, 32]),
+)
+def test_hash_bucket_audit_partition_property(spark, feats, n_buckets):
+    """The bucket audit is a partition of the feature vocabulary: row
+    and feature counts are conserved, every bucket is in range, and
+    collided mirrors n_features — for ANY feature strings (including
+    empty and punctuation-only)."""
+    from procoggraph_spark.operators.features import hash_bucket_audit
+
+    df = spark.createDataFrame([(f,) for f in feats], "f string")
+    out = hash_bucket_audit(df, F.col("f"), n_buckets=n_buckets).collect()
+    assert sum(r["n_rows"] for r in out) == len(feats)
+    assert sum(r["n_features"] for r in out) == len(set(feats))
+    for r in out:
+        assert 0 <= r["bucket"] < n_buckets
+        assert r["collided"] == (r["n_features"] > 1)
