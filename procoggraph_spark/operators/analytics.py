@@ -948,3 +948,79 @@ def recency_weighted_engagement(
             ),
         )
     )
+
+
+def ab_assignment_srm(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    segment_col: str = "source",
+    n_arms: int = 2,
+) -> DataFrame:
+    """Deterministic A/B arm assignment + sample-ratio-mismatch check:
+    every unit hashes to an arm with the portable multiplicative hash
+    (sticky across reruns — the property an experimentation system
+    needs), and each segment gets a chi-square statistic against the
+    uniform expectation with a flag at the 95% critical value — the
+    guardrail that catches a broken randomizer or a biased logging path
+    before anyone reads the experiment.
+
+    One hash aggregation to (segment, arm) counts. The chi-square's
+    per-arm terms algebraically rearrange to an INTEGER numerator:
+    sum_arms (obs - n/k)^2 / (n/k) = sum_arms (k*obs - n)^2 / (k*n),
+    so the cross-arm sum is an exact 64-bit aggregation (no float
+    summation order for any k) and the single final division is one
+    fixed double expression any engine reproduces bit-identically.
+    Overflow bound: (k*obs - n)^2 <= (k*n)^2 — fine to ~1e9 units per
+    segment at k=2; beyond that switch the numerator to decimal.
+    Critical values are data-independent constants (95th percentile of
+    chi-square with k-1 df).
+    """
+    from procoggraph_spark.operators.sampling import hash_bucket
+
+    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728}[n_arms - 1]
+    arm = hash_bucket(F.col(id_col), buckets=n_arms)
+    observed = (
+        df.select(F.col(segment_col).alias("segment"), arm.alias("arm"))
+        .groupBy("segment", "arm")
+        .agg(F.count("*").alias("n"))
+    )
+    # materialize the full segment x arm grid: an arm that received ZERO
+    # units is the worst possible mismatch and must contribute its n^2
+    # term, not silently vanish from the sum
+    grid = observed.select("segment").distinct().crossJoin(
+        F.broadcast(
+            df.sparkSession.range(n_arms).select(
+                F.col("id").cast("int").alias("arm")
+            )
+        )
+    )
+    counts = (
+        grid.join(observed, ["segment", "arm"], "left")
+        .select("segment", "arm", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = counts.groupBy("segment").agg(F.sum("n").alias("_t"))
+    dev = n_arms * F.col("n") - F.col("_t")
+    chi = (
+        counts.join(tot, "segment")
+        .groupBy("segment", "_t")
+        .agg(F.sum(dev * dev).alias("_num"))
+        .select(
+            "segment",
+            F.round(
+                F.col("_num").cast("double")
+                / (F.lit(n_arms) * F.col("_t").cast("double")),
+                6,
+            ).alias("chi2"),
+        )
+    )
+    return (
+        counts.join(chi, "segment")
+        .select(
+            "segment",
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n").cast("long").alias("n"),
+            "chi2",
+            (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
+        )
+    )

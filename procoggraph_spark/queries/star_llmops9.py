@@ -437,3 +437,46 @@ def sim_rocchio_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return S.rocchio_expand_topk(e, queries, k=10, feedback=5, beta=0.5)
+
+
+# --- A/B assignment + SRM guardrail ---------------------------------------
+
+_SRM_SQL = """
+    WITH obs AS (
+      SELECT source AS segment,
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 2 AS arm,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT segment FROM obs),
+    arms AS (SELECT UNNEST(generate_series(0, 1)) AS arm),
+    c AS (
+      SELECT g.segment, a.arm, COALESCE(o.n, 0) AS n
+      FROM grid g CROSS JOIN arms a
+      LEFT JOIN obs o ON o.segment = g.segment AND o.arm = a.arm
+    ),
+    t AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS tt FROM c GROUP BY 1),
+    chi AS (
+      SELECT c.segment,
+             ROUND(CAST(SUM((2 * c.n - t.tt) * (2 * c.n - t.tt)) AS DOUBLE)
+                   / (2 * CAST(t.tt AS DOUBLE)), 6) AS chi2
+      FROM c JOIN t ON t.segment = c.segment
+      GROUP BY c.segment, t.tt
+    )
+    SELECT c.segment, CAST(c.arm AS BIGINT) AS arm, CAST(c.n AS BIGINT) AS n,
+           chi.chi2, chi.chi2 > 3.841459 AS srm_flag
+    FROM c JOIN chi ON chi.segment = c.segment
+    """
+
+
+@q("ab_assignment_srm", _SRM_SQL)
+def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B arm assignment (portable multiplicative hash —
+    sticky across reruns) with a per-segment sample-ratio-mismatch
+    chi-square flagged at the 95% critical value — the broken-randomizer
+    guardrail. The cross-arm chi-square numerator rearranges to exact
+    64-bit integer sums, so any engine reproduces it bit-identically;
+    zero-unit arms are materialized (their n^2 term is the worst
+    mismatch, not an absent row). See
+    operators/analytics.ab_assignment_srm."""
+    return A.ab_assignment_srm(t(spark, sf_dir, "documents"))

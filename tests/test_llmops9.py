@@ -302,3 +302,34 @@ def test_rocchio_pulls_query_toward_feedback_cluster(spark):
     assert s2[3] > s1[3]          # pulled toward the y direction
     assert s2[4] < s1[4] and s2[5] < s1[5]  # pushed off the -y docs
     assert s2[1] > s1[1]          # feedback docs themselves gain too
+
+
+# --- A/B SRM ---------------------------------------------------------------
+
+
+def test_ab_srm_balanced_and_broken_segments(spark):
+    """A balanced segment must not flag; a segment where one arm got
+    (almost) nothing must flag with the dominant chi2; a zero-unit arm
+    must be materialized as an n=0 row."""
+    from procoggraph_spark.operators.analytics import ab_assignment_srm
+    from procoggraph_spark.operators.sampling import hash_bucket
+
+    # segment 'ok': ids 0..199 (hash splits them ~50/50)
+    rows = [(i, "ok") for i in range(200)]
+    # segment 'broken': 60 ids all FORCED into arm 0 by construction —
+    # pick ids whose portable hash lands in arm 0
+    probe = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    ).select("doc_id", hash_bucket(F.col("doc_id"), buckets=2).alias("a"))
+    arm0_ids = [r["doc_id"] for r in probe.filter("a = 0").limit(60).collect()]
+    rows += [(i, "broken") for i in arm0_ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = ab_assignment_srm(df).collect()
+    ok = [r for r in out if r["segment"] == "ok"]
+    broken = {r["arm"]: r for r in out if r["segment"] == "broken"}
+    assert len(ok) == 2 and not any(r["srm_flag"] for r in ok)
+    # the empty arm is present with n=0, and the flag fires (chi2 = n)
+    assert broken[1]["n"] == 0
+    assert broken[0]["n"] == 60
+    assert all(r["srm_flag"] for r in broken.values())
+    assert broken[0]["chi2"] == 60.0
