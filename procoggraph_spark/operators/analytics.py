@@ -965,62 +965,59 @@ def ab_assignment_srm(
     guardrail that catches a broken randomizer or a biased logging path
     before anyone reads the experiment.
 
-    One hash aggregation to (segment, arm) counts. The chi-square's
-    per-arm terms algebraically rearrange to an INTEGER numerator:
-    sum_arms (obs - n/k)^2 / (n/k) = sum_arms (k*obs - n)^2 / (k*n),
-    so the cross-arm sum is an exact 64-bit aggregation (no float
-    summation order for any k) and the single final division is one
-    fixed double expression any engine reproduces bit-identically.
-    Overflow bound: (k*obs - n)^2 <= (k*n)^2 — fine to ~1e9 units per
-    segment at k=2; beyond that switch the numerator to decimal.
-    Critical values are data-independent constants (95th percentile of
-    chi-square with k-1 df).
+    ONE corpus scan, ONE aggregation: the arm count per segment is k
+    conditional counts in a single groupBy (k is tiny and fixed), so a
+    zero-unit arm naturally materializes as 0 — the worst possible
+    mismatch must contribute its n^2 term — and no segment x arm grid
+    or join-back ever touches the fact table (a naive
+    counts/grid/totals formulation measured SIX parquet scans from the
+    three re-expanded references). The chi-square's per-arm terms
+    rearrange to an INTEGER numerator: sum_arms (obs - n/k)^2 / (n/k)
+    = sum_arms (k*obs - n)^2 / (k*n) — evaluated as a fixed-order
+    expression over the k count columns (deterministic for any k,
+    unlike a float SUM across rows), divided once. Overflow bound:
+    (k*obs - n)^2 <= (k*n)^2 — fine to ~1e9 units per segment at k=2;
+    beyond that switch the numerator to decimal. Critical values are
+    data-independent constants (95th percentile, k-1 df). The stack
+    back to (segment, arm) rows runs on the bounded segment grain.
     """
     from procoggraph_spark.operators.sampling import hash_bucket
 
     crit = {1: 3.841459, 2: 5.991465, 3: 7.814728}[n_arms - 1]
     arm = hash_bucket(F.col(id_col), buckets=n_arms)
-    observed = (
-        df.select(F.col(segment_col).alias("segment"), arm.alias("arm"))
-        .groupBy("segment", "arm")
-        .agg(F.count("*").alias("n"))
-    )
-    # materialize the full segment x arm grid: an arm that received ZERO
-    # units is the worst possible mismatch and must contribute its n^2
-    # term, not silently vanish from the sum
-    grid = observed.select("segment").distinct().crossJoin(
-        F.broadcast(
-            df.sparkSession.range(n_arms).select(
-                F.col("id").cast("int").alias("arm")
-            )
+    seg = (
+        df.select(F.col(segment_col).alias("segment"), arm.alias("_arm"))
+        .groupBy("segment")
+        .agg(
+            *[
+                F.count(F.when(F.col("_arm") == a, F.lit(1))).alias(f"_n{a}")
+                for a in range(n_arms)
+            ]
         )
     )
-    counts = (
-        grid.join(observed, ["segment", "arm"], "left")
-        .select("segment", "arm", F.coalesce("n", F.lit(0)).alias("n"))
+    tot = None
+    for a in range(n_arms):
+        tot = F.col(f"_n{a}") if tot is None else tot + F.col(f"_n{a}")
+    num = None
+    for a in range(n_arms):
+        dev = F.lit(n_arms) * F.col(f"_n{a}") - F.col("_t")
+        num = dev * dev if num is None else num + dev * dev
+    seg = seg.withColumn("_t", tot).withColumn(
+        "chi2",
+        F.round(
+            num.cast("double") / (F.lit(n_arms) * F.col("_t").cast("double")),
+            6,
+        ),
     )
-    tot = counts.groupBy("segment").agg(F.sum("n").alias("_t"))
-    dev = n_arms * F.col("n") - F.col("_t")
-    chi = (
-        counts.join(tot, "segment")
-        .groupBy("segment", "_t")
-        .agg(F.sum(dev * dev).alias("_num"))
-        .select(
-            "segment",
-            F.round(
-                F.col("_num").cast("double")
-                / (F.lit(n_arms) * F.col("_t").cast("double")),
-                6,
-            ).alias("chi2"),
-        )
-    )
-    return (
-        counts.join(chi, "segment")
-        .select(
-            "segment",
-            F.col("arm").cast("long").alias("arm"),
-            F.col("n").cast("long").alias("n"),
-            "chi2",
-            (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
-        )
+    pairs = ", ".join(f"{a}L, _n{a}" for a in range(n_arms))
+    return seg.selectExpr(
+        "segment",
+        f"stack({n_arms}, {pairs}) AS (arm, n)",
+        "chi2",
+    ).select(
+        "segment",
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        "chi2",
+        (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
     )

@@ -728,3 +728,17 @@ def test_rocchio_broadcasts_models_no_python(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert specs and all("query_id" in s for s in specs)
+
+
+def test_ab_srm_single_fact_aggregation(spark):
+    """SRM: the corpus collapses to (segment, arm) counts in one pass;
+    the arm grid and chi2 join run on the bounded segment grain with
+    the range() arm list broadcast. No Python, no corpus-sized window."""
+    df = QUERIES["ab_assignment_srm"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert "BatchEvalPython" not in p
+    assert "Window" not in p
+    import re
+
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    assert len(scan_ids) <= 2  # observed counts + segment grid branch
