@@ -480,3 +480,62 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch, not an absent row). See
     operators/analytics.ab_assignment_srm."""
     return A.ab_assignment_srm(t(spark, sf_dir, "documents"))
+
+
+# --- language-ID confusion matrix -----------------------------------------
+
+_LANGCONF_SQL = """
+    WITH s AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
+      FROM s
+    ),
+    p AS (
+      SELECT lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM sc
+    ),
+    cell AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cell GROUP BY 1)
+    SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / CAST(t.t AS DOUBLE), 6) AS row_share,
+           c.lang = c.pred_lang AS correct
+    FROM cell c JOIN tot t ON t.lang = c.lang
+    """
+
+
+@q("text_langid_confusion", _LANGCONF_SQL)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality eval: confusion matrix of the stopword-vote
+    heuristic (operators/text.predict_lang) against the labeled lang
+    column, with row-normalized shares — the per-language
+    accuracy/confusion table a curation pipeline reads before trusting
+    the gate. Bounded lang x lang grain; one scan + one agg."""
+    from procoggraph_spark.operators.text import predict_lang
+
+    d = t(spark, sf_dir, "documents")
+    cell = (
+        d.select("lang", predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("_t"))
+    return cell.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("_t").cast("double"), 6).alias("row_share"),
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )

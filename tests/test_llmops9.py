@@ -333,3 +333,35 @@ def test_ab_srm_balanced_and_broken_segments(spark):
     assert broken[0]["n"] == 60
     assert all(r["srm_flag"] for r in broken.values())
     assert broken[0]["chi2"] == 60.0
+
+
+# --- language-ID confusion -------------------------------------------------
+
+
+def test_langid_confusion_counts_and_shares(spark):
+    """Constructed corpus with known predictions: counts land in the
+    right (label, pred) cells, row shares sum to 1 per label, and the
+    correct flag mirrors the diagonal."""
+    from procoggraph_spark.queries.star_llmops9 import text_langid_confusion
+
+    rows = [
+        (0, "the cat is of the house", "en", "src", 23),   # pred en, label en
+        (1, "the dog and the bird", "en", "src", 20),      # pred en
+        (2, "el gato es de la casa", "en", "src", 21),     # pred es, label en
+        (3, "der hund ist nicht das", "de", "src", 22),    # pred de, label de
+        (4, "xyzzy qwerty", "de", "src", 12),              # pred und, label de
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {(r["lang"], r["pred_lang"]): r
+           for r in text_langid_confusion(spark, d).collect()}
+    assert out[("en", "en")]["n"] == 2 and out[("en", "es")]["n"] == 1
+    assert out[("de", "de")]["n"] == 1 and out[("de", "und")]["n"] == 1
+    assert out[("en", "en")]["row_share"] == round(2 / 3, 6)
+    for (lab, pred), r in out.items():
+        assert r["correct"] == (lab == pred)
