@@ -795,3 +795,130 @@ def read_volume_anomalies(
     return anomaly_from_hourly(
         spark.read.parquet(state_dir), trail=trail, z_cut=z_cut
     )
+
+
+def streaming_srm_monitor(
+    spark,
+    docs_path: str,
+    schema,
+    state_dir: str,
+    *,
+    id_col: str = "doc_id",
+    segment_col: str = "source",
+    n_arms: int = 2,
+    checkpoint: str,
+):
+    """The A/B sample-ratio-mismatch guardrail maintained incrementally
+    over an assignment stream: each micro-batch hashes its units to arms
+    (the same portable assignment as analytics.ab_assignment_srm) and
+    merges (segment, arm) counts into the running state via the
+    streaming_cms / streaming_data_card atomic version-swap
+    (crash-replayed batches skip; exactly-once counts). The chi-square
+    and flag are NOT stored — they are derived at read time by
+    ``read_srm_monitor`` from the merged counts, because counts are
+    mergeable and chi2 is not. This is how an experimentation system
+    actually watches SRM: continuously, on the assignment log, without
+    rescanning it.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.operators.sampling import hash_bucket
+
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+
+    def merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        arm = hash_bucket(F.col(id_col), buckets=n_arms)
+        part = (
+            batch_df.select(
+                F.col(segment_col).alias("segment"), arm.alias("arm")
+            )
+            .groupBy("segment", "arm")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        prev = os.path.realpath(state_dir) if os.path.lexists(state_dir) else None
+        vdir = f"{state_dir}.v{batch_id}"
+        if prev is not None and prev == os.path.realpath(vdir):
+            return  # crash-replay of an already-applied batch
+        if prev is not None and os.path.exists(prev):
+            merged = (
+                sess.read.parquet(prev)
+                .unionByName(part)
+                .groupBy("segment", "arm")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp_link = f"{state_dir}.lnk.{batch_id}"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(vdir, tmp_link)
+        os.replace(tmp_link, state_dir)
+        if prev is not None and prev != os.path.realpath(vdir):
+            shutil.rmtree(prev, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_srm_monitor(spark, state_dir: str, *, n_arms: int = 2):
+    """Read the merged (segment, arm) counts and derive the chi-square
+    + SRM flag with the exact-integer-numerator arithmetic of
+    analytics.ab_assignment_srm — batch-equal by construction (counts
+    merge associatively; the derivation is a pure function of them).
+    Zero-unit arms are filled in from the arm grid, as in the batch op.
+    """
+    from pyspark.sql import functions as F
+
+    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728}[n_arms - 1]
+    raw = spark.read.parquet(state_dir)
+    grid = raw.select("segment").distinct().crossJoin(
+        F.broadcast(
+            spark.range(n_arms).select(F.col("id").cast("int").alias("arm"))
+        )
+    )
+    counts = grid.join(raw, ["segment", "arm"], "left").select(
+        "segment", "arm", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    # bounded (segment x arm) state: pivot to one row per segment so the
+    # chi2 numerator is the same fixed-order expression as the batch op
+    seg = counts.groupBy("segment").agg(
+        *[
+            F.sum(F.when(F.col("arm") == a, F.col("n")).otherwise(0)).alias(
+                f"_n{a}"
+            )
+            for a in range(n_arms)
+        ]
+    )
+    tot = None
+    for a in range(n_arms):
+        tot = F.col(f"_n{a}") if tot is None else tot + F.col(f"_n{a}")
+    num = None
+    for a in range(n_arms):
+        dev = F.lit(n_arms) * F.col(f"_n{a}") - F.col("_t")
+        num = dev * dev if num is None else num + dev * dev
+    seg = seg.withColumn("_t", tot).withColumn(
+        "chi2",
+        F.round(
+            num.cast("double") / (F.lit(n_arms) * F.col("_t").cast("double")),
+            6,
+        ),
+    )
+    pairs = ", ".join(f"{a}L, _n{a}" for a in range(n_arms))
+    return seg.selectExpr(
+        "segment", f"stack({n_arms}, {pairs}) AS (arm, n)", "chi2"
+    ).select(
+        "segment",
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        "chi2",
+        (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
+    )

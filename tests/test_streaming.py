@@ -669,3 +669,46 @@ def test_streaming_volume_monitor_matches_batch(spark, tmp_path):
     q = streaming_volume_monitor(spark, inbox, ev.schema, state_dir, checkpoint=ckpt)
     q.awaitTermination(180)
     assert sorted(map(tuple, read_volume_anomalies(spark, state_dir).collect())) == got
+
+
+def test_streaming_srm_monitor_matches_batch(spark, tmp_path):
+    """Two assignment micro-batches drained through streaming_srm_monitor
+    leave exactly the batch ab_assignment_srm table over the union —
+    segments split ACROSS batches must merge their arm counts — and a
+    redelivered drain changes nothing."""
+    from procoggraph_spark.operators.analytics import ab_assignment_srm
+    from procoggraph_spark.streaming.windows import (
+        read_srm_monitor,
+        streaming_srm_monitor,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    # parity split: every segment appears in both batches
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inbox = str(tmp_path / "assign_inbox")
+    state_dir = str(tmp_path / "srm_state")
+    ckpt = str(tmp_path / "ckpt_srm")
+
+    b1.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_srm_monitor(
+        spark, inbox, b1.schema, state_dir, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+    b2.coalesce(1).write.mode("append").parquet(inbox)
+    q = streaming_srm_monitor(
+        spark, inbox, b1.schema, state_dir, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, read_srm_monitor(spark, state_dir).collect()))
+    expect = sorted(map(tuple, ab_assignment_srm(docs).collect()))
+    assert got == expect
+
+    # crash-replay: re-drain with nothing new
+    q = streaming_srm_monitor(
+        spark, inbox, b1.schema, state_dir, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+    assert sorted(map(tuple, read_srm_monitor(spark, state_dir).collect())) == got
