@@ -224,3 +224,71 @@ def stable_id_from_string(col):
 def sha1_mod(value: str, mod: int) -> int:
     """Driver-side stable hash helper for tests."""
     return int(hashlib.sha1(value.encode()).hexdigest(), 16) % mod
+
+
+# --- U7: cofactor priority resolution ---------------------------------------
+
+COFACTOR_SUBGROUPS = ("Coenzyme", "Prosthetic Group", "Siderophore")
+
+
+def select_cofactor(classes):
+    """U7: collapse a per-ligand SET of cofactor-class labels into one
+    display label, mirroring the reference's priority rule
+    (`get_ec_information.py:332-342`):
+
+    1. singleton set -> its element (even if that element is ``"N"``);
+    2. otherwise discard ``"N"``; if exactly ONE of the specific
+       subgroups {Coenzyme, Prosthetic Group, Siderophore} remains,
+       return it (the specific class outranks the generic "Cofactor");
+    3. otherwise the sorted ``/``-join of the remaining labels
+       (empty set -> empty string, as in the reference).
+
+    Pure column algebra over an ``array<string>`` — runs inside
+    whole-stage codegen, no Python.
+    """
+    s = F.array_distinct(classes)
+    denulled = F.array_remove(s, "N")
+    sub = F.array_intersect(
+        denulled, F.array(*[F.lit(x) for x in COFACTOR_SUBGROUPS])
+    )
+    return (
+        F.when(F.size(s) == 1, F.element_at(s, 1))
+        .when(F.size(sub) == 1, F.element_at(sub, 1))
+        .otherwise(F.array_join(F.array_sort(denulled), "/"))
+    )
+
+
+def resolve_cofactor_classes(cognate_ligands, chebi_cofactors):
+    """U7 full stage (`get_ec_information.py:673-691`): pull every
+    ``CHEBI:<id>`` xref out of the ligand's ``ligand_db`` string,
+    classify each against the ChEBI ``has_role`` table
+    (``FINAL_ID`` -> Cofactor/Coenzyme/Prosthetic Group/Siderophore),
+    default unmatched ligands to ``"N"``, and collapse the per-ligand
+    class set with :func:`select_cofactor`.
+
+    Scale shape: the role table is a few thousand rows -> broadcast
+    join; the explode fans out only by xrefs-per-ligand (bounded
+    small); one hash aggregation back to ligand grain. Any prior
+    ``isCofactor`` column is replaced (the reference computes it from
+    scratch here too).
+    """
+    keys = [c for c in cognate_ligands.columns if c != "isCofactor"]
+    roles = chebi_cofactors.select(
+        F.col("FINAL_ID").cast("string").alias("chebi_match"),
+        F.col("isCofactor").alias("_role"),
+    )
+    matches = cognate_ligands.select(
+        *keys,
+        F.explode_outer(
+            F.expr(r"regexp_extract_all(ligand_db, 'CHEBI:([0-9]+)', 1)")
+        ).alias("chebi_match"),
+    )
+    classed = matches.join(F.broadcast(roles), "chebi_match", "left").select(
+        *keys, F.coalesce(F.col("_role"), F.lit("N")).alias("_cls")
+    )
+    return (
+        classed.groupBy(*keys)
+        .agg(F.collect_set("_cls").alias("_cls_set"))
+        .withColumn("isCofactor", select_cofactor(F.col("_cls_set")))
+        .drop("_cls_set")
+    )

@@ -431,6 +431,7 @@ def build_graph(
     parity_threshold: float = 0.40,
     hierarchy_mappings: dict[str, DataFrame] | None = None,
     hierarchy_names: dict[str, DataFrame] | None = None,
+    chebi_cofactors: DataFrame | None = None,
 ) -> ProCogGraph:
     """Assemble the full graph from pipeline intermediates.
 
@@ -441,7 +442,19 @@ def build_graph(
 
     ``hierarchy_names``: optional per-kind (accession, description)
     tables (cath-names / scop des / scop2 des via sources/readers) that
-    decorate the level node tables with display names."""
+    decorate the level node tables with display names.
+
+    ``chebi_cofactors``: optional ChEBI ``has_role`` classification
+    table (``FINAL_ID``, ``isCofactor``). When given, the U7 cofactor
+    priority resolution (`get_ec_information.py:673-691`) recomputes
+    ``cognate_ligands.isCofactor`` from the ligand_db CHEBI xrefs;
+    otherwise any incoming ``isCofactor`` column passes through."""
+    if chebi_cofactors is not None:
+        from procoggraph_spark.functions.chem import resolve_cofactor_classes
+
+        cognate_ligands = resolve_cofactor_classes(
+            cognate_ligands, chebi_cofactors
+        )
     g = ProCogGraph()
     g.nodes["entry"] = build_entry_nodes(combined_contacts)
     bes = build_bound_entity_nodes(combined_contacts)

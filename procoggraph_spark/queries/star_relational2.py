@@ -1133,3 +1133,69 @@ def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(
         d, id_col="doc_id", text_col="text", window=8, min_docs=3
     )
+
+
+# --- U7: cofactor priority resolution ---------------------------------------
+
+@q(
+    "u7_cofactor_priority",
+    """
+    WITH classed AS (
+      SELECT p_brand, p_size,
+             CASE WHEN p_type = 'SMALL'  THEN 'Coenzyme'
+                  WHEN p_type = 'LARGE'  THEN 'Prosthetic Group'
+                  WHEN p_type = 'MEDIUM' THEN 'Siderophore'
+                  WHEN p_type = 'PROMO'  THEN 'Cofactor'
+                  ELSE 'N' END AS cls
+      FROM part
+    ), sets AS (
+      SELECT p_brand, p_size,
+             list_distinct(list(cls)) AS s,
+             COUNT(*) AS n_parts
+      FROM classed GROUP BY p_brand, p_size
+    ), prepped AS (
+      SELECT p_brand, p_size, n_parts, s,
+             list_filter(s, x -> x <> 'N') AS denulled,
+             list_filter(s, x -> x IN ('Coenzyme', 'Prosthetic Group',
+                                       'Siderophore')) AS sub
+      FROM sets
+    )
+    SELECT p_brand, p_size,
+           CASE WHEN len(s) = 1 THEN s[1]
+                WHEN len(sub) = 1 THEN sub[1]
+                ELSE array_to_string(list_sort(denulled), '/') END
+               AS cofactor_class,
+           n_parts
+    FROM prepped
+    """,
+)
+def u7_cofactor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 cofactor priority resolution (`get_ec_information.py:332-342`)
+    exercised on the star schema: each part's type maps to a
+    cofactor-class label (SMALL->Coenzyme, LARGE->Prosthetic Group,
+    MEDIUM->Siderophore, PROMO->Cofactor, else 'N'), the per-(brand,size)
+    label SET collapses through functions.chem.select_cofactor — the
+    singleton fast path, discard-'N', single-subgroup pick, and sorted
+    '/'-join branches all occur in the data. One hash aggregation; the
+    resolution itself is pure array algebra inside codegen."""
+    from procoggraph_spark.functions.chem import select_cofactor
+
+    p = t(spark, sf_dir, "part")
+    cls = (
+        F.when(F.col("p_type") == "SMALL", F.lit("Coenzyme"))
+        .when(F.col("p_type") == "LARGE", F.lit("Prosthetic Group"))
+        .when(F.col("p_type") == "MEDIUM", F.lit("Siderophore"))
+        .when(F.col("p_type") == "PROMO", F.lit("Cofactor"))
+        .otherwise(F.lit("N"))
+    )
+    return (
+        p.select("p_brand", "p_size", cls.alias("cls"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.collect_set("cls").alias("s"), F.count("*").alias("n_parts"))
+        .select(
+            "p_brand",
+            "p_size",
+            select_cofactor(F.col("s")).alias("cofactor_class"),
+            "n_parts",
+        )
+    )

@@ -111,3 +111,78 @@ def test_molecular_descriptors(spark):
     assert out["C1CC1"]["n_rings"] == 1
     assert out[None]["n_heavy_atoms"] is None
     assert out["[Na+].[Cl-]"]["n_heavy_atoms"] == 2
+
+
+# --- U7: cofactor priority resolution ---------------------------------------
+
+
+def test_select_cofactor_boundaries(spark):
+    """Mirror of select_cofactor (get_ec_information.py:332-342) on every
+    branch: singleton (incl. the 'N'-only set, which must survive the
+    fast path BEFORE the discard), single-subgroup pick over the generic
+    'Cofactor', multi-subgroup tie -> sorted '/'-join, and the empty
+    set -> empty string."""
+    from procoggraph_spark.functions.chem import select_cofactor
+
+    def ref(cofactor_set):  # the reference's own algorithm, reimplemented
+        s = set(cofactor_set)
+        if len(s) == 1:
+            return next(iter(s))
+        s.discard("N")
+        inter = s & {"Coenzyme", "Prosthetic Group", "Siderophore"}
+        if len(inter) == 1:
+            return next(iter(inter))
+        return "/".join(sorted(s))
+
+    cases = [
+        ["Coenzyme"],                              # singleton fast path
+        ["N"],                                     # 'N'-only singleton
+        ["N", "Coenzyme"],                         # discard-N then subgroup
+        ["Cofactor", "Siderophore"],               # subgroup beats generic
+        ["Cofactor", "N", "Prosthetic Group"],     # both rules together
+        ["Coenzyme", "Prosthetic Group"],          # two subgroups -> join
+        ["Cofactor", "Coenzyme", "Siderophore"],   # tie w/ generic -> join
+        ["Cofactor", "N"],                         # generic only survives
+        [],                                        # empty -> ""
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, s array<string>"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", select_cofactor(F.col("s")).alias("out")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == ref(c), (c, got[i], ref(c))
+
+
+def test_resolve_cofactor_classes_stage(spark):
+    """U7 full stage (get_ec_information.py:673-691): CHEBI xref
+    extraction from ligand_db, has_role classification, fillna 'N',
+    set-collapse. Ligands with no CHEBI xref at all must still come out
+    as 'N' (the explode is an OUTER explode)."""
+    from procoggraph_spark.functions.chem import resolve_cofactor_classes
+
+    ligands = spark.createDataFrame(
+        [
+            (1, "KEGG:C00001|CHEBI:11|CHEBI:22"),  # Coenzyme + generic
+            (2, "CHEBI:33"),                       # unmatched -> N
+            (3, "KEGG:C00002"),                    # no xref -> N
+            (4, "CHEBI:11|CHEBI:44"),              # two subgroups -> join
+        ],
+        "uniqueID int, ligand_db string",
+    )
+    roles = spark.createDataFrame(
+        [("11", "Coenzyme"), ("22", "Cofactor"), ("44", "Siderophore")],
+        "FINAL_ID string, isCofactor string",
+    )
+    out = {
+        r["uniqueID"]: r["isCofactor"]
+        for r in resolve_cofactor_classes(ligands, roles).collect()
+    }
+    assert out == {
+        1: "Coenzyme",
+        2: "N",
+        3: "N",
+        4: "Coenzyme/Siderophore",
+    }
