@@ -8,31 +8,72 @@ Names are prefixed with the SURVEY §2 operator-family id they exercise.
 
 from __future__ import annotations
 
-# Round-6 driver window (the external correctness gate samples the
-# FIRST 50 registry keys): rows that carry a red/crashed round-5 driver
-# record or whose oracle changed this round, promoted ahead of the
-# module union so the fixes get re-verified externally. Every name here
-# must exist in the union — registry() raises on a stale entry, so a
-# rename/removal fails loudly instead of silently rotating the wrong
-# row into the window.
+# Round-7 driver window (the external correctness gate samples the
+# FIRST 50 registry keys): this round drains the driver-certification
+# backlog — every registry row that has never had a driver CORRECTNESS
+# record (44 rows: the round-6 post-window star_llmops7/8/9 batches
+# plus the late relational2/temporal additions), the new-this-round U7
+# query, and 5 re-certification slots for the relational core whose
+# last driver rows predate the plan cache / vectorized agg / bucketed
+# staging (q4/j7/a1/a7/p6; w5+q9 rotate in r08). New query
+# registration is FROZEN until this backlog is zero (round-6 verdict
+# item 1). Every name here must exist in the union — registry() raises
+# on a stale entry, so a rename/removal fails loudly instead of
+# silently rotating the wrong row into the window.
 _PROMOTE = (
-    # r05 hash-FAIL (oracle HUGEINT dtype bug, CAST-fixed this round)
-    "pack_token_budget",
-    "corpus_pareto_coverage",
-    "mm_asset_metadata",
-    # r05 driver check crashed on the array<double> output column; now
-    # registered as a scalar projection
-    "mm_feature_extract",
-    # oracle added/changed this round (was rows-only / no_oracle)
-    "sim_ivf_ann",
-    "a3_approx_count_distinct",
-    # round-5 additions at the tail of star_relational2 — never
-    # driver-sampled (the rest of the never-sampled set arrives whole
-    # via the star_llmops2/3/4 modules leading the union below)
-    "dedup_semantic_cluster",
-    "shuffle_training_order",
-    "training_data_pipeline",
-    "dedup_strip_boilerplate",
+    # new this round (U7 — the last SURVEY §2 gap)
+    "u7_cofactor_priority",
+    # relational-core re-certification under the current engine config
+    "q4_report_card",
+    "j7_star_join_rollup",
+    "a1_pricing_summary",
+    "a7_range_compress",
+    "p6_ownership_classify",
+    # --- the 44 never-driver-sampled rows, in registry order ---
+    "dedup_normalized_exact",
+    "text_oov_rate",
+    "diag_key_skew",
+    "j_salted_skew_join",
+    "scd2_customer_segment",
+    "rag_index_pipeline",
+    "scd2_two_batch_history",
+    "curation_data_card",
+    "feat_target_encode",
+    "feat_robust_scale",
+    "agg_incremental_refresh",
+    "corpus_release_diff",
+    "serve_length_buckets",
+    "emb_centroid_drift",
+    "serve_prefix_sharing",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_top_transitions",
+    "dedup_cluster_sizes",
+    "diag_table_profile",
+    "curation_gate_sensitivity",
+    "feat_class_weights",
+    "orders_rfm_segments",
+    "events_sessionize",
+    "events_volume_anomaly",
+    "basket_part_pairs",
+    "orders_repurchase_gaps",
+    "events_user_pareto",
+    "sketch_quantile_bins",
+    "feat_psi_drift",
+    "sim_pairwise_diversity",
+    "events_activity_heatmap",
+    "events_last_touch_attribution",
+    "sim_mmr_diversify",
+    "events_time_to_conversion",
+    "orders_cohort_ltv",
+    "events_dau_stickiness",
+    "events_weekly_streaks",
+    "emb_dim_covariance",
+    "feat_hash_buckets",
+    "events_recency_engagement",
+    "sim_rocchio_feedback",
+    "ab_assignment_srm",
+    "text_langid_confusion",
 )
 
 
@@ -57,18 +98,12 @@ def registry():
 
     queries: dict = {}
     oracles: dict = {}
-    # Driver-visibility rotation, round 6: rounds 1-4 sampled the
-    # relational/graph families, round 5 the llmops/multimodal/
-    # streaming/temporal heads. This round the union leads with the
-    # round-5 post-window batches (star_llmops2: 14, star_llmops3: 7)
-    # plus the round-6 portable-twin module (star_llmops4) — the
-    # never-driver-sampled rows — and the 10 _PROMOTE names above jump
-    # the queue. 10 + 22 + the head of star_relational fills the
-    # 50-row window exactly; the window-pin test
+    # Driver-visibility rotation, round 7: the 50-entry _PROMOTE list
+    # above IS the whole window, so module union order below no longer
+    # affects what the driver samples. The window-pin test
     # (tests/test_oracle_parity.py::test_driver_window_rotation)
-    # asserts the composition, so adding a query to a leading module
-    # fails there instead of silently pushing a never-sampled row past
-    # the gate.
+    # asserts the composition, so a rename or accidental reorder fails
+    # there instead of silently rotating the wrong row into the gate.
     for mod in (
         star_llmops2,
         star_llmops3,

@@ -152,37 +152,22 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 6's rotation puts (a) the 10 _PROMOTE re-verification rows,
-    (b) every round-5 post-window addition (star_llmops2/3 whole), and
-    (c) the round-6 portable twins (star_llmops4) inside that window.
-    This pin makes an addition to a leading module fail HERE, loudly,
-    instead of silently pushing a never-sampled row past the gate; when
-    a future round re-rotates, update the expectation deliberately."""
-    import importlib
-
+    Round 7 drains the certification backlog: the 50-entry _PROMOTE
+    list IS the whole window — the 44 rows that had never been driver-
+    sampled through round 6, the new U7 query, and 5 relational-core
+    re-certification slots. This pin makes any addition or reorder fail
+    HERE, loudly, instead of silently pushing a never-sampled row past
+    the gate; when a future round re-rotates, update deliberately."""
     from procoggraph_spark.queries import _PROMOTE
 
     keys = list(QUERIES.keys())
-    window = set(keys[:50])
-    must_be_in = set(_PROMOTE)
-    for m in (
-        "star_llmops2",
-        "star_llmops3",
-        "star_llmops4",
-        "star_llmops5",
-        "star_llmops6",
-    ):
-        mod = importlib.import_module(f"procoggraph_spark.queries.{m}")
-        must_be_in |= set(mod.QUERIES)
-    missing = sorted(must_be_in - window)
-    assert not missing, f"fell out of the driver sample window: {missing}"
-    # boundary pin: with the nine star_llmops6 rows the llmops modules
-    # fill the 50-row window exactly (10 promotes + 14 + 7 + 2 + 8 + 9)
-    # — the displaced relational pad rows were green in r01-04. The
-    # star_llmops7 batch sits immediately PAST the window (round-7
-    # rotation fodder, pre-verified at sf0.001+sf0.01).
-    assert keys[49] == "sim_recall_eval"
-    assert keys[50] == "dedup_normalized_exact"
+    assert len(_PROMOTE) == 50
+    assert len(set(_PROMOTE)) == 50
+    assert keys[:50] == list(_PROMOTE)
+    # every _PROMOTE row must be oracle-backed — a rows-only entry in
+    # a backlog-drain window would burn a slot on a weaker check
+    not_oracled = [n for n in _PROMOTE if n not in ORACLES]
+    assert not not_oracled, f"rows-only entries in the window: {not_oracled}"
 
 
 def test_queries_md_in_sync():
