@@ -24,6 +24,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _sql_str(v) -> str:
+    """Escape a value as a SQL single-quoted string literal (quotes
+    doubled) — caller-supplied step/column names are interpolated into
+    selectExpr stacks and must not be able to break or alter the SQL."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_ident(name) -> str:
+    """Escape a caller-supplied name as a backtick-quoted SQL
+    identifier (backticks doubled)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def cohort_retention(
     events: DataFrame,
     *,
@@ -110,11 +124,12 @@ def funnel_conversion(
     one = counts[0]
     for c in counts[1:]:
         one = one.crossJoin(c)
-    rows = [f"1L, '{steps[0]}', n1, 1.0D"]
+    rows = [f"1L, {_sql_str(steps[0])}, n1, 1.0D"]
     for i, step in enumerate(steps[1:], start=2):
         name = f"{step}_after_{steps[i - 2]}"
         rows.append(
-            f"{i}L, '{name}', n{i}, round(n{i} / cast(n{i - 1} as double), 6)"
+            f"{i}L, {_sql_str(name)}, n{i},"
+            f" round(n{i} / cast(n{i - 1} as double), 6)"
         )
     return one.selectExpr(
         f"stack({len(rows)}, {', '.join(rows)})"
@@ -344,15 +359,18 @@ def table_profile(
     parts = []
     for c in numeric_cols:
         parts.append(
-            f"'{c}', n_rows, {c}__nulls, {c}__nd, "
-            f"cast({c}__min as double), cast({c}__max as double), "
+            f"{_sql_str(c)}, n_rows, {_sql_ident(f'{c}__nulls')}, "
+            f"{_sql_ident(f'{c}__nd')}, "
+            f"cast({_sql_ident(f'{c}__min')} as double), "
+            f"cast({_sql_ident(f'{c}__max')} as double), "
             f"cast(null as string), cast(null as string)"
         )
     for c in string_cols:
         parts.append(
-            f"'{c}', n_rows, {c}__nulls, {c}__nd, "
+            f"{_sql_str(c)}, n_rows, {_sql_ident(f'{c}__nulls')}, "
+            f"{_sql_ident(f'{c}__nd')}, "
             f"cast(null as double), cast(null as double), "
-            f"{c}__min, {c}__max"
+            f"{_sql_ident(f'{c}__min')}, {_sql_ident(f'{c}__max')}"
         )
     return row.selectExpr(
         f"stack({len(parts)}, {', '.join(parts)}) AS (col_name, n_rows,"
@@ -950,6 +968,28 @@ def recency_weighted_engagement(
     )
 
 
+# 95th-percentile chi-square critical values by degrees of freedom —
+# data-independent constants shared by the batch SRM check and the
+# streaming monitor (streaming/windows.read_srm_monitor).
+_CHI2_CRIT_95 = {
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729, 5: 11.070498,
+    6: 12.591587, 7: 14.067140, 8: 15.507313, 9: 16.918978,
+}
+
+
+def chi2_crit_95(n_arms: int) -> float:
+    """Critical value for an SRM check over ``n_arms`` arms (df =
+    n_arms - 1). Raises a descriptive ValueError outside the table
+    instead of a bare KeyError."""
+    df = n_arms - 1
+    if df not in _CHI2_CRIT_95:
+        raise ValueError(
+            f"SRM check supports n_arms in 2..{max(_CHI2_CRIT_95) + 1}; "
+            f"got n_arms={n_arms}"
+        )
+    return _CHI2_CRIT_95[df]
+
+
 def ab_assignment_srm(
     df: DataFrame,
     *,
@@ -983,7 +1023,7 @@ def ab_assignment_srm(
     """
     from procoggraph_spark.operators.sampling import hash_bucket
 
-    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728}[n_arms - 1]
+    crit = chi2_crit_95(n_arms)
     arm = hash_bucket(F.col(id_col), buckets=n_arms)
     seg = (
         df.select(F.col(segment_col).alias("segment"), arm.alias("_arm"))

@@ -813,6 +813,7 @@ def mmr_diversify(
     pool: int = 20,
     lam: float = 0.7,
     mu: float = 0.3,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversified rerank (Carbonell &
     Goldstein 1998): from each query's top-``pool`` exact-cosine
@@ -835,6 +836,16 @@ def mmr_diversify(
     both engines then evaluate bit-identical doubles, so the greedy
     argmax (ties broken by neighbor id) is engine-exact and the DuckDB
     twin replays the identical selection sequence.
+
+    SIDE EFFECT: unlike the rest of the operator surface this call
+    EXECUTES jobs eagerly (the candidate pool and pairwise sims are
+    localCheckpoint-ed — see the inline rationale); localCheckpoint
+    state does not survive executor loss, so a long-lived production
+    run should swap in reliable checkpointing. ``state_partitions``
+    sizes the checkpointed state (default: ~1 task per 64 queries,
+    min 1) — the per-round frames are queries x pool(^2) rows, so one
+    task per few thousand rows keeps rounds single-stage without
+    serializing a large query set through one task.
     """
     # localCheckpoint the pool: the k-1 selection rounds each reference
     # rel (directly and through pw), and Spark re-evaluates shared
@@ -842,13 +853,17 @@ def mmr_diversify(
     # pass re-runs O(k) times (measured 11.5 s -> ~1 s at sf0.1). The
     # checkpointed frame is model-sized (queries x pool rows), so this
     # is the same bounded-state discipline as the sugar-chain cache.
+    if state_partitions is None:
+        # model-sized state: ~64 queries' pool rows per task; the
+        # count() runs on the (small by contract) query frame only
+        state_partitions = max(1, queries.count() // 64)
     rel = (
         brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=pool)
         .select("query_id", "neighbor_id", "cosine_sim")
         # repartition, NOT coalesce: coalesce(1) would collapse the
         # corpus-scale first pass itself into one task (measured 4.2 s
         # vs 0.4 s); the exchange is queries x pool rows
-        .repartition(1)
+        .repartition(state_partitions)
         .localCheckpoint(eager=True)
     )
 
@@ -885,9 +900,10 @@ def mmr_diversify(
         )
         # same cut as rel: pw is referenced by every selection round and
         # its build joins back to the corpus — bounded queries x pool^2
-        # rows once checkpointed; single-partition so every downstream
-        # round is a single-task job instead of 32 near-empty partitions
-        .repartition(1)
+        # rows once checkpointed; few-partition (state_partitions) so
+        # downstream rounds run a handful of tasks instead of 32
+        # near-empty partitions
+        .repartition(state_partitions)
         .localCheckpoint(eager=True)
     )
 

@@ -85,7 +85,11 @@ def salted_join(
     from ``salt_from`` (a fact column with high cardinality, e.g. the
     line id), then join on (key, salt). A hot key's rows now hash to
     ``salts`` different reducers instead of one; results are identical
-    to ``fact.join(dim, key_col, how)``.
+    to ``fact.join(dim, key_col, how)`` for fact-preserving joins
+    (inner/left/left_semi/left_anti — the only accepted ``how``
+    values). Right/full outer would replicate each unmatched dim row
+    ``salts`` times (the dim side carries ``salts`` copies), so they
+    are rejected rather than silently wrong.
 
     Cost model: dim side grows ``salts``× (it is the bounded side by
     contract); fact side is untouched. Use when the fact's key
@@ -100,6 +104,14 @@ def salted_join(
     reproducible in any engine — which is what lets the registry's
     ``j_salted_skew_join`` be oracle-checked.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving; the "
+            f"salted dim side would duplicate unmatched dim rows. "
+            f"Use one of {sorted(allowed)}."
+        )
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )

@@ -373,7 +373,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_SQL = """
     WITH o AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_type, event_id,
              CASE WHEN date_diff('second',
                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                     ts) > 1800
@@ -383,8 +383,11 @@ _SESSIONIZE_SQL = """
       FROM events
     ),
     s AS (
+      -- event_id tiebreak matches the operator's (ts, order_tiebreak)
+      -- contract: without it session_seq is nondeterministic on
+      -- same-ts events
       SELECT user_id, ts, event_type,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM o
     )

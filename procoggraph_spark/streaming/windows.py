@@ -485,13 +485,20 @@ def streaming_incremental_ingest(
     survives is arrival-order-dependent; the admitted key SET is not —
     the batch-equality test pins exactly that invariant.
     """
+    # Content key matches the batch twin exactly (dedup.py
+    # incremental_ingest_dedup): md5 with NULL text coalesced to a
+    # sentinel on BOTH sides. A bare md5(NULL) key is NULL, and NULL
+    # join keys never match — a NULL-text document in history would
+    # not suppress NULL-text stream arrivals, breaking the
+    # admitted-key-set invariant on dirty corpora.
+    key = F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__"))
     hkeys = (
-        history.select(F.md5(F.col(text_col)).alias("_k"))
+        history.select(key.alias("_k"))
         .distinct()
         .withColumn("_in_hist", F.lit(True))
     )
     stream = spark.readStream.schema(schema).parquet(docs_path)
-    keyed = stream.withColumn("_k", F.md5(F.col(text_col)))
+    keyed = stream.withColumn("_k", key)
     if ts_col is not None:
         # dropDuplicatesWithinWatermark keys state on _k ALONE (state
         # still expires at the watermark): the same content arriving
@@ -878,7 +885,9 @@ def read_srm_monitor(spark, state_dir: str, *, n_arms: int = 2):
     """
     from pyspark.sql import functions as F
 
-    crit = {1: 3.841459, 2: 5.991465, 3: 7.814728}[n_arms - 1]
+    from procoggraph_spark.operators.analytics import chi2_crit_95
+
+    crit = chi2_crit_95(n_arms)
     raw = spark.read.parquet(state_dir)
     grid = raw.select("segment").distinct().crossJoin(
         F.broadcast(

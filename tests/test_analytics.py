@@ -347,3 +347,61 @@ def test_activity_heatmap_iso_weekday_and_share(spark):
     assert out[(1, 9)]["n"] == 1
     assert out[(7, 23)]["n"] == 2
     assert out[(7, 23)]["share"] == round(2 / 3, 6)
+
+
+def test_funnel_conversion_quoted_step_names(spark):
+    """Caller-supplied step names pass through as SQL string literals —
+    a name containing a single quote must not break or alter the
+    generated stack() SQL."""
+    rows = [
+        (0, datetime(2024, 1, 1, 9), 1, "it's a view"),
+        (1, datetime(2024, 1, 1, 10), 1, "add'l cart"),
+        (2, datetime(2024, 1, 1, 9), 2, "it's a view"),
+    ]
+    out = {r["step"]: r for r in funnel_conversion(
+        _events(spark, rows), steps=("it's a view", "add'l cart")
+    ).collect()}
+    assert out[1]["step_name"] == "it's a view" and out[1]["n_users"] == 2
+    assert out[2]["n_users"] == 1 and out[2]["conv_from_prev"] == 0.5
+
+
+def test_table_profile_exotic_column_names(spark):
+    """Column names with spaces/quotes profile correctly via escaped
+    identifiers."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "`odd name` long, `s'tr` string"
+    )
+    out = {r["col_name"]: r for r in table_profile(
+        df, numeric_cols=("odd name",), string_cols=("s'tr",)
+    ).collect()}
+    assert out["odd name"]["n_nulls"] == 0 and out["odd name"]["max_num"] == 2.0
+    assert out["s'tr"]["n_nulls"] == 1 and out["s'tr"]["min_str"] == "a"
+
+
+def test_srm_n_arms_validation(spark):
+    from procoggraph_spark.operators.analytics import chi2_crit_95
+
+    import pytest as _pytest
+
+    assert chi2_crit_95(2) == 3.841459
+    assert chi2_crit_95(10) == 16.918978
+    with _pytest.raises(ValueError, match="n_arms"):
+        chi2_crit_95(11)
+    with _pytest.raises(ValueError, match="n_arms"):
+        chi2_crit_95(1)
+
+
+def test_salted_join_rejects_dim_duplicating_how(spark):
+    import pytest as _pytest
+
+    from procoggraph_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k long, fid long")
+    dim = spark.createDataFrame([(1, "x")], "k long, attr string")
+    with _pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, key_col="k", salt_from="fid", how="full")
+    # inner still equals the plain join
+    got = salted_join(fact, dim, key_col="k", salt_from="fid", how="inner")
+    assert [tuple(r) for r in got.select("k", "fid", "attr").collect()] == [
+        (1, 10, "x")
+    ]

@@ -458,6 +458,40 @@ def test_streaming_incremental_ingest_equals_batch_decisions(spark, tmp_path):
     assert {r._k for r in admitted} == new_keys
 
 
+def test_streaming_ingest_null_text_sentinel(spark, tmp_path):
+    """NULL-text edge of the ingest gate: a NULL-text document already
+    in history must suppress NULL-text stream arrivals (bare md5(NULL)
+    keys are NULL and never join-match — the sentinel key makes the
+    stream side match the batch twin), and a redelivered NULL-text file
+    adds nothing."""
+    from procoggraph_spark.streaming.windows import streaming_incremental_ingest
+
+    history = spark.createDataFrame(
+        [(1, None), (2, "kept")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, "fresh"), (12, None)], "doc_id long, text string"
+    )
+    inbox = str(tmp_path / "null_inbox")
+    batch.coalesce(1).write.mode("append").parquet(inbox)
+    batch.coalesce(1).write.mode("append").parquet(inbox)  # redelivery
+
+    q = (
+        streaming_incremental_ingest(spark, inbox, batch.schema, history)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("null_ingest_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = spark.sql("SELECT _k, doc_id FROM null_ingest_stream").collect()
+    # only "fresh" is new: both NULL-text arrivals collapse to the
+    # sentinel key, which history already holds
+    assert [r.doc_id for r in admitted] == [11]
+    assert all(r._k is not None for r in admitted)
+
+
 def test_streaming_ingest_watermarked_dedup_is_key_only(spark, tmp_path):
     """Watermarked path: the same content arriving twice with DIFFERENT
     event times inside the watermark must be admitted once — dedup state
