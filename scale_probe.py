@@ -32,7 +32,26 @@ RELATIONAL = [
     "a7_range_compress",
     "p6_ownership_classify",
     "dedup_exact",
+    "u7_cofactor_priority",
 ]
+
+
+def probe_part(spark):
+    """Probe part table (p_type/p_size drive u7_cofactor_priority)."""
+    n_part = 20_000 * SCALE
+    return spark.range(n_part).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(
+            F.lit("Brand#"), F.pmod(F.col("id"), F.lit(25)).cast("string")
+        ).alias("p_brand"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in (
+                "ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL", "PROMO"
+            )]),
+            (F.pmod(F.col("id") * 2654435761, F.lit(6)) + 1).cast("int"),
+        ).alias("p_type"),
+        (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int").alias("p_size"),
+    )
 
 
 def generate(spark) -> None:
@@ -70,10 +89,7 @@ def generate(spark) -> None:
         (F.pmod(F.col("id") * 7, F.lit(100000)) / 100.0 + 1000.0).alias("o_totalprice"),
         F.concat(F.lit("P"), F.pmod(F.col("id"), F.lit(5)).cast("string")).alias("o_orderpriority"),
     )
-    part = spark.range(n_part).select(
-        F.col("id").alias("p_partkey"),
-        F.concat(F.lit("Brand#"), F.pmod(F.col("id"), F.lit(25)).cast("string")).alias("p_brand"),
-    )
+    part = probe_part(spark)
     cust = spark.range(n_cust).select(
         F.col("id").alias("c_custkey"),
         F.pmod(F.col("id"), F.lit(25)).cast("int").alias("c_nationkey"),
@@ -334,6 +350,11 @@ def main() -> None:
         generate_docs_supplier(spark)
     if not os.path.isdir(os.path.join(PROBE_DIR, "embeddings.parquet")):
         generate_embeddings(spark)
+    # backfill guard: round-7 added p_type/p_size to the probe part
+    # table (u7_cofactor_priority); regenerate a stale copy in place
+    part_loc = os.path.join(PROBE_DIR, "part.parquet")
+    if os.path.isdir(part_loc) and "p_type" not in spark.read.parquet(part_loc).columns:
+        probe_part(spark).write.mode("overwrite").parquet(part_loc)
 
     if mode == "fullsuite":
         print(json.dumps({"fullsuite_vs_duckdb": fullsuite_probe(spark), "xdata": SCALE}))
