@@ -742,3 +742,16 @@ def test_ab_srm_single_fact_aggregation(spark):
 
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
     assert len(scan_ids) <= 2  # observed counts + segment grid branch
+
+
+def test_u7_single_exchange_no_python_pruned_scan(spark):
+    """U7 cofactor priority: one hash aggregation (partial map-side),
+    the resolution is array algebra inside the plan — no Python stage;
+    the part scan reads only the three referenced columns."""
+    df = QUERIES["u7_cofactor_priority"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    assert p.count("Exchange (") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    # column pruning: p_partkey / p_name / p_retailprice never read
+    assert "p_partkey" not in p and "p_retailprice" not in p

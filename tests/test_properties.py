@@ -508,3 +508,48 @@ def test_hash_bucket_audit_partition_property(spark, feats, n_buckets):
     for r in out:
         assert 0 <= r["bucket"] < n_buckets
         assert r["collided"] == (r["n_features"] > 1)
+
+
+# --- U7 select_cofactor vs the reference rule on arbitrary sets -------------
+
+_COFACTOR_LABELS = (
+    "Cofactor", "Coenzyme", "Prosthetic Group", "Siderophore", "N",
+    "Other Role",
+)
+
+
+def _ref_select_cofactor(cofactor_set: set) -> str:
+    """Pure-Python reimplementation of `get_ec_information.py:332-342`."""
+    s = set(cofactor_set)
+    if len(s) == 1:
+        return next(iter(s))
+    s.discard("N")
+    inter = s & {"Coenzyme", "Prosthetic Group", "Siderophore"}
+    if len(inter) == 1:
+        return next(iter(inter))
+    return "/".join(sorted(s))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.sampled_from(_COFACTOR_LABELS), max_size=6),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_select_cofactor_matches_reference_on_random_sets(spark, sets):
+    from procoggraph_spark.functions.chem import select_cofactor
+
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(sets)],
+        "i int, s array<string>",
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", select_cofactor(F.col("s")).alias("out")
+        ).collect()
+    }
+    for i, s in enumerate(sets):
+        assert got[i] == _ref_select_cofactor(s), (s, got[i])
