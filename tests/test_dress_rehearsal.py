@@ -334,6 +334,15 @@ def rehearsal(spark, tmp_path_factory):
         )
     )
 
+    # --- U7: cofactor priority resolution from ChEBI has_role ------------
+    # FINAL_ID 3 carries TWO role rows (generic Cofactor + Coenzyme), so
+    # ligand 103 exercises the subgroup-beats-generic branch; 101/102
+    # have no CHEBI xref and must resolve to 'N' (the incoming
+    # isCofactor pass-through column is recomputed, as in the reference)
+    chebi_cofactors = spark.createDataFrame(
+        [("3", "Cofactor"), ("3", "Coenzyme"), ("999", "Siderophore")],
+        "FINAL_ID string, isCofactor string",
+    )
     g = build_graph(
         cc_full,
         parity,
@@ -341,6 +350,7 @@ def rehearsal(spark, tmp_path_factory):
         ec_records=resolved,
         hierarchy_mappings={"Pfam": clans},
         hierarchy_names={"CATH": names},
+        chebi_cofactors=chebi_cofactors,
     )
     return {
         "g": g,
@@ -454,6 +464,13 @@ def test_q1_to_q4_shapes(rehearsal):
     assert counts == {
         "entries": 1, "boundEntities": 2, "cognateLigands": 3, "domains": 4,
     }
+    # U7 ran inside build_graph: the pass-through isCofactor column was
+    # recomputed from the ChEBI has_role table via select_cofactor
+    cof = {
+        r["uniqueID"]: r["isCofactor"]
+        for r in g.nodes["cognateLigand"].collect()
+    }
+    assert cof == {101: "N", 102: "N", 103: "Coenzyme"}
     q2 = Q.q2_similarity_counts(g).collect()[0]
     # LIG→101 and sugar→102 are exact fallback matches; 103 scores 0
     assert (q2["n_matched_entities"], q2["n_unambiguous"]) == (2, 2)
