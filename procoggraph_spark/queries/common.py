@@ -171,6 +171,26 @@ _STAGE_ROOT = os.environ.get("SPARK_GRAFT_STAGE_DIR", "/tmp/procoggraph_stage")
 _STAGE_FILES = 16
 
 
+def _text_dominant(meta) -> bool:
+    """True when string (BYTE_ARRAY) columns carry the majority of a
+    parquet file's bytes — the signature of a text table, whose
+    per-row expression cost (shingling, language-ID, quality gates)
+    dwarfs its scan cost. Read from row-group-0 column metadata, no
+    data IO."""
+    try:
+        rg = meta.metadata.row_group(0)
+        total = 0
+        strings = 0
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            total += col.total_compressed_size
+            if col.physical_type == "BYTE_ARRAY":
+                strings += col.total_compressed_size
+        return total > 0 and strings / total > 0.5
+    except Exception:
+        return False
+
+
 def _staged_splittable(path: str) -> str:
     """Return a splittable location for ``path``: the file itself if it
     already parallelizes (multiple row groups / small / a directory),
@@ -180,13 +200,21 @@ def _staged_splittable(path: str) -> str:
         return _STAGE_MEMO[path]
     out = path
     try:
-        # 1 MB gate: below it a single task finishes faster than the
-        # scheduler splits (events at sf0.1 is 2 MB and its windowed
-        # scans gain ~2x from splitting)
-        if os.path.isfile(path) and os.path.getsize(path) > (1 << 20):
+        # Work-aware gate, because bytes are a bad proxy for work on
+        # text tables: a numeric/vector table below 1 MB finishes its
+        # single task faster than the scheduler splits (events at sf0.1
+        # is 2 MB and its windowed scans gain ~2x from splitting), but
+        # a STRING-DOMINANT table runs expression-heavy analytics
+        # (shingles, lang-ID, quality gates) measured at ~0.4 ms/row —
+        # a 600 KB documents file held a 2 s curation gate on ONE core
+        # while 31 idled. Text tables therefore stage from 192 KB.
+        size = os.path.getsize(path) if os.path.isfile(path) else 0
+        if size > (192 << 10):
             import pyarrow.parquet as pq
 
-            if pq.ParquetFile(path).num_row_groups < _STAGE_FILES:
+            meta = pq.ParquetFile(path)
+            gate = (192 << 10) if _text_dominant(meta) else (1 << 20)
+            if size > gate and meta.num_row_groups < _STAGE_FILES:
                 digest = hashlib.sha1(path.encode()).hexdigest()[:12]
                 stage = os.path.join(_STAGE_ROOT, digest)
                 marker = os.path.join(stage, "_SOURCE_MTIME")

@@ -4,6 +4,8 @@ without an Exchange."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -294,3 +296,69 @@ def test_incremental_agg_refresh_equals_recompute(spark):
         )
     )
     assert noop == sorted(map(tuple, mat.collect()))
+
+
+def test_staging_gate_is_work_aware(spark, tmp_path):
+    """The ingest re-layout gate treats bytes as a bad proxy for work on
+    TEXT tables: a string-dominant single-row-group file stages (and
+    re-parallelizes) from 192 KB, while a numeric/vector file of the
+    same size keeps its single task (scan-bound; splitting only adds
+    scheduler overhead). Staged reads are value-identical."""
+    import pyarrow.parquet as pq
+
+    from procoggraph_spark.queries.common import (
+        _STAGE_MEMO,
+        _staged_splittable,
+        _text_dominant,
+    )
+
+    # hash-derived content so snappy cannot compress the payload away
+    # (the gate reads COMPRESSED column sizes)
+    n = 3_000
+    text_df = spark.range(n).selectExpr(
+        "id",
+        "array_join(transform(sequence(0, 49),"
+        " i -> concat('w', pmod(xxhash64(id, i), 100000))), ' ') AS text",
+    )
+    num_df = spark.range(n).selectExpr(
+        "id",
+        "transform(sequence(0, 49),"
+        " i -> pmod(xxhash64(id, i), 100000) / 7.0) AS vec",
+    )
+    paths = {}
+    for name, df in (("texty", text_df), ("numeric", num_df)):
+        d = str(tmp_path / name)
+        df.coalesce(1).write.parquet(d)
+        f = [
+            os.path.join(d, x)
+            for x in os.listdir(d)
+            if x.endswith(".parquet")
+        ][0]
+        # single file between 192 KB and 1 MB, one row group
+        assert (192 << 10) < os.path.getsize(f) < (1 << 20), os.path.getsize(f)
+        assert pq.ParquetFile(f).num_row_groups == 1
+        paths[name] = f
+
+    assert _text_dominant(pq.ParquetFile(paths["texty"]))
+    assert not _text_dominant(pq.ParquetFile(paths["numeric"]))
+
+    staged_text = _staged_splittable(paths["texty"])
+    staged_num = _staged_splittable(paths["numeric"])
+    try:
+        assert staged_text != paths["texty"], "text table should stage"
+        assert staged_num == paths["numeric"], "numeric table should not"
+        got = spark.read.parquet(staged_text)
+        assert got.count() == n
+        assert got.rdd.getNumPartitions() > 1
+        orig = spark.read.parquet(paths["texty"])
+        assert got.exceptAll(orig).count() == 0
+        assert orig.exceptAll(got).count() == 0
+    finally:
+        # staged dir lives under /tmp keyed by the tmp_path hash; drop
+        # the memo entries so other tests never see these paths
+        _STAGE_MEMO.pop(paths["texty"], None)
+        _STAGE_MEMO.pop(paths["numeric"], None)
+        import shutil
+
+        if staged_text != paths["texty"]:
+            shutil.rmtree(staged_text, ignore_errors=True)
