@@ -127,9 +127,13 @@ def funnel_conversion(
     rows = [f"1L, {_sql_str(steps[0])}, n1, 1.0D"]
     for i, step in enumerate(steps[1:], start=2):
         name = f"{step}_after_{steps[i - 2]}"
+        # zero-base guard: an empty upstream step must yield NULL
+        # conversion, not an ANSI divide-by-zero crash (hit live on the
+        # 10x probe where the strict chain emptied a step)
         rows.append(
             f"{i}L, {_sql_str(name)}, n{i},"
-            f" round(n{i} / cast(n{i - 1} as double), 6)"
+            f" case when n{i - 1} = 0 then cast(null as double)"
+            f" else round(n{i} / cast(n{i - 1} as double), 6) end"
         )
     return one.selectExpr(
         f"stack({len(rows)}, {', '.join(rows)})"

@@ -113,10 +113,12 @@ _FUNNEL_SQL = """
              1.0 AS conv_from_prev FROM c
       UNION ALL
       SELECT 2, 'view_after_signup', n2,
-             ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM c
+             CASE WHEN n1 = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE ROUND(n2 / CAST(n1 AS DOUBLE), 6) END FROM c
       UNION ALL
       SELECT 3, 'purchase_after_view', n3,
-             ROUND(n3 / CAST(n2 AS DOUBLE), 6) FROM c
+             CASE WHEN n2 = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE ROUND(n3 / CAST(n2 AS DOUBLE), 6) END FROM c
     ) ORDER BY step
     """
 

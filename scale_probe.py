@@ -234,6 +234,53 @@ def llmops_probe(spark) -> dict:
     return out
 
 
+ANALYTICS_EVENTS = [
+    # the star_llmops8/9 events family (round-7 driver window rows):
+    # every op reads ONLY the events table, so the probe isolates their
+    # scaling on 10x events (1M rows / 15k users at SCALE=10)
+    "events_sessionize",
+    "events_funnel_conversion",
+    "events_top_transitions",
+    "events_cohort_retention",
+    "events_volume_anomaly",
+    "events_user_pareto",
+    "events_activity_heatmap",
+    "events_last_touch_attribution",
+    "events_time_to_conversion",
+    "events_dau_stickiness",
+    "events_weekly_streaks",
+    "events_recency_engagement",
+]
+
+
+def analytics_probe(spark) -> dict:
+    """Time the events-analytics family (sessionization, funnels,
+    retention, transition mining, engagement) at sf0.1 vs the 10x
+    probe — the empirical check that their window partitioning keys
+    (user_id, bounded grains) hold as event volume grows."""
+    qs, _ = registry()
+    out = {}
+    for sf_dir, label in [
+        ("/root/testdata/sf0.1", "sf0.1"),
+        (PROBE_DIR, f"sf0.1x{SCALE}"),
+    ]:
+        timings = {}
+        for name in ANALYTICS_EVENTS:
+            best = float("inf")
+            for _ in range(2):
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        out[label] = timings
+    out["ratio"] = {
+        k: round(out[f"sf0.1x{SCALE}"][k] / max(out["sf0.1"][k], 1e-9), 1)
+        for k in ANALYTICS_EVENTS
+    }
+    return out
+
+
 def crossover_probe(spark) -> dict:
     """The sf1 crossover record (round-1 task 8): the four queries whose
     sf0.1 ratios are floor-dominated (a1/w5/dedup_exact/sim_bruteforce),
@@ -383,6 +430,7 @@ def main() -> None:
         for k in RELATIONAL
     }
     llm = llmops_probe(spark)
+    analytics = analytics_probe(spark)
     crossover = crossover_probe(spark)
     print(
         json.dumps(
@@ -391,6 +439,7 @@ def main() -> None:
                 "xdata_time_ratio": ratios,
                 "xdata": SCALE,
                 "llmops": llm,
+                "analytics_events": analytics,
                 "crossover_vs_duckdb": crossover,
             }
         )

@@ -405,3 +405,19 @@ def test_salted_join_rejects_dim_duplicating_how(spark):
     assert [tuple(r) for r in got.select("k", "fid", "attr").collect()] == [
         (1, 10, "x")
     ]
+
+
+def test_funnel_conversion_empty_step_yields_null(spark):
+    """An empty upstream funnel step must produce NULL conversion for
+    the next step (not an ANSI divide-by-zero crash — hit live on the
+    10x scale probe)."""
+    rows = [
+        (0, datetime(2024, 1, 1, 9), 1, "signup"),
+        # no 'view' events at all -> step 2 count 0, step 3 NULL conv
+        (1, datetime(2024, 1, 1, 10), 1, "purchase"),
+    ]
+    out = {r["step"]: r for r in funnel_conversion(
+        _events(spark, rows), steps=("signup", "view", "purchase")
+    ).collect()}
+    assert out[2]["n_users"] == 0 and out[2]["conv_from_prev"] == 0.0
+    assert out[3]["n_users"] == 0 and out[3]["conv_from_prev"] is None
