@@ -117,6 +117,13 @@ def gemm_topk(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()  # model-sized
+    if not qrows:
+        # searching with zero queries finds zero neighbors — return an
+        # empty frame with the contract schema instead of crashing on a
+        # zero-row GEMM (hit by the empty-input robustness sweep)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     qids = np.array([r[id_col] for r in qrows])
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     Qn = np.linalg.norm(Q, axis=1)
@@ -341,6 +348,11 @@ def train_centroids(
         (r["cid"], list(r["_v"]))
         for r in c.orderBy("cid").limit(n_cells).collect()
     ]
+    if not crows:
+        raise ValueError(
+            "train_centroids: corpus is empty (0 rows) — cannot seed "
+            "any cells; check the upstream vector filters"
+        )
     # re-key cells to dense 0..n_cells-1 so means map back positionally
     crows = [(i, v) for i, (_, v) in enumerate(crows)]
     for _ in range(iterations):
@@ -409,6 +421,15 @@ def ivf_topk(
         crows = centroids or [
             (r["_cell"], list(r["_cv"])) for r in centroid_df.collect()
         ]
+        if not crows:
+            # an IVF index over an empty corpus has no cells; searching
+            # it finds nothing — return the contract schema empty
+            # instead of crashing the cell-assignment GEMM
+            return corpus.sparkSession.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, cosine_sim double,"
+                " rank int",
+            )
         cells = ivf_assign_numpy(c, crows, id_col="neighbor_id", n_probe=1)
         probes = ivf_assign_numpy(
             q, crows, id_col="query_id", vec_col="_qv", n_probe=n_probe

@@ -195,6 +195,11 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     seed_rows = e.orderBy("vec_id").limit(16).collect()
+    if len(seed_rows) < 16:
+        raise ValueError(
+            "sim_ivf_pq_rerank: need at least 16 vectors to seed the "
+            f"IVF cells and PQ codebooks, got {len(seed_rows)}"
+        )
     cents = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seed_rows)
     ]

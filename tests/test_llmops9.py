@@ -365,3 +365,32 @@ def test_langid_confusion_counts_and_shares(spark):
     assert out[("en", "en")]["row_share"] == round(2 / 3, 6)
     for (lab, pred), r in out.items():
         assert r["correct"] == (lab == pred)
+
+
+def test_searchers_empty_inputs_return_empty(spark):
+    """Searching with zero queries or over an empty corpus finds zero
+    neighbors — the GEMM and IVF searchers must return the contract
+    schema empty, not crash on a zero-row matrix (empty-input sweep,
+    round 7). Trainers raise descriptive ValueErrors instead."""
+    import pytest as _pytest
+
+    from procoggraph_spark.operators.similarity import (
+        brute_force_topk,
+        gemm_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    full = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    for searcher in (gemm_topk, brute_force_topk):
+        assert searcher(full, empty, k=3).count() == 0  # no queries
+        assert searcher(empty, full, k=3).count() == 0  # empty corpus
+    out = ivf_topk(empty, full, n_cells=4, n_probe=2, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    with _pytest.raises(ValueError, match="empty"):
+        train_centroids(empty, n_cells=4, iterations=1)
