@@ -638,7 +638,9 @@ def semantic_cluster_dedup(
         train_centroids,
     )
 
-    v = vectors.select(
+    # NULL embeddings carry no semantics to compare — dropped at the
+    # boundary (they pass through as their own canonical upstream)
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )

@@ -85,7 +85,9 @@ def pq_encode(
     column algebra on the scan (per subspace: k squared-distance folds,
     argmin via sorted struct array with code-ascending tie-break), no
     shuffle and no Python."""
-    return df.select(
+    # NULL vectors cannot be encoded — dropped at the index boundary
+    # (same discipline as the similarity searchers)
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _codes_column(codebooks, vec_col).alias(code_col)
     )
 

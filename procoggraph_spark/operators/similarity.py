@@ -34,7 +34,13 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    mathematically undefined case — an all-zero feature vector, e.g.
+    from an empty payload, must not ANSI-crash the division; hit live
+    on the NULL-input sweep through mm_feature_neardup's join
+    condition)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -57,13 +63,15 @@ def brute_force_topk(
     """
     # cast float→double up front: float products carry ~1e-7 relative
     # error, which breaks 6-decimal agreement with the oracle
+    # NULL vectors are unsearchable and unindexable — dropped at the
+    # boundary (SQL-aggregate NULL discipline; empty-/null-input sweeps)
     q = F.broadcast(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
         ).withColumn("_qn", l2_norm(F.col("_qv")))
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     ).withColumn("_cn", l2_norm(F.col("_cv")))
@@ -116,7 +124,11 @@ def gemm_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()  # model-sized
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )  # model-sized; NULL vectors are unsearchable
     if not qrows:
         # searching with zero queries finds zero neighbors — return an
         # empty frame with the contract schema instead of crashing on a
@@ -130,6 +142,7 @@ def gemm_topk(
 
     def part(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -340,7 +353,7 @@ def train_centroids(
     stable argmax ties. Empty cells keep their previous centroid.
     ``metric`` must match how the downstream index assigns cells:
     ``"cosine"`` for `ivf_topk`, ``"l2"`` for `ivf_pq_index`."""
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -398,7 +411,7 @@ def ivf_topk(
     ``n_probe`` nearest cells and reranks exactly within them. The
     candidate join is an equi-join on ``_cell``, so work scales with
     corpus/n_cells per query, not with the full corpus."""
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -407,7 +420,7 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col("neighbor_id").alias("_cell"), F.col("_v").alias("_cv"))
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
@@ -548,7 +561,7 @@ def lsh_topk(
                     }
                 )
 
-        return df.select(
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).cast("long").alias(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
         ).mapInPandas(fn, schema=schema)

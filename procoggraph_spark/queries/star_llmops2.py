@@ -514,7 +514,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(e, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < 3).collect()
+        for r in e.filter(
+            (F.col("vec_id") < 3) & F.col("embedding").isNotNull()
+        ).collect()
     ]
     return pq_adc_topk(codes, queries, books, top_k=5)
 
@@ -531,7 +533,9 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_pq_index(e, cents, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < 3).collect()
+        for r in e.filter(
+            (F.col("vec_id") < 3) & F.col("embedding").isNotNull()
+        ).collect()
     ]
     return ivf_pq_topk(idx, queries, cents, books, n_probe=4, top_k=5)
 

@@ -194,7 +194,10 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = t(spark, sf_dir, "embeddings")
-    seed_rows = e.orderBy("vec_id").limit(16).collect()
+    seed_rows = (
+        e.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id").limit(16).collect()
+    )
     if len(seed_rows) < 16:
         raise ValueError(
             "sim_ivf_pq_rerank: need at least 16 vectors to seed the "
@@ -215,7 +218,7 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_pq_index(e, cents, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < 5).collect()
+        for r in e.filter((F.col("vec_id") < 5) & F.col("embedding").isNotNull()).collect()
     ]
     return ivf_pq_rerank_topk(
         idx, e, queries, cents, books,

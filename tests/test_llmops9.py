@@ -394,3 +394,40 @@ def test_searchers_empty_inputs_return_empty(spark):
     assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
     with _pytest.raises(ValueError, match="empty"):
         train_centroids(empty, n_cells=4, iterations=1)
+
+
+def test_cosine_zero_norm_is_null(spark):
+    """cosine() with a zero-norm vector is mathematically undefined and
+    must be NULL, not an ANSI divide-by-zero (NULL-input sweep: the
+    fake feature kernel emits all-zero vectors for empty payloads and
+    the near-dup join condition divided by their norm)."""
+    from procoggraph_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    out = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert out[0] is None and out[1] == 1.0
+
+
+def test_searchers_drop_null_vectors(spark):
+    """NULL embeddings are unsearchable/unindexable: searchers drop
+    them at the boundary instead of feeding None into numpy kernels."""
+    from procoggraph_spark.operators.similarity import (
+        brute_force_topk,
+        gemm_topk,
+        ivf_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)], "vec_id long, embedding array<double>"
+    )
+    for searcher in (brute_force_topk, gemm_topk, ivf_topk):
+        out = searcher(corpus, queries, k=2).collect()
+        assert {r["query_id"] for r in out} == {10}
+        assert all(r["neighbor_id"] != 2 for r in out)
