@@ -24,8 +24,13 @@ STOPWORDS_EN = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (split on runs of whitespace)."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization: split on runs of whitespace, no empty
+    tokens. ``trim`` strips only spaces, so a document starting with a
+    tab/newline (or containing only whitespace) would otherwise emit
+    empty leading/trailing tokens that pollute counts, ratios, and
+    n-grams — found by the round-7 fuzz audit; real corpora have such
+    documents even though the driver testdata does not."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
 
 
 def bpe_ish_tokens(text: Column) -> Column:

@@ -699,3 +699,34 @@ def test_passage_ops_null_and_empty_text(spark):
         ).collect()
     }
     assert out == {1: None, 2: "", 3: "   ", 4: "one two three"}
+
+
+def test_tokens_degenerate_whitespace(spark):
+    """Whitespace tokenization on degenerate strings (fuzz audit):
+    whitespace-only text has 0 tokens (not empty-string tokens), a
+    leading tab does not emit a phantom first token, and newlines are
+    separators like spaces."""
+    from procoggraph_spark.operators.text import token_count, tokens
+
+    cases = [
+        (0, "\t\n  \t", 0),
+        (1, "", 0),
+        (2, "line1\nline2\nline3", 3),
+        (3, "\tword", 1),
+        (4, "a  b", 2),
+        (5, "normal text here", 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "i int, text string"
+    )
+    got = {
+        r["i"]: (r["n"], r["ws"])
+        for r in df.select(
+            "i",
+            token_count(F.col("text")).alias("n"),
+            tokens(F.col("text")).alias("ws"),
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i][0] == want, (i, got[i])
+        assert "" not in got[i][1]
