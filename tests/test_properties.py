@@ -346,9 +346,10 @@ def test_bigram_logprob_matches_python_reference(spark, docs):
     got = {r["doc_id"]: r for r in bigram_logprob(
         df, id_col="doc_id", text_col="text", k=1.0).collect()}
 
-    # pure-Python reference (note: Spark's tokens() on an empty string
-    # yields [''], so an empty doc has one token and no bigrams)
-    tok = {i: (ws if ws else [""]) for i, ws in enumerate(docs)}
+    # pure-Python reference (round-7 tokens() contract: no empty
+    # tokens — an empty doc has ZERO tokens, contributes nothing to
+    # the vocabulary, and has no bigrams)
+    tok = {i: ws for i, ws in enumerate(docs)}
     bigrams = {i: list(zip(ws, ws[1:])) for i, ws in tok.items()}
     c12 = Counter(bg for bgs in bigrams.values() for bg in bgs)
     c1 = Counter(bg[0] for bgs in bigrams.values() for bg in bgs)
