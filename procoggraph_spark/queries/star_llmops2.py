@@ -102,7 +102,7 @@ _BLOOM_FP = (
     "text_decontaminate_bloom",
     f"""
     WITH cw AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id >= 10
     ),
     csh AS (
@@ -113,7 +113,7 @@ _BLOOM_FP = (
              ELSE [] END) AS u(s)
     ),
     bw AS (
-      SELECT string_split(trim(text), ' ') AS w
+      SELECT list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id < 10
     ),
     bsh AS (
@@ -173,7 +173,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source, text,
-             len(string_split(trim(text), ' ')) AS n_tokens
+             len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -216,7 +216,7 @@ def pack_concat_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_TOL_SQL = r"""
     WITH tok AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     per AS (
@@ -385,7 +385,7 @@ def emb_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bigram_logprob",
     r"""
     WITH ws AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w FROM documents
     ),
     bg AS (
       SELECT doc_id, s AS bg, string_split(s, ' ')[1] AS w1

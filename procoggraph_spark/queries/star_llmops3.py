@@ -37,7 +37,7 @@ def q(name: str, oracle: str | None = None):
     "dedup_containment",
     r"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, g AS sh
@@ -142,7 +142,7 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_zipf_slope",
     r"""
     WITH tk AS (
-      SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     c AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY term),
@@ -250,7 +250,7 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_source_overlap",
     r"""
     WITH w AS (
-      SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+      SELECT source, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w FROM documents
     ),
     sh AS (
       SELECT DISTINCT source, g AS sh
@@ -316,7 +316,7 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_BY_SOURCE_SQL = r"""
     WITH s AS (
       SELECT doc_id, source, text,
-             string_split(trim(text), ' ') AS ws,
+             list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws,
              length(text) AS n,
              length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS np
       FROM documents

@@ -40,7 +40,7 @@ def q(name: str, oracle: str | None = None):
 
 _MINHASH_PORTABLE_SQL = r"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id < 150
     ),
     sh AS (

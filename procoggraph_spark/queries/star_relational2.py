@@ -967,7 +967,7 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_data_pipeline",
     r"""
     WITH s AS (
-      SELECT doc_id, text, string_split(trim(text), ' ') AS ws,
+      SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws,
              length(text) AS n,
              length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS np
       FROM documents
@@ -1097,7 +1097,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_strip_boilerplate",
     r"""
     WITH ws AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
       FROM documents
     ),
     wins AS (
