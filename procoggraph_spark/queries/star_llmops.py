@@ -52,7 +52,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     """
     WITH ws AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id < 150
     ),
     sh0 AS (
@@ -166,11 +166,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     """
     SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS n_tokens,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS n_tokens,
            length(text) AS n_chars_actual,
            ROUND(len(list_filter(string_split(trim(text), ' '),
                      w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
-                 * 1.0 / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')), 1), 6) AS stopword_ratio
+                 * 1.0 / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')), 1), 6) AS stopword_ratio
     FROM documents
     """,
 )
@@ -191,7 +191,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws,
+             list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws,
              length(text) AS n,
              length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS np
       FROM documents
@@ -222,7 +222,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid",
     """
     WITH s AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws FROM documents
     ),
     sc AS (
       SELECT doc_id,
@@ -273,7 +273,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
                AS n_bpe_tokens,
-           len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS n_ws_tokens
+           len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS n_ws_tokens
     FROM documents
     """,
 )
@@ -294,7 +294,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms",
     """
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -325,7 +325,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_cms_heavy_hitters",
     """
     WITH tok AS (
-      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term FROM documents
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term FROM documents
     ),
     fp AS (
       SELECT term,
@@ -380,7 +380,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_decontaminate",
     """
     WITH cw AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id >= 10
     ),
     csh AS (
@@ -391,7 +391,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE [] END) AS u(s)
     ),
     bw AS (
-      SELECT list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id < 10
     ),
     bsh AS (
@@ -430,7 +430,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     """
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
@@ -651,7 +651,7 @@ def emb_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_JACCARD_SQL = """
     WITH ws AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id < 150
     ),
     sh0 AS (
@@ -726,7 +726,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     """
     WITH s AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws FROM documents
     ),
     g AS (
       SELECT doc_id,
@@ -770,7 +770,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_filter_pipeline",
     """
     WITH s AS (
-      SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws,
+      SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws,
              length(text) AS n,
              length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS np
       FROM documents
@@ -859,7 +859,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source,
-             len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS n_tokens
+             len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -968,7 +968,7 @@ def sample_exact_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_pareto_coverage",
     """
     WITH s AS (
-      SELECT source, SUM(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> ''))) AS n_tokens
+      SELECT source, SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> ''))) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (SELECT SUM(n_tokens) AS total FROM s),

@@ -102,7 +102,7 @@ _BLOOM_FP = (
     "text_decontaminate_bloom",
     f"""
     WITH cw AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id >= 10
     ),
     csh AS (
@@ -113,7 +113,7 @@ _BLOOM_FP = (
              ELSE [] END) AS u(s)
     ),
     bw AS (
-      SELECT list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS w
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS w
       FROM documents WHERE doc_id < 10
     ),
     bsh AS (
@@ -173,7 +173,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, source, text,
-             len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS n_tokens
+             len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS n_tokens
       FROM documents
     ),
     c AS (

@@ -263,11 +263,11 @@ def dedup_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_SQL = """
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     tok_t AS (
-      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term
       FROM documents WHERE source = 'src0'
     ),
     tf_r AS (SELECT term, COUNT(*) AS c_raw FROM tok GROUP BY term),

@@ -40,7 +40,7 @@ _STOP_LIST = "['the','a','an','of','and','or','to','in','is','it']"
 
 _GOPHER_SQL = f"""
     WITH w AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws FROM documents
     ),
     m AS (
       SELECT doc_id,
@@ -87,7 +87,7 @@ _FERTILITY_SQL = """
       SELECT lang, source,
              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
                  AS bpe,
-             len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS wst,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS wst,
              length(text) AS ch
       FROM documents
     )
@@ -119,7 +119,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPL_BUCKETS_SQL = """
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
@@ -163,7 +163,7 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURRICULUM_SQL = """
     WITH s AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws,
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws,
              length(text) AS n,
              length(text) - length(regexp_replace(text,
                  '[!-/:-@\\[-`{-~]', '', 'g')) AS np

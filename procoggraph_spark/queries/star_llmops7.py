@@ -67,7 +67,7 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OOV_SQL = """
     WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
@@ -401,7 +401,7 @@ def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATA_CARD_SQL = """
     WITH s AS (
       SELECT doc_id, source, text,
-             list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws,
+             list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws,
              length(text) AS n,
              length(text) - length(regexp_replace(text,
                  '[!-/:-@\\[-`{-~]', '', 'g')) AS np
@@ -699,7 +699,7 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LENGTH_BUCKETS_SQL = """
     WITH d AS (
-      SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')) AS n_tokens
+      SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS n_tokens
       FROM documents
     ),
     b AS (
@@ -812,9 +812,9 @@ _PREFIX_SHARING_SQL = """
     WITH p AS (
       SELECT doc_id,
              md5(array_to_string(
-                 list_slice(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> ''), 1, 8), ' '))
+                 list_slice(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> ''), 1, 8), ' '))
                  AS prefix_key,
-             least(len(list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '')), 8) AS ptok
+             least(len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')), 8) AS ptok
       FROM documents
     )
     SELECT prefix_key, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -486,7 +486,7 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LANGCONF_SQL = """
     WITH s AS (
-      SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\s+'), _t -> _t <> '') AS ws FROM documents
+      SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws FROM documents
     ),
     sc AS (
       SELECT doc_id, lang,
