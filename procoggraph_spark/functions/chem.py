@@ -273,14 +273,22 @@ def resolve_cofactor_classes(cognate_ligands, chebi_cofactors):
     scratch here too).
     """
     keys = [c for c in cognate_ligands.columns if c != "isCofactor"]
+    # Join numerically: the reference normalizes both sides to float
+    # (get_ec_information.py:682-687). A string-vs-string join breaks
+    # when FINAL_ID arrives as double from CSV inference ('11.0' never
+    # equals '11') or when an xref carries leading zeros ('CHEBI:0011')
+    # — cast both sides to long so 11.0, '0011', and '11' all meet.
     roles = chebi_cofactors.select(
-        F.col("FINAL_ID").cast("string").alias("chebi_match"),
+        F.col("FINAL_ID").cast("long").alias("chebi_match"),
         F.col("isCofactor").alias("_role"),
     )
     matches = cognate_ligands.select(
         *keys,
         F.explode_outer(
-            F.expr(r"regexp_extract_all(ligand_db, 'CHEBI:([0-9]+)', 1)")
+            F.expr(
+                r"transform(regexp_extract_all(ligand_db,"
+                r" 'CHEBI:([0-9]+)', 1), x -> cast(x AS bigint))"
+            )
         ).alias("chebi_match"),
     )
     classed = matches.join(F.broadcast(roles), "chebi_match", "left").select(

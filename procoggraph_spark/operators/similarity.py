@@ -63,18 +63,22 @@ def brute_force_topk(
     """
     # cast float→double up front: float products carry ~1e-7 relative
     # error, which breaks 6-decimal agreement with the oracle
-    # NULL vectors are unsearchable and unindexable — dropped at the
-    # boundary (SQL-aggregate NULL discipline; empty-/null-input sweeps)
+    # NULL vectors AND zero-norm vectors are unsearchable and
+    # unindexable — both dropped at the same boundary (cosine is
+    # undefined at zero norm; an unguarded division would yield NaN,
+    # which sorts ABOVE real similarities in the desc rank window and
+    # would make a zero vector every query's top neighbor)
     q = F.broadcast(
         queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
         ).withColumn("_qn", l2_norm(F.col("_qv")))
+        .filter(F.col("_qn") != 0.0)
     )
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    ).withColumn("_cn", l2_norm(F.col("_cv"))).filter(F.col("_cn") != 0.0)
     scored = (
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -129,12 +133,29 @@ def gemm_topk(
         .select(id_col, vec_col)
         .collect()
     )  # model-sized; NULL vectors are unsearchable
+    # zero-norm queries are dropped at the same boundary as NULLs
+    # (same contract as brute_force_topk: cosine undefined at zero norm)
+    qrows = [
+        r for r in qrows
+        if float(np.linalg.norm(np.asarray(r[vec_col], dtype=np.float64))) != 0.0
+    ]
     if not qrows:
         # searching with zero queries finds zero neighbors — return an
         # empty frame with the contract schema instead of crashing on a
-        # zero-row GEMM (hit by the empty-input robustness sweep)
+        # zero-row GEMM (hit by the empty-input robustness sweep).
+        # Id field types are derived from the inputs so the degenerate
+        # path returns the SAME schema as the normal path for non-long
+        # ids (unions/downstream schema checks must not fork on empty).
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[id_col].dataType),
+                    T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                    T.StructField("cosine_sim", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
         )
     qids = np.array([r[id_col] for r in qrows])
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
@@ -148,6 +169,13 @@ def gemm_topk(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             Vn = np.linalg.norm(V, axis=1)
+            # zero-norm corpus rows: same boundary drop as the NULL
+            # filter above (would otherwise divide to NaN)
+            nz = Vn != 0.0
+            if not nz.all():
+                V, ids, Vn = V[nz], ids[nz], Vn[nz]
+            if not len(ids):
+                continue
             S = (V @ Q.T) / np.outer(Vn, Qn)
             out = []
             for j, qid in enumerate(qids):
@@ -172,7 +200,14 @@ def gemm_topk(
                 yield pd.concat(out)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
-        part, "query_id long, neighbor_id long, cosine_sim double"
+        part,
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("cosine_sim", T.DoubleType()),
+            ]
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -437,11 +472,22 @@ def ivf_topk(
         if not crows:
             # an IVF index over an empty corpus has no cells; searching
             # it finds nothing — return the contract schema empty
-            # instead of crashing the cell-assignment GEMM
+            # instead of crashing the cell-assignment GEMM. Id types
+            # derive from the inputs (empty path == normal path schema).
             return corpus.sparkSession.createDataFrame(
                 [],
-                "query_id long, neighbor_id long, cosine_sim double,"
-                " rank int",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "query_id", queries.schema[id_col].dataType
+                        ),
+                        T.StructField(
+                            "neighbor_id", corpus.schema[id_col].dataType
+                        ),
+                        T.StructField("cosine_sim", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
             )
         cells = ivf_assign_numpy(c, crows, id_col="neighbor_id", n_probe=1)
         probes = ivf_assign_numpy(

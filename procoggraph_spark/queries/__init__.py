@@ -8,72 +8,75 @@ Names are prefixed with the SURVEY §2 operator-family id they exercise.
 
 from __future__ import annotations
 
-# Round-7 driver window (the external correctness gate samples the
-# FIRST 50 registry keys): this round drains the driver-certification
-# backlog — every registry row that has never had a driver CORRECTNESS
-# record (44 rows: the round-6 post-window star_llmops7/8/9 batches
-# plus the late relational2/temporal additions), the new-this-round U7
-# query, and 5 re-certification slots for the relational core whose
-# last driver rows predate the plan cache / vectorized agg / bucketed
-# staging (q4/j7/a1/a7/p6; w5+q9 rotate in r08). New query
-# registration is FROZEN until this backlog is zero (round-6 verdict
-# item 1). Every name here must exist in the union — registry() raises
-# on a stale entry, so a rename/removal fails loudly instead of
-# silently rotating the wrong row into the window.
+# Round-8 driver window (the external correctness gate samples the
+# FIRST 50 registry keys): re-certification sweep. Round 7 went 50/50
+# green and drained the never-sampled backlog; what remains is
+# STALENESS — 49 registry rows whose last driver-green row predates
+# the round-7 engine (plan cache, bucketed + work-aware staging, the
+# 42-site oracle tokenization rewrite): they were last certified in
+# r03/r04. This window is exactly those 49 rows (computed from the
+# union of CORRECTNESS_r01..r07: latest green round <= 4) plus
+# `mm_feature_neardup`, the one oracled query that has never had a
+# driver-green row (its only sample, r05, predates its oracle). After
+# this round every registry row's external certification is <= 3
+# rounds old. New query registration stays FROZEN (round-7 verdict
+# item 6). Every name here must exist in the union — registry()
+# raises on a stale entry, so a rename/removal fails loudly instead
+# of silently rotating the wrong row into the window.
 _PROMOTE = (
-    # new this round (U7 — the last SURVEY §2 gap)
-    "u7_cofactor_priority",
-    # relational-core re-certification under the current engine config
-    "q4_report_card",
-    "j7_star_join_rollup",
-    "a1_pricing_summary",
-    "a7_range_compress",
-    "p6_ownership_classify",
-    # --- the 44 never-driver-sampled rows, in registry order ---
-    "dedup_normalized_exact",
-    "text_oov_rate",
-    "diag_key_skew",
-    "j_salted_skew_join",
-    "scd2_customer_segment",
-    "rag_index_pipeline",
-    "scd2_two_batch_history",
-    "curation_data_card",
-    "feat_target_encode",
-    "feat_robust_scale",
-    "agg_incremental_refresh",
-    "corpus_release_diff",
-    "serve_length_buckets",
-    "emb_centroid_drift",
-    "serve_prefix_sharing",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_top_transitions",
-    "dedup_cluster_sizes",
-    "diag_table_profile",
-    "curation_gate_sensitivity",
-    "feat_class_weights",
-    "orders_rfm_segments",
-    "events_sessionize",
-    "events_volume_anomaly",
-    "basket_part_pairs",
-    "orders_repurchase_gaps",
-    "events_user_pareto",
-    "sketch_quantile_bins",
-    "feat_psi_drift",
-    "sim_pairwise_diversity",
-    "events_activity_heatmap",
-    "events_last_touch_attribution",
-    "sim_mmr_diversify",
-    "events_time_to_conversion",
-    "orders_cohort_ltv",
-    "events_dau_stickiness",
-    "events_weekly_streaks",
-    "emb_dim_covariance",
-    "feat_hash_buckets",
-    "events_recency_engagement",
-    "sim_rocchio_feedback",
-    "ab_assignment_srm",
-    "text_langid_confusion",
+    # the one oracled row with no driver-green record ever
+    "mm_feature_neardup",
+    # perf-watched + 4-rounds-stale (round-7 verdict items 1 and 7)
+    "w5_topk_per_group",
+    "q9_group_by_array",
+    # --- the remaining 47 rows last certified r03/r04 ---
+    "a11_cube_combinations",
+    "a11_grouping_sets",
+    "a11_rollup_hierarchy",
+    "a2_group_by_rest_nulls",
+    "a5_quantile",
+    "a8_inscode_sort",
+    "a_histogram_fixed_width",
+    "a_stat_moments",
+    "chain_ec_rollup",
+    "dedup_embedding_cosine",
+    "f14_json_extract",
+    "f16_sentinel_cast_sum",
+    "f8_sequence_explode",
+    "f9_selector_strings",
+    "f_string_kitchen",
+    "graph_bfs_distances",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "hier_topology_walk",
+    "j_full_outer_reconcile",
+    "j_ref_integrity_check",
+    "p7_conditional_overwrite",
+    "p8_column_swap",
+    "q10_semi_join_rollup",
+    "q11_hierarchy_walk",
+    "q12_array_membership",
+    "q13_compare_groups",
+    "q14_topk_by_count",
+    "q15_subgraph_export",
+    "q16_json_payload",
+    "q1_global_summary_counts",
+    "q2_unambiguous_counts",
+    "q3_substring_search",
+    "q5_interaction_detail",
+    "q6_all_mode",
+    "q6_any_mode",
+    "q6_best_mode",
+    "q7_rollup_by_p_brand",
+    "q7_rollup_by_p_type",
+    "q8_group_ratio",
+    "t4_union_hetero",
+    "t_pivot_status",
+    "t_set_operators",
+    "w1_group_share",
+    "w2_best_per_group",
+    "w3_dense_ids",
+    "w_rank_family",
 )
 
 

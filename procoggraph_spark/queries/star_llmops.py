@@ -168,7 +168,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')) AS n_tokens,
            length(text) AS n_chars_actual,
-           ROUND(len(list_filter(string_split(trim(text), ' '),
+           ROUND(len(list_filter(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> ''),
                      w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
                  * 1.0 / greatest(len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')), 1), 6) AS stopword_ratio
     FROM documents
@@ -477,8 +477,10 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BRUTEFORCE_SQL = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+               FROM embeddings
+               WHERE vec_id < 5 AND list_dot_product(embedding, embedding) > 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+          WHERE list_dot_product(embedding, embedding) > 0),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(qv, cv) /

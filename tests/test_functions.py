@@ -186,3 +186,26 @@ def test_resolve_cofactor_classes_stage(spark):
         3: "N",
         4: "Coenzyme/Siderophore",
     }
+
+
+def test_resolve_cofactor_classes_numeric_key_normalization(spark):
+    """The CHEBI join must be numeric (the reference floats both
+    sides, get_ec_information.py:682-687): a double-typed FINAL_ID
+    (CSV inference yields 11.0) and a leading-zero xref (CHEBI:0011)
+    must still meet — a string join would see '11.0' != '11' != '0011'
+    and silently classify everything 'N'."""
+    from procoggraph_spark.functions.chem import resolve_cofactor_classes
+
+    ligands = spark.createDataFrame(
+        [(1, "CHEBI:0011"), (2, "CHEBI:22")],
+        "uniqueID int, ligand_db string",
+    )
+    roles = spark.createDataFrame(
+        [(11.0, "Coenzyme"), (22.0, "Cofactor")],
+        "FINAL_ID double, isCofactor string",
+    )
+    out = {
+        r["uniqueID"]: r["isCofactor"]
+        for r in resolve_cofactor_classes(ligands, roles).collect()
+    }
+    assert out == {1: "Coenzyme", 2: "Cofactor"}

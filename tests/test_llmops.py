@@ -485,6 +485,59 @@ def test_gemm_topk_matches_fold_with_ties(spark):
     assert a == b
 
 
+def test_topk_zero_norm_vectors_dropped(spark):
+    """Zero-norm (all-zero, non-NULL) vectors are dropped at the same
+    boundary as NULL vectors in BOTH searchers: cosine is undefined at
+    zero norm, and an unguarded division yields NaN, which sorts ABOVE
+    real similarities in the desc rank window — a zero vector in the
+    corpus would become every query's top neighbor."""
+    from procoggraph_spark.operators.similarity import brute_force_topk, gemm_topk
+
+    rows = [(i, [float((i % 3) + d) for d in range(4)]) for i in range(10)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm corpus row
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 2 OR vec_id = 99")
+    for fn in (brute_force_topk, gemm_topk):
+        out = fn(corpus, queries, id_col="vec_id", vec_col="embedding", k=5).collect()
+        assert out, fn.__name__
+        assert all(r["neighbor_id"] != 99 for r in out), fn.__name__
+        assert all(r["query_id"] != 99 for r in out), fn.__name__
+        assert all(
+            r["cosine_sim"] == r["cosine_sim"] for r in out
+        ), fn.__name__  # no NaN
+
+
+def test_gemm_ivf_empty_path_schema_matches_normal_path(spark):
+    """The degenerate (no queries / empty corpus) early returns must
+    carry the SAME schema as the normal path, including non-long id
+    types — otherwise a union of a per-shard search where one shard is
+    empty fails on schema mismatch only in the empty case."""
+    from procoggraph_spark.operators.similarity import gemm_topk, ivf_topk
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [2.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    no_queries = corpus.filter("vec_id = 'zz'")
+    empty_gemm = gemm_topk(corpus, no_queries, id_col="vec_id", vec_col="embedding", k=3)
+    normal_gemm = gemm_topk(corpus, corpus, id_col="vec_id", vec_col="embedding", k=3)
+    # names + types must agree (nullability may differ: row_number is
+    # non-nullable on the normal path; unions reconcile nullability)
+    assert [(f.name, f.dataType) for f in empty_gemm.schema.fields] == [
+        (f.name, f.dataType) for f in normal_gemm.schema.fields
+    ]
+    assert empty_gemm.count() == 0
+
+    empty_corpus = corpus.filter("vec_id = 'zz'")
+    out = ivf_topk(empty_corpus, corpus, id_col="vec_id", vec_col="embedding", k=3)
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine_sim", "rank",
+    ]
+    assert out.schema["query_id"].dataType.typeName() == "string"
+    assert out.schema["neighbor_id"].dataType.typeName() == "string"
+    assert out.count() == 0
+
+
 def test_embedding_cosine_simhash_gate_margin(spark):
     """dedup_embedding_cosine gates candidate pairs at Hamming<=8 over 64
     hyperplanes while its DuckDB oracle is exact all-pairs at the 0.9

@@ -152,12 +152,13 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 7 drains the certification backlog: the 50-entry _PROMOTE
-    list IS the whole window — the 44 rows that had never been driver-
-    sampled through round 6, the new U7 query, and 5 relational-core
-    re-certification slots. This pin makes any addition or reorder fail
-    HERE, loudly, instead of silently pushing a never-sampled row past
-    the gate; when a future round re-rotates, update deliberately."""
+    Round 8 is the re-certification sweep: the 50-entry _PROMOTE list
+    IS the whole window — the 49 rows whose last driver-green record
+    predates the round-7 engine (latest green <= r04) plus
+    mm_feature_neardup (oracled, never driver-green). This pin makes
+    any addition or reorder fail HERE, loudly, instead of silently
+    pushing a stale row past the gate; when a future round re-rotates,
+    update deliberately."""
     from procoggraph_spark.queries import _PROMOTE
 
     keys = list(QUERIES.keys())
