@@ -39,8 +39,16 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     functions, which turns the tokenize into O(tokens^2) regex splits
     per row (same fix as ``text.repeated_ngram_ratio``; measured ~15x
     on the shingle explode at sf0.1). ``slice`` evaluates the token
-    array once per row; the zip lambda binds only element arguments."""
-    ws = F.split(F.trim(text), r"\s+")
+    array once per row; the zip lambda binds only element arguments.
+
+    Tokenization is the shared filtered form (whitespace runs, no empty
+    tokens): ``F.trim`` strips only SPACES, so a tab/newline-only
+    document would otherwise tokenize to ['',''] and emit a phantom
+    bigram — the round-8 fuzz audit caught exactly that in the bigram
+    LM and every shingle family built on this function."""
+    from procoggraph_spark.operators.text import tokens
+
+    ws = tokens(text)
     k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     grams = F.slice(ws, 1, k)
     for j in range(1, n):
@@ -362,9 +370,16 @@ def simhash(
     fingerprints — the same trick operators/sketches uses. Default stays
     xxhash64 (better mixing, JVM-hashed).
     """
+    # shared filtered tokenization (whitespace runs, no empty tokens):
+    # an unfiltered split hashes a phantom '' token for tab/newline-only
+    # documents and gives them a well-defined fingerprint the SQL twin
+    # (which filters) never builds — plain explode, so a document with
+    # NO tokens drops out of the fingerprint table on both engines
+    from procoggraph_spark.operators.text import tokens as _tokens
+
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"),
     )
     if portable:
         from procoggraph_spark.operators.sketches import (

@@ -129,7 +129,13 @@ def positional_fingerprint(text: Column, max_chars: int = 64) -> Column:
     """Deterministic positional fingerprint: sum_i ascii(text[i]) * i over
     the first ``max_chars`` chars, mod 2^31-1. Integer-exact and
     SQL-replicable; used as a cheap shard/dedup key."""
-    n = F.least(F.length(text), F.lit(max_chars))
+    # greatest(n, 1): F.sequence(1, 0) would produce the DESCENDING
+    # [1, 0], not an empty array — harmless here only because both
+    # ghost terms are 0, but guard it so the ghost elements never
+    # exist. Contract (fuzz-pinned): the fingerprint of '' is 0, not
+    # NULL — a fingerprint is a shard/dedup KEY, and NULL keys break
+    # grouping; the SQL twin coalesces its empty-list NULL to match.
+    n = F.greatest(F.least(F.length(text), F.lit(max_chars)), F.lit(1))
     terms = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.ascii(F.substring(text, 1, max_chars).substr(i, F.lit(1))) * i,

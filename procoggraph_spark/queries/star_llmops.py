@@ -253,9 +253,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     """
     SELECT doc_id,
-           CAST(list_sum(list_transform(generate_series(1, least(length(text), 64)),
-                i -> ascii(substr(text, i, 1)) * i)) % 2147483647 AS BIGINT)
-               AS fingerprint
+           -- list_prepend(0, ...) keeps the list non-empty so the
+           -- fingerprint of '' is 0 (the Spark contract: fingerprints
+           -- are keys, never NULL), while a NULL text still propagates
+           -- NULL through the prepend
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, least(length(text), 64)),
+                i -> CAST(ascii(substr(text, i, 1)) * i AS BIGINT))))
+               % 2147483647 AS BIGINT) AS fingerprint
     FROM documents
     """,
 )

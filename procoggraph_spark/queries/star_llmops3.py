@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.operators import dedup as D
+from procoggraph_spark.operators import text as X
 from procoggraph_spark.queries.common import t
 
 QUERIES = {}
@@ -160,7 +161,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency audit: least-squares slope of ln(freq) vs ln(rank) over the top-1000 terms — natural corpora sit near -1; a flat slope flags template/boilerplate floods, a cliff flags vocabulary collapse. The rank window runs on the LIMITed 1000-row table (bounded by construction — the forbidden-unbounded-window rule doesn't apply), ordered (freq desc, term) so both engines cut and rank the identical set; the term count itself is one map-side-combinable aggregation."""
     d = t(spark, sf_dir, "documents")
     counts = (
-        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )

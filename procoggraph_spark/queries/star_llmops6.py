@@ -46,7 +46,11 @@ _GOPHER_SQL = f"""
       SELECT doc_id,
              len(ws) AS n_words,
              greatest(len(ws), 1) AS nn,
-             list_sum(list_transform(ws, x -> length(x))) AS tl,
+             -- list_prepend keeps the sum non-NULL for zero-token docs
+             -- (Spark's aggregate over an empty array returns its 0
+             -- seed) while a NULL text still propagates NULL
+             list_sum(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ws, x -> CAST(length(x) AS BIGINT)))) AS tl,
              len(list_filter(ws, x -> regexp_full_match(x, '[a-zA-Z]+')))
                  AS na,
              len(list_filter(ws, x -> list_contains({_STOP_LIST}, x)))

@@ -811,11 +811,14 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_SHARING_SQL = """
     WITH p AS (
       SELECT doc_id,
-             md5(array_to_string(
-                 list_slice(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> ''), 1, 8), ' '))
+             -- zero-token docs share the EMPTY prefix, key md5('') —
+             -- DuckDB's slice/join chain yields NULL there, Spark's
+             -- concat_ws yields ''; coalesce pins the joint contract
+             md5(COALESCE(array_to_string(
+                 list_slice(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> ''), 1, 8), ' '), ''))
                  AS prefix_key,
              least(len(list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '')), 8) AS ptok
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT prefix_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(ptok) AS BIGINT) AS prefix_tokens,
@@ -830,8 +833,12 @@ def serve_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix and report, per shared prefix, how many requests share it
     and how many prefill tokens a prefix cache saves ((n-1) × prefix
     length) — the serving-side measurement behind automatic prefix
-    caching. Hash-groupBy on a 32-byte prefix key, one shuffle."""
-    d = t(spark, sf_dir, "documents")
+    caching. Hash-groupBy on a 32-byte prefix key, one shuffle.
+
+    Edge contract (fuzz-pinned): zero-token documents share the empty
+    prefix (key md5(''), prefix_tokens 0 — a degenerate but real cache
+    line); NULL text is not a request and is excluded on both sides."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ws = X.tokens(F.col("text"))
     p = d.select(
         F.md5(F.concat_ws(" ", F.slice(ws, 1, 8))).alias("prefix_key"),

