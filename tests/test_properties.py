@@ -237,9 +237,9 @@ def test_word_ngrams_matches_python_reference(spark, words, n):
         .select(word_ngrams(F.lit(text), n).alias("g"))
         .first()["g"]
     )
-    # Spark's split(trim(text)) on empty/whitespace-only input yields
-    # [""]; mirror its tokenization exactly
-    toks = text.split() if text.strip() else [""]
+    # round-8 contract: word_ngrams uses the FILTERED tokenizer
+    # (whitespace runs, no empty tokens) — exactly Python's str.split()
+    toks = text.split()
     expect = (
         [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         if len(toks) >= n
