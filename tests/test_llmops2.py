@@ -365,6 +365,28 @@ def test_bpe_batched_equals_sequential(spark):
     from procoggraph_spark.operators.bpe import _pair_counts, word_vocab  # noqa: F401
 
 
+def test_bpe_greedy_mode_valid_and_deterministic(spark):
+    """exact=False (greedy disjoint packing) may reorder merge
+    priorities but must stay a VALID deterministic BPE trainer: the
+    head merge of round 1 is still the global argmax (identical to
+    sequential), every learned merge had count >= 2 at selection time,
+    and reruns produce the identical sequence."""
+    from procoggraph_spark.operators.bpe import train_bpe
+
+    corpus = ["low lower lowest low low newer newest new",
+              "wider wide wide new newer low"] * 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    seq, _ = train_bpe(df, n_merges=10, batch_size=1)
+    g1, _ = train_bpe(df, n_merges=10, batch_size=8, exact=False)
+    g2, _ = train_bpe(df, n_merges=10, batch_size=8, exact=False)
+    assert g1 == g2
+    assert g1[0] == seq[0]  # round-1 head is the exact argmax
+    assert all(c >= 2 for _, _, c in g1)
+    assert len(g1) == len(seq) == 10
+
+
 def test_bpe_select_batch_conflict_stop_and_truncation():
     """Driver-side batch selection invariants: (1) scan stops at the
     first row sharing a symbol with an accepted pair — nothing after a
