@@ -33,6 +33,32 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def searchable(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The similarity family's shared boundary filter: NULL vectors and
+    zero-norm (all-zero) vectors are unsearchable and unindexable —
+    cosine is undefined at zero norm, an unguarded division NaNs (and
+    NaN sorts ABOVE real sims in a desc rank window) or ANSI-crashes.
+    One predicate, applied at every operator's vector load, so the
+    whole family shares one edge contract; the SQL twins filter with
+    the equivalent `v IS NOT NULL AND list_dot_product(v, v) > 0`."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.filter(F.col(vec_col).isNotNull() & (sq > 0.0))
+
+
+# SQL fragment for the same boundary in DuckDB oracles (append to the
+# embedding-scan WHERE clause; `{v}` is the raw vector column).
+# NOTE: NOT list_dot_product — DuckDB's list_inner_product raises on a
+# NULL list even behind `{v} IS NOT NULL AND ...` (no short-circuit
+# guarantee in WHERE); the list_sum fold is NULL-safe (NULL -> 0).
+SEARCHABLE_SQL = (
+    "COALESCE(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)), 0) > 0"
+)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either vector has zero norm (the
     mathematically undefined case — an all-zero feature vector, e.g.
@@ -388,7 +414,7 @@ def train_centroids(
     stable argmax ties. Empty cells keep their previous centroid.
     ``metric`` must match how the downstream index assigns cells:
     ``"cosine"`` for `ivf_topk`, ``"l2"`` for `ivf_pq_index`."""
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = searchable(corpus, vec_col).select(
         F.col(id_col).cast("long").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -446,7 +472,7 @@ def ivf_topk(
     ``n_probe`` nearest cells and reranks exactly within them. The
     candidate join is an equi-join on ``_cell``, so work scales with
     corpus/n_cells per query, not with the full corpus."""
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = searchable(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -455,7 +481,7 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col("neighbor_id").alias("_cell"), F.col("_v").alias("_cv"))
     )
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
+    q = searchable(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
@@ -529,6 +555,8 @@ def lsh_topk(
     (table, signature) bucket with the query, then exact cosine rerank
     within candidates. The candidate join is an equi-join on the bucket —
     no cross product, which is the 100 TB survival property."""
+    corpus = searchable(corpus, vec_col)
+    queries = searchable(queries, vec_col)
 
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         # independent tables = disjoint plane index ranges
@@ -707,10 +735,16 @@ def int8_quantize_stats(
         id_col,
         F.col("_s.qn2").alias("q_norm2"),
         F.col("_s.nsat").alias("n_saturated"),
-        F.round(
-            F.col("_s.dvq")
-            / (F.sqrt(F.col("_s.vn2")) * F.sqrt(F.col("_s.qn2d"))),
-            6,
+        # audit contract: every vector keeps its row; a zero-norm
+        # vector has no defined reconstruction cosine -> NULL (an
+        # unguarded 0/0 ANSI-crashes; DuckDB's x/0 is NULL already)
+        F.when(
+            F.col("_s.vn2") * F.col("_s.qn2d") != 0.0,
+            F.round(
+                F.col("_s.dvq")
+                / (F.sqrt(F.col("_s.vn2")) * F.sqrt(F.col("_s.qn2d"))),
+                6,
+            ),
         ).alias("recon_cos"),
     )
 
@@ -735,6 +769,8 @@ def hard_negative_topk(
     the ranking. Output: (query_id, query_label, neighbor_id,
     neighbor_label, cosine_sim, rank).
     """
+    corpus = searchable(corpus, vec_col)
+    queries = searchable(queries, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -927,6 +963,8 @@ def mmr_diversify(
     task per few thousand rows keeps rounds single-stage without
     serializing a large query set through one task.
     """
+    corpus = searchable(corpus, vec_col)
+    queries = searchable(queries, vec_col)
     # localCheckpoint the pool: the k-1 selection rounds each reference
     # rel (directly and through pw), and Spark re-evaluates shared
     # subtrees per reference — without the cut the corpus-scale first
@@ -1085,6 +1123,10 @@ def rocchio_expand_topk(
     the bounded (query, dim) grain, and the expanded queries broadcast
     back over the corpus for the second pass.
     """
+    # shared boundary: the second-pass scan divides by corpus norms
+    # inline, so zero-norm/NULL vectors must not reach it
+    corpus = searchable(corpus, vec_col)
+    queries = searchable(queries, vec_col)
     first = brute_force_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=feedback
     ).select("query_id", "neighbor_id")

@@ -582,7 +582,11 @@ def gopher_quality_rules(
         F.round(alpha, 6).alias("frac_alpha_words"),
         n_stop.alias("n_stopwords"),
         F.round(dup, 6).alias("dup_word_frac"),
-        keep.alias("gopher_keep"),
+        # a missing (NULL-text) document is never kept: explicit false,
+        # not NULL — a curation gate must not let NULL slip through a
+        # `WHERE gopher_keep` filter ambiguously, and a NULL boolean
+        # also materializes asymmetrically in pandas across engines
+        F.coalesce(keep, F.lit(False)).alias("gopher_keep"),
     )
 
 

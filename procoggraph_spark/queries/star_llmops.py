@@ -234,7 +234,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT doc_id,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+           -- COALESCE: NULL text has NULL scores; it is 'und' like a
+           -- zero-hit text, not 'zh' via NULL-comparison fallthrough
+           CASE WHEN COALESCE(greatest(s_de, s_en, s_es, s_fr, s_zh), 0) = 0 THEN 'und'
                 WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
@@ -255,12 +257,16 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            -- list_prepend(0, ...) keeps the list non-empty so the
            -- fingerprint of '' is 0 (the Spark contract: fingerprints
-           -- are keys, never NULL), while a NULL text still propagates
-           -- NULL through the prepend
-           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
-                list_transform(generate_series(1, least(length(text), 64)),
-                i -> CAST(ascii(substr(text, i, 1)) * i AS BIGINT))))
-               % 2147483647 AS BIGINT) AS fingerprint
+           -- are keys for real documents, never NULL); the explicit
+           -- CASE keeps NULL text -> NULL (DuckDB's generate_series
+           -- with a NULL bound yields [], which would otherwise
+           -- silently collapse missing documents to fingerprint 0)
+           CASE WHEN text IS NULL THEN NULL ELSE
+             CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, least(length(text), 64)),
+                  i -> CAST(ascii(substr(text, i, 1)) * i AS BIGINT))))
+                 % 2147483647 AS BIGINT)
+           END AS fingerprint
     FROM documents
     """,
 )
@@ -483,9 +489,12 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BRUTEFORCE_SQL = """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings
-               WHERE vec_id < 5 AND list_dot_product(embedding, embedding) > 0),
+               WHERE vec_id < 5
+                 AND COALESCE(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-          WHERE list_dot_product(embedding, embedding) > 0),
+          WHERE COALESCE(list_sum(list_transform(
+                  embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(qv, cv) /
@@ -539,7 +548,9 @@ def _lsh_oracle_sql(*, n_tables: int = 8, n_planes: int = 4, dim: int = 64,
         )
     buckets = "\n  UNION ALL\n  ".join(selects)
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     b AS (
       {buckets}
     ),
@@ -574,7 +585,9 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ORACLE_SQL = """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     cent AS (
       SELECT vec_id AS cell, v AS cv,
              CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
@@ -736,13 +749,17 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws FROM documents
     ),
     g AS (
-      SELECT doc_id,
+      SELECT doc_id, ws,
              list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
                             i -> ws[i] || ' ' || ws[i+1]) AS grams
       FROM s
     )
     SELECT doc_id,
-           CASE WHEN len(grams) <= 0 THEN 0.0
+           -- NULL text -> NULL ratio (Spark propagates NULL through
+           -- the gram fold; DuckDB's greatest(NULL-1, 0)=0 would
+           -- otherwise silently report 0.0 for a missing document)
+           CASE WHEN ws IS NULL THEN NULL
+                WHEN len(grams) <= 0 THEN 0.0
                 ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
                            / len(grams), 6) END AS rep_ratio
     FROM g
@@ -806,14 +823,17 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q
     )
     SELECT doc_id,
-           (quality >= 0.5
+           -- COALESCE: a NULL-text document is never kept (explicit
+           -- false — a curation gate must not emit NULL keep flags;
+           -- same contract as gopher_keep)
+           COALESCE(quality >= 0.5
             AND (CASE WHEN len(grams) <= 0 THEN 0.0
                       ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
                                  / len(grams), 6) END) <= 0.2
             AND greatest(s_de, s_en, s_es, s_fr, s_zh) > 0
             AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
-            AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_de >= s_en)
-           ) AS keep
+            AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_de >= s_en),
+            FALSE) AS keep
     FROM r
     """,
 )

@@ -63,10 +63,13 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH k AS (SELECT doc_id, substr(text, 1, 40) AS kp FROM documents),
     canon AS (SELECT kp, MIN(doc_id) AS canonical_id FROM k GROUP BY kp),
     j AS (
+      -- IS NOT DISTINCT FROM: NULL-text docs form ONE duplicate group
+      -- (GROUP BY already groups NULLs; a plain equi-join would then
+      -- silently DROP those rows — a split must cover every document)
       SELECT k.doc_id, c.canonical_id,
              ((c.canonical_id % 2147483648) * 2654435761)
                % 4294967296 % 100 AS b
-      FROM k JOIN canon c USING (kp)
+      FROM k JOIN canon c ON k.kp IS NOT DISTINCT FROM c.kp
     )
     SELECT doc_id, canonical_id,
            CASE WHEN b < 80 THEN 'train'
@@ -184,7 +187,11 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-           string_agg(text, '<|eod|>' ORDER BY doc_id) AS context_text
+           -- COALESCE: a bin of only NULL texts concatenates to ''
+           -- (Spark's array_join skips NULL elements; string_agg
+           -- would return NULL)
+           COALESCE(string_agg(text, '<|eod|>' ORDER BY doc_id), '')
+               AS context_text
     FROM c GROUP BY source, (cum - n_tokens) // 512
     """,
 )
@@ -301,14 +308,19 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_centroid_medoid",
     """
-    WITH d AS (
+    WITH e AS (
+      -- NULL vectors excluded on both engines (no coordinates, no
+      -- distance); zero vectors are legitimate points and stay
+      SELECT * FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    d AS (
       SELECT vec_id, label, u.i - 1 AS dim,
              CAST(embedding[u.i] AS DOUBLE) AS v
-      FROM embeddings,
+      FROM e,
            LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
     ),
     c AS (SELECT label, dim, AVG(v) AS cv FROM d GROUP BY label, dim),
-    n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label),
+    n AS (SELECT label, COUNT(*) AS n_vectors FROM e GROUP BY label),
     cn AS (
       SELECT label, ROUND(sqrt(SUM(cv * cv)), 6) AS centroid_norm
       FROM c GROUP BY label
@@ -337,8 +349,8 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid and medoid: the cluster-QA shape (centroid norm as a drift signal; the medoid as the exemplar a human can inspect). Centroids via posexplode → per-dim mean (one hash aggregation, map-side combinable); distances via a BROADCAST of the labels×dim centroid arrays and a per-row zip_with/aggregate fold — distance runs at scan speed with a deterministic in-array summation order, never a per-label collect of raw vectors and never a (label,dim)-keyed shuffle of the corpus (interleaved A/B: the join-back form loses 37% at the 10× probe). min_by medoid with id tie-break."""
-    e = t(spark, sf_dir, "embeddings")
+    """Per-label embedding centroid and medoid: the cluster-QA shape (centroid norm as a drift signal; the medoid as the exemplar a human can inspect). Centroids via posexplode → per-dim mean (one hash aggregation, map-side combinable); distances via a BROADCAST of the labels×dim centroid arrays and a per-row zip_with/aggregate fold — distance runs at scan speed with a deterministic in-array summation order, never a per-label collect of raw vectors and never a (label,dim)-keyed shuffle of the corpus (interleaved A/B: the join-back form loses 37% at the 10× probe). min_by medoid with id tie-break. NULL vectors carry no coordinates and are excluded up front (fuzz contract: min_by's struct comparator would otherwise rank a NULL distance below every real one and elect the NULL row medoid); zero vectors are legitimate points and stay."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     d = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "_vf")
     ).withColumn("v", F.col("_vf").cast("double")).drop("_vf")

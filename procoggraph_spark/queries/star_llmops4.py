@@ -110,7 +110,9 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries make the ADC sum itself grid-aligned and order-insensitive.
 
 _IVF_PQ_RERANK_SQL = """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     seed AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
@@ -192,12 +194,13 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_index,
         ivf_pq_rerank_topk,
     )
+    from procoggraph_spark.operators.similarity import searchable
 
-    e = t(spark, sf_dir, "embeddings")
-    seed_rows = (
-        e.filter(F.col("embedding").isNotNull())
-        .orderBy("vec_id").limit(16).collect()
-    )
+    # shared similarity-family boundary: NULL and zero-norm vectors are
+    # unindexable/unsearchable (a NULL embedding reaching the exact
+    # rerank folds to a NaN distance and poisons the rank window)
+    e = searchable(t(spark, sf_dir, "embeddings"), "embedding")
+    seed_rows = e.orderBy("vec_id").limit(16).collect()
     if len(seed_rows) < 16:
         raise ValueError(
             "sim_ivf_pq_rerank: need at least 16 vectors to seed the "
@@ -218,7 +221,7 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ivf_pq_index(e, cents, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in e.filter((F.col("vec_id") < 5) & F.col("embedding").isNotNull()).collect()
+        for r in e.filter(F.col("vec_id") < 5).collect()
     ]
     return ivf_pq_rerank_topk(
         idx, e, queries, cents, books,

@@ -124,9 +124,17 @@ _INT8_QUANT_SQL = """
            CAST(list_sum(list_transform(q,
                 x -> CASE WHEN abs(x) >= 127.0 THEN 1 ELSE 0 END))
                 AS BIGINT) AS n_saturated,
-           ROUND(list_dot_product(v, q) /
-                 (sqrt(list_dot_product(v, v)) *
-                  sqrt(list_dot_product(q, q))), 6) AS recon_cos
+           -- generate_series folds, NOT list_dot_product: the latter
+           -- raises on a NULL list even under CASE (vectorized branch
+           -- evaluation does not short-circuit); these yield NULL for
+           -- NULL v, and a zero-norm vector divides 0/0 -> NULL (same
+           -- as the Spark side's explicit guard)
+           ROUND(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * q[i])) /
+                 (sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                     i -> v[i] * v[i]))) *
+                  sqrt(list_sum(list_transform(generate_series(1, len(q)),
+                     i -> q[i] * q[i])))), 6) AS recon_cos
     FROM qq
     """
 

@@ -40,7 +40,11 @@ _STOP_LIST = "['the','a','an','of','and','or','to','in','is','it']"
 
 _GOPHER_SQL = f"""
     WITH w AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws FROM documents
+      -- NULL text carries no metrics: computed only for real texts,
+      -- the final LEFT JOIN leaves NULL rows NULL (Spark's column
+      -- algebra propagates NULL through every metric the same way)
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
     ),
     m AS (
       SELECT doc_id,
@@ -58,18 +62,18 @@ _GOPHER_SQL = f"""
              len(ws) - len(list_distinct(ws)) AS ndup
       FROM w
     )
-    SELECT doc_id,
+    SELECT d.doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            ROUND(tl * 1.0 / nn, 6) AS mean_word_len,
            ROUND(na * 1.0 / nn, 6) AS frac_alpha_words,
            CAST(nstop AS BIGINT) AS n_stopwords,
            ROUND(ndup * 1.0 / nn, 6) AS dup_word_frac,
-           (n_words BETWEEN 10 AND 100000)
+           COALESCE((n_words BETWEEN 10 AND 100000)
              AND (tl * 1.0 / nn >= 3.0) AND (tl * 1.0 / nn <= 10.0)
              AND (na * 1.0 / nn >= 0.8)
              AND (nstop >= 2)
-             AND (ndup * 1.0 / nn <= 0.5) AS gopher_keep
-    FROM m
+             AND (ndup * 1.0 / nn <= 0.5), FALSE) AS gopher_keep
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
     """
 
 
@@ -269,11 +273,13 @@ _HARD_NEG_SQL = """
       SELECT vec_id AS query_id, label AS query_label,
              CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 5
+        AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
     ),
     c AS (
       SELECT vec_id AS neighbor_id, label AS neighbor_label,
              CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings
+      WHERE COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
     ),
     scored AS (
       SELECT q.query_id, q.query_label, c.neighbor_id, c.neighbor_label,
@@ -317,10 +323,12 @@ _KNN_VOTE_SQL = """
     WITH l AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id % 10 <> 0
+        AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
     ),
     u AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id % 10 = 0
+        AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
     ),
     scored AS (
       SELECT u.vec_id AS query_id, l.vec_id AS neighbor_id, l.label,

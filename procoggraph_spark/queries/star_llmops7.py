@@ -635,9 +635,12 @@ _RELEASE_DIFF_SQL = """
     ),
     j AS (
       SELECT COALESCE(v1.source, v2.source) AS source,
+             -- IS DISTINCT FROM: NULL-text revisions still diff
+             -- correctly (NULL vs real hash = changed, NULL vs NULL =
+             -- unchanged — matching Spark's eqNullSafe)
              CASE WHEN v2.doc_id IS NULL THEN 'removed'
                   WHEN v1.doc_id IS NULL THEN 'added'
-                  WHEN v1.h <> v2.h THEN 'changed'
+                  WHEN v1.h IS DISTINCT FROM v2.h THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM v1 FULL JOIN v2 USING (doc_id)
     )
@@ -674,11 +677,17 @@ def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text"))
         ).alias("_h"),
     )
-    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full")
+    # presence flags, not hash-nullness: md5(NULL text) is NULL, so a
+    # NULL-text doc present in BOTH versions would otherwise read as
+    # 'removed' (fuzz finding); eqNullSafe keeps NULL==NULL 'unchanged'
+    j = (
+        v1.withColumn("_in_a", F.lit(True)).alias("a")
+        .join(v2.withColumn("_in_b", F.lit(True)).alias("b"), "doc_id", "full")
+    )
     status = (
-        F.when(F.col("b._h").isNull(), "removed")
-        .when(F.col("a._h").isNull(), "added")
-        .when(F.col("a._h") != F.col("b._h"), "changed")
+        F.when(F.col("b._in_b").isNull(), "removed")
+        .when(F.col("a._in_a").isNull(), "added")
+        .when(~F.col("a._h").eqNullSafe(F.col("b._h")), "changed")
         .otherwise("unchanged")
     )
     per = j.select(

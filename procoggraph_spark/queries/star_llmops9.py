@@ -69,7 +69,9 @@ def _mmr_oracle_sql(*, k: int = 5, pool: int = 20, lam: float = 0.7,
     ),
     sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{i})""")
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
     scored AS (
       SELECT query_id, e.vec_id AS nid,
@@ -373,7 +375,9 @@ def events_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Rocchio pseudo-relevance feedback ------------------------------------
 
 _ROCCHIO_SQL = """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
     qz AS (SELECT vec_id AS query_id,
                   list_transform(v, x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
                     AS qq,
@@ -499,7 +503,9 @@ _LANGCONF_SQL = """
     ),
     p AS (
       SELECT lang,
-             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+             -- COALESCE: NULL text scores 'und', not 'zh' (same
+             -- contract as text_langid)
+             CASE WHEN COALESCE(greatest(s_de, s_en, s_es, s_fr, s_zh), 0) = 0 THEN 'und'
                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'

@@ -184,10 +184,14 @@ _FEATURE_EXTRACT_SQL = f"""
       FROM documents WHERE doc_id < 100
     ),
     sh AS (
+      -- NULL payload never reaches the shingle fold (the kernel
+      -- returns the all-zero vector without hashing); the LEFT JOIN +
+      -- COALESCE below reproduces exactly that zero vector
       SELECT asset_id, (h * 2654435761) % 2147483648 AS hm
       FROM (
         SELECT asset_id, {_feat_h_expr()} AS h
         FROM a, LATERAL unnest(generate_series(1, greatest(n - 4, 1))) AS u(i)
+        WHERE hx IS NOT NULL
       )
     ),
     acc AS (
@@ -208,14 +212,14 @@ _FEATURE_EXTRACT_SQL = f"""
       SELECT asset_id, ROUND(sqrt(SUM(fv * fv)), 4) AS feat_norm
       FROM f GROUP BY asset_id
     )
-    SELECT a.asset_id, a.mime, CAST(a.n AS BIGINT) AS n_bytes,
-           fn.feat_norm,
+    SELECT a.asset_id, a.mime, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bytes,
+           COALESCE(fn.feat_norm, 0.0) AS feat_norm,
            COALESCE(f0.fv, 0.0) AS feat_0,
            COALESCE(f1.fv, 0.0) AS feat_1,
            COALESCE(f2.fv, 0.0) AS feat_2,
            COALESCE(f3.fv, 0.0) AS feat_3
     FROM a
-    JOIN fn ON fn.asset_id = a.asset_id
+    LEFT JOIN fn ON fn.asset_id = a.asset_id
     LEFT JOIN f f0 ON f0.asset_id = a.asset_id AND f0.bucket = 0
     LEFT JOIN f f1 ON f1.asset_id = a.asset_id AND f1.bucket = 1
     LEFT JOIN f f2 ON f2.asset_id = a.asset_id AND f2.bucket = 2
@@ -299,10 +303,18 @@ def _neardup_oracle_sql() -> str:
       FROM documents WHERE doc_id < 100
     ),
     sh AS (
+      -- hx IS NOT NULL: a NULL payload has NO shingles (the kernel
+      -- returns the zero vector without hashing) — without the filter
+      -- the CASE fold hashes the all-zero ghost shingle and a missing
+      -- asset impersonates the empty-payload feature vector, pairing
+      -- at cosine 1.0 with every empty document (fuzz finding); here
+      -- it drops out of f entirely, matching the Spark side where the
+      -- zero vector's NULL cosine never passes the 0.9 gate
       SELECT asset_id, (h * 2654435761) % 2147483648 AS hm
       FROM (
         SELECT asset_id, {_feat_h_expr()} AS h
         FROM a, LATERAL unnest(generate_series(1, greatest(n - 4, 1))) AS u(i)
+        WHERE hx IS NOT NULL
       )
     ),
     acc AS (

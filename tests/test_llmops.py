@@ -538,6 +538,76 @@ def test_gemm_ivf_empty_path_schema_matches_normal_path(spark):
     assert out.count() == 0
 
 
+def test_similarity_family_boundary_on_degenerate_vectors(spark):
+    """Extended-fuzz contract (round 8): every searcher in the family
+    shares ONE boundary — NULL and zero-norm vectors are unsearchable
+    and unindexable. Under ANSI mode an unguarded zero norm CRASHES
+    (DIVIDE_BY_ZERO) rather than mis-ranking, so this is a liveness
+    pin, not just a correctness pin."""
+    from procoggraph_spark.operators.similarity import (
+        hard_negative_topk,
+        int8_quantize_stats,
+        ivf_topk,
+        lsh_topk,
+        mmr_diversify,
+        rocchio_expand_topk,
+        searchable,
+    )
+
+    rows = [(i, [float((i % 7) + d) for d in range(8)], f"l{i%3}") for i in range(30)]
+    rows.append((97, [0.0] * 8, "l0"))           # zero-norm
+    rows.append((98, None, "l1"))                # NULL
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    qs = corpus.filter("vec_id < 3 OR vec_id >= 97")
+    assert {r["vec_id"] for r in searchable(corpus).select("vec_id").collect()} \
+        == set(range(30))
+    for fn, kw in [
+        (lsh_topk, dict(dim=8, n_planes=4, n_tables=2, k=5)),
+        (ivf_topk, dict(n_cells=4, n_probe=2, k=5)),
+        (rocchio_expand_topk, dict(k=5, feedback=3)),
+        (mmr_diversify, dict(k=3, pool=8)),
+        (hard_negative_topk, dict(label_col="label", k=3)),
+    ]:
+        out = fn(corpus, qs, id_col="vec_id", vec_col="embedding", **kw).collect()
+        assert out, fn.__name__
+        bad = {97, 98}
+        assert all(
+            r["query_id"] not in bad and r["neighbor_id"] not in bad for r in out
+        ), fn.__name__
+    # the audit op keeps every row but NULLs the undefined cosine
+    audit = {r["vec_id"]: r for r in int8_quantize_stats(corpus).collect()}
+    assert len(audit) == 32
+    assert audit[97]["recon_cos"] is None and audit[97]["q_norm2"] == 0
+    assert audit[98]["recon_cos"] is None and audit[98]["q_norm2"] is None
+
+
+def test_release_diff_null_text_classification(spark):
+    """corpus-release-diff style presence semantics: a NULL-text doc in
+    both versions is 'unchanged' (presence flags, not hash nullness),
+    NULL -> real text is 'changed'."""
+    from procoggraph_spark.queries import registry
+
+    qs, _ = registry()
+    # replicated in miniature through the same status expression shape
+    v1 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, t1 string"
+    ).select("doc_id", F.md5("t1").alias("_h")).withColumn("_in_a", F.lit(True))
+    v2 = spark.createDataFrame(
+        [(1, None), (2, "y"), (4, "z")], "doc_id long, t2 string"
+    ).select("doc_id", F.md5("t2").alias("_h")).withColumn("_in_b", F.lit(True))
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full")
+    status = (
+        F.when(F.col("b._in_b").isNull(), "removed")
+        .when(F.col("a._in_a").isNull(), "added")
+        .when(~F.col("a._h").eqNullSafe(F.col("b._h")), "changed")
+        .otherwise("unchanged")
+    )
+    got = {r["doc_id"]: r["s"] for r in j.select("doc_id", status.alias("s")).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
 def test_embedding_cosine_simhash_gate_margin(spark):
     """dedup_embedding_cosine gates candidate pairs at Hamming<=8 over 64
     hyperplanes while its DuckDB oracle is exact all-pairs at the 0.9

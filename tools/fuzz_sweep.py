@@ -37,8 +37,9 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-# degenerate text shapes, keyed by doc_id % 25 (0 stays a clean copy
-# would defeat the point for slot 0 — slot assignments below)
+# degenerate text shapes, keyed by doc_id % 25 (unassigned slots stay
+# clean copies). None = SQL NULL text (a dead fetch / failed decode —
+# real corpora have them even though the driver testdata does not).
 DEGENERATE = {
     0: "",
     5: "emoji 🎉🚀 mixed with text",
@@ -55,6 +56,7 @@ DEGENERATE = {
     12: "x" * 500,  # one 500-char token
     17: "word " * 100,  # 100 repeats of one word
     22: "a",  # single char, shorter than any shingle
+    3: None,  # NULL text
 }
 
 
@@ -71,12 +73,26 @@ def build_corpus(spark):
             expr = None
             for slot, txt in DEGENERATE.items():
                 cond = (F.col("doc_id") % 25 == slot) & (F.col("doc_id") < 400)
+                val = F.lit(txt).cast("string")
                 expr = (
-                    F.when(cond, F.lit(txt))
-                    if expr is None
-                    else expr.when(cond, F.lit(txt))
+                    F.when(cond, val) if expr is None else expr.when(cond, val)
                 )
             df = df.withColumn("text", expr.otherwise(F.col("text")))
+        if t == "embeddings":
+            # zero-norm and NULL vectors: the shapes the similarity
+            # family's boundary filters exist for (a failed encoder
+            # emits zeros or nothing; cosine is undefined at zero norm)
+            dim = df.selectExpr("size(embedding) AS d").first()["d"]
+            zero = F.array(*[F.lit(0.0).cast("float") for _ in range(dim)])
+            df = df.withColumn(
+                "embedding",
+                F.when((F.col("vec_id") % 50 == 37) & (F.col("vec_id") < 400), zero)
+                .when(
+                    (F.col("vec_id") % 50 == 43) & (F.col("vec_id") < 400),
+                    F.lit(None).cast(df.schema["embedding"].dataType),
+                )
+                .otherwise(F.col("embedding")),
+            )
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(FUZZ_DIR, f"{t}.parquet")
         )
