@@ -425,9 +425,15 @@ def sessionize(
             F.min(ts_col).alias("session_start"),
             F.count("*").alias("n_events"),
             (F.max(sec) - F.min(sec)).alias("duration_sec"),
-            F.sum((F.col(type_col) == purchase_type).cast("long")).alias(
-                "n_purchases"
-            ),
+            # when/otherwise, not a bare comparison cast: a NULL
+            # event_type compares to NULL, and a session of only
+            # NULL-type events would sum to NULL instead of 0 (an
+            # unknown-type event is simply not a purchase)
+            F.sum(
+                F.when(F.col(type_col) == purchase_type, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_purchases"),
         )
         .orderBy(user_col, "session_seq")
     )

@@ -42,21 +42,42 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    # The carried right row travels as ONE struct: last(_rv,
+    # ignorenulls) then distinguishes "no prior right row" (struct
+    # NULL) from "prior right row whose VALUE is NULL" (struct present,
+    # field NULL) — carrying bare value columns would skip a NULL-value
+    # match and resurrect an older non-NULL one (fuzz finding: ASOF
+    # must return the matched ROW's value, NULL included).
+    _rv_fields = lambda src: F.struct(  # noqa: E731 - local shape helper
+        *[src(c).alias(f"v_{c}") for c in value_cols],
+        src(right_ts).cast("timestamp").alias("rts"),
+    )
     lt = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts after right at equal ts
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(
+                [f"v_{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
+                + ["rts:timestamp"]
+            )
+            + ">"
+        ).alias("_rv"),
     )
-    rt = right.select(
+    # JOIN semantics for NULL keys: a NULL-key right row matches
+    # NOTHING (SQL equi-join rule). Without this filter the union's
+    # window (partitionBy groups NULLs together) would carry one
+    # anonymous user's purchase onto another anonymous user's events
+    # (fuzz finding). NULL-key LEFT rows are kept — they simply carry
+    # no value, same as a left join.
+    rt = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).cast("timestamp").alias("_r_ts"),
+        _rv_fields(F.col).alias("_rv"),
     )
     merged = lt.unionByName(rt)
     w = (
@@ -68,26 +89,18 @@ def asof_join(
         "_l",
         "_ts",
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        F.last("_rv", ignorenulls=True).over(w).alias("_c"),
     ).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         in_tol = (
-            epoch_seconds(F.col("_ts")) - epoch_seconds(F.col("_c_ts"))
+            epoch_seconds(F.col("_ts")) - epoch_seconds(F.col("_c.rts"))
         ) <= tolerance_seconds
         carried = carried.select(
-            "_l",
-            *[
-                F.when(in_tol, F.col(f"_c_{c}")).alias(f"_c_{c}")
-                for c in value_cols
-            ],
+            "_l", F.when(in_tol, F.col("_c")).alias("_c")
         )
     return carried.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c_{c}").alias(f"right_{c}") for c in value_cols],
+        *[F.col(f"_c.v_{c}").alias(f"right_{c}") for c in value_cols],
     )
 
 

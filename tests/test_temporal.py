@@ -49,6 +49,44 @@ def test_asof_tolerance(spark):
     assert no_tol["right_v"] == 1.0
 
 
+def test_asof_null_key_and_null_value_semantics(spark):
+    """Dirty-telemetry contracts (round-8 fuzz): (1) NULL join keys
+    follow SQL equi-join rules — a NULL-key left row matches nothing
+    (two anonymous users are not the same user), a NULL-key right row
+    matches nothing; (2) the carry returns the matched ROW's value
+    even when that value is NULL — it must not skip a NULL-value match
+    and resurrect an older non-NULL row."""
+    left = spark.createDataFrame(
+        [(None, ts(10)), (1, ts(30))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, ts(5), 99.0), (1, ts(10), 10.0), (1, ts(20), None)],
+        "k long, ts timestamp, v double",
+    )
+    rows = asof_join(left, right, on="k", value_cols=["v"]).collect()
+    by_key = {r["k"]: r["right_v"] for r in rows}
+    assert len(rows) == 2              # NULL-key left row is KEPT
+    assert by_key[None] is None        # ... but matches nothing
+    # most recent prior row at ts(20) has v=NULL: return THAT NULL,
+    # not the older 10.0
+    assert by_key[1] is None
+
+
+def test_sessionize_null_event_type_counts_zero(spark):
+    """A session consisting only of NULL-type events has n_purchases 0,
+    not NULL (an unknown-type event is simply not a purchase)."""
+    from procoggraph_spark.operators.analytics import sessionize
+
+    e = spark.createDataFrame(
+        [(1, ts(10), 7, None, 0.0, ""), (2, ts(11), 7, None, 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    row = sessionize(e).collect()[0]
+    assert row["n_events"] == 2
+    assert row["n_purchases"] == 0
+
+
 def test_range_join_boundaries(spark):
     events = spark.createDataFrame(
         [(1, 1, ts(10)), (2, 1, ts(20)), (3, 1, ts(21)), (4, 2, ts(15))],

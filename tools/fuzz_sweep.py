@@ -78,6 +78,33 @@ def build_corpus(spark):
                     F.when(cond, val) if expr is None else expr.when(cond, val)
                 )
             df = df.withColumn("text", expr.otherwise(F.col("text")))
+        if t == "events":
+            # dirty telemetry: anonymous events (NULL user_id), events
+            # with no value, and events with an unknown/missing type —
+            # every real event stream contains all three
+            df = (
+                df.withColumn(
+                    "user_id",
+                    F.when(
+                        (F.col("event_id") % 97 == 11) & (F.col("event_id") < 2000),
+                        F.lit(None).cast(df.schema["user_id"].dataType),
+                    ).otherwise(F.col("user_id")),
+                )
+                .withColumn(
+                    "value",
+                    F.when(
+                        (F.col("event_id") % 97 == 23) & (F.col("event_id") < 2000),
+                        F.lit(None).cast(df.schema["value"].dataType),
+                    ).otherwise(F.col("value")),
+                )
+                .withColumn(
+                    "event_type",
+                    F.when(
+                        (F.col("event_id") % 97 == 37) & (F.col("event_id") < 2000),
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.col("event_type")),
+                )
+            )
         if t == "embeddings":
             # zero-norm and NULL vectors: the shapes the similarity
             # family's boundary filters exist for (a failed encoder
