@@ -925,8 +925,11 @@ def f8_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f14_json_extract",
     """
     SELECT event_type,
-           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT)
-               AS sum_k,
+           -- NULLIF: a missing/malformed "k" extracts '' — it must
+           -- contribute NULL (nothing) to the sum, not ANSI-crash the
+           -- cast on either engine
+           CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                         AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -934,7 +937,9 @@ def f8_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13/F14: JSON field extraction and map keys/values over a constructed payload."""
     e = t(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1), F.lit("")
+    ).cast("long")
     return e.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n")
     )

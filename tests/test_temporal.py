@@ -87,6 +87,34 @@ def test_sessionize_null_event_type_counts_zero(spark):
     assert row["n_purchases"] == 0
 
 
+def test_json_extract_malformed_props(spark):
+    """f14's regexp extraction over dirty payloads: NULL props, empty
+    objects, non-JSON garbage, and wrong-typed fields all contribute
+    NULL (nothing) to the sum — an unguarded CAST of the regexp miss
+    ('') ANSI-crashes (fuzz finding, both engines)."""
+    from procoggraph_spark.queries import registry
+
+    qs, _ = registry()
+    e = spark.createDataFrame(
+        [
+            (1, ts(1), 1, "click", 1.0, '{"k": 7}'),
+            (2, ts(2), 1, "click", 1.0, None),
+            (3, ts(3), 1, "click", 1.0, "{}"),
+            (4, ts(4), 1, "click", 1.0, "not json"),
+            (5, ts(5), 1, "click", 1.0, '{"k": "oops"}'),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1), F.lit("")
+    ).cast("long")
+    row = e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n")
+    ).collect()[0]
+    assert row["sum_k"] == 7 and row["n"] == 5
+
+
 def test_range_join_boundaries(spark):
     events = spark.createDataFrame(
         [(1, 1, ts(10)), (2, 1, ts(20)), (3, 1, ts(21)), (4, 2, ts(15))],

@@ -104,6 +104,28 @@ def build_corpus(spark):
                         F.lit(None).cast("string"),
                     ).otherwise(F.col("event_type")),
                 )
+                .withColumn(
+                    "props",
+                    # malformed/missing payloads: NULL, empty object,
+                    # non-JSON garbage, wrong-typed field
+                    F.when(
+                        (F.col("event_id") % 97 == 41) & (F.col("event_id") < 2000),
+                        F.lit(None).cast("string"),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 53) & (F.col("event_id") < 2000),
+                        F.lit("{}"),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 59) & (F.col("event_id") < 2000),
+                        F.lit("not json at all"),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 61) & (F.col("event_id") < 2000),
+                        F.lit('{"k": "oops"}'),
+                    )
+                    .otherwise(F.col("props")),
+                )
             )
         if t == "embeddings":
             # zero-norm and NULL vectors: the shapes the similarity
