@@ -554,3 +554,100 @@ def test_select_cofactor_matches_reference_on_random_sets(spark, sets):
     }
     for i, s in enumerate(sets):
         assert got[i] == _ref_select_cofactor(s), (s, got[i])
+
+
+# --- batched-BPE sequential equivalence (pure-Python differential) --------
+
+def _py_pair_counts(syms, wc):
+    from collections import Counter
+
+    pc = Counter()
+    for w, s in syms.items():
+        for x, y in zip(s, s[1:]):
+            pc[(x, y)] += wc[w]
+    return pc
+
+
+def _py_apply_merge(syms, a, b):
+    for w, s in syms.items():
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        syms[w] = out
+
+
+def _py_bpe_sequential(words, n_merges):
+    from collections import Counter
+
+    wc = Counter(words)
+    syms = {w: [*w, "</w>"] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = _py_pair_counts(syms, wc)
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        _py_apply_merge(syms, a, b)
+    return merges, syms
+
+
+def _py_bpe_batched(words, n_merges, batch_size):
+    from collections import Counter
+
+    from procoggraph_spark.operators.bpe import _select_batch
+
+    wc = Counter(words)
+    syms = {w: [*w, "</w>"] for w in wc}
+    merges = []
+    while len(merges) < n_merges:
+        pc = _py_pair_counts(syms, wc)
+        rows = [
+            {"a": a, "b": b, "cnt": c}
+            for (a, b), c in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ]
+        batch = _select_batch(
+            rows,
+            batch_size=min(batch_size, n_merges - len(merges)),
+            complete=True,
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b, _ in batch:
+            _py_apply_merge(syms, a, b)
+    return merges, syms
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_select_batch_sequential_equivalence(words, batch_size):
+    """The round-8 batched-merge selection must be EXACTLY sequential-
+    equivalent for ANY corpus — this is the proof in
+    operators/bpe._select_batch under randomized attack. A two-letter
+    alphabet maximizes symbol conflicts and count ties (the cases the
+    conflict-stop and strict-truncation rules exist for); the whole
+    differential runs in pure Python (the Spark fold's equivalence to
+    the Python merge is pinned separately), so hundreds of corpora are
+    cheap."""
+    words = [w for w in words if w]
+    if not words:
+        return
+    seq_m, seq_s = _py_bpe_sequential(words, 12)
+    bat_m, bat_s = _py_bpe_batched(words, 12, batch_size)
+    assert bat_m == seq_m
+    assert bat_s == seq_s
