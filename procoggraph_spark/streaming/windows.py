@@ -107,7 +107,10 @@ def _user_totals_fn(key, pdfs, state):
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"] * 100, 0).sum())
+        # dropna: SQL SUM skips NULLs — a NULL value must not poison
+        # the exact-cents total (int(NaN) raises), and the row still
+        # counts toward n like the batch twin's count(*)
+        cents += int(round(pdf["value"].dropna() * 100, 0).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}

@@ -118,13 +118,23 @@ def test_incremental_upsert_availablenow(spark, tmp_path):
 
 def test_stateful_user_totals_equals_batch(spark, tmp_path):
     """applyInPandasWithState running totals, drained availableNow, must
-    equal the batch groupBy twin (exact cents discipline end-to-end)."""
+    equal the batch groupBy twin (exact cents discipline end-to-end) —
+    including NULL event values, which SQL SUM skips but an unguarded
+    pandas fold would turn into int(NaN) and crash the state update."""
+    from pyspark.sql import functions as F
+
     from procoggraph_spark.streaming.windows import (
         batch_user_totals,
         stateful_user_totals,
     )
 
     ev, path = _staged_events(spark, tmp_path)
+    ev = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    ev.write.mode("overwrite").parquet(path)
     stream = spark.readStream.schema(ev.schema).parquet(path)
     q = (
         stateful_user_totals(stream)
