@@ -40,9 +40,14 @@ def searchable(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     NaN sorts ABOVE real sims in a desc rank window) or ANSI-crashes.
     One predicate, applied at every operator's vector load, so the
     whole family shares one edge contract; the SQL twins filter with
-    the equivalent `v IS NOT NULL AND list_dot_product(v, v) > 0`."""
+    the equivalent `v IS NOT NULL AND list_dot_product(v, v) > 0`.
+
+    Squares in DOUBLE (matching SEARCHABLE_SQL's CAST(x AS DOUBLE)):
+    squaring in the array's native float would underflow |x| ~< 1e-23
+    to a zero sum and disagree with the oracle on which vectors are
+    searchable."""
     sq = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x * x),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -88,23 +93,26 @@ def brute_force_topk(
     2·N·Q norm evaluations into N + Q.
     """
     # cast float→double up front: float products carry ~1e-7 relative
-    # error, which breaks 6-decimal agreement with the oracle
+    # error, which breaks 6-decimal agreement with the oracle.
     # NULL vectors AND zero-norm vectors are unsearchable and
-    # unindexable — both dropped at the same boundary (cosine is
-    # undefined at zero norm; an unguarded division would yield NaN,
-    # which sorts ABOVE real similarities in the desc rank window and
-    # would make a zero vector every query's top neighbor)
+    # unindexable — both sides load through the family's shared
+    # searchable() boundary (cosine is undefined at zero norm; an
+    # unguarded division would yield NaN, which sorts ABOVE real
+    # similarities in the desc rank window and would make a zero
+    # vector every query's top neighbor). searchable() sums squares in
+    # double, so a denormal-float vector passes here exactly as it
+    # does in ivf/lsh/mmr/rocchio — one edge contract, no per-operator
+    # fork.
     q = F.broadcast(
-        queries.filter(F.col(vec_col).isNotNull()).select(
+        searchable(queries, vec_col).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qv"),
         ).withColumn("_qn", l2_norm(F.col("_qv")))
-        .filter(F.col("_qn") != 0.0)
     )
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = searchable(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("_cn", l2_norm(F.col("_cv"))).filter(F.col("_cn") != 0.0)
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -154,17 +162,10 @@ def gemm_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = (
-        queries.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
-        .collect()
-    )  # model-sized; NULL vectors are unsearchable
-    # zero-norm queries are dropped at the same boundary as NULLs
-    # (same contract as brute_force_topk: cosine undefined at zero norm)
-    qrows = [
-        r for r in qrows
-        if float(np.linalg.norm(np.asarray(r[vec_col], dtype=np.float64))) != 0.0
-    ]
+    # the family's shared searchable() boundary drops NULL and
+    # zero-norm queries (double-summed squares, same contract as
+    # ivf/lsh/brute-force); the collect is model-sized by construction
+    qrows = searchable(queries, vec_col).select(id_col, vec_col).collect()
     if not qrows:
         # searching with zero queries finds zero neighbors — return an
         # empty frame with the contract schema instead of crashing on a
@@ -225,7 +226,11 @@ def gemm_topk(
             if out:
                 yield pd.concat(out)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    # corpus load through the same searchable() boundary; the in-batch
+    # NULL/zero-norm guards below stay as defense in depth (a repartition
+    # between filter and mapInPandas cannot reorder them away, but the
+    # contract lives in ONE place)
+    partial = searchable(corpus, vec_col).select(id_col, vec_col).mapInPandas(
         part,
         T.StructType(
             [

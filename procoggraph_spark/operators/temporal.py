@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from procoggraph_spark.functions.timeutil import epoch_seconds
 
@@ -48,6 +49,9 @@ def asof_join(
     # field NULL) — carrying bare value columns would skip a NULL-value
     # match and resurrect an older non-NULL one (fuzz finding: ASOF
     # must return the matched ROW's value, NULL included).
+    def _q(c: str):  # backtick-quoted ref: names with dots/spaces stay names
+        return F.col("`" + c.replace("`", "``") + "`")
+
     _rv_fields = lambda src: F.struct(  # noqa: E731 - local shape helper
         *[src(c).alias(f"v_{c}") for c in value_cols],
         src(right_ts).cast("timestamp").alias("rts"),
@@ -57,13 +61,17 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts after right at equal ts
         F.struct(*left.columns).alias("_l"),
+        # typed NULL literal built from the actual StructType — a DDL
+        # string would break on value columns whose names aren't bare
+        # identifiers (space/dash/dot)
         F.lit(None).cast(
-            "struct<"
-            + ",".join(
-                [f"v_{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols]
-                + ["rts:timestamp"]
+            T.StructType(
+                [
+                    T.StructField(f"v_{c}", right.schema[c].dataType)
+                    for c in value_cols
+                ]
+                + [T.StructField("rts", T.TimestampType())]
             )
-            + ">"
         ).alias("_rv"),
     )
     # JOIN semantics for NULL keys: a NULL-key right row matches
@@ -77,7 +85,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        _rv_fields(F.col).alias("_rv"),
+        _rv_fields(_q).alias("_rv"),
     )
     merged = lt.unionByName(rt)
     w = (
@@ -98,9 +106,13 @@ def asof_join(
         carried = carried.select(
             "_l", F.when(in_tol, F.col("_c")).alias("_c")
         )
+    # getField, not dotted-string paths: survives non-identifier names
     return carried.select(
-        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c.v_{c}").alias(f"right_{c}") for c in value_cols],
+        *[F.col("_l").getField(c).alias(c) for c in left.columns],
+        *[
+            F.col("_c").getField(f"v_{c}").alias(f"right_{c}")
+            for c in value_cols
+        ],
     )
 
 

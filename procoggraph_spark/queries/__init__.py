@@ -8,75 +8,85 @@ Names are prefixed with the SURVEY §2 operator-family id they exercise.
 
 from __future__ import annotations
 
-# Round-8 driver window (the external correctness gate samples the
-# FIRST 50 registry keys): re-certification sweep. Round 7 went 50/50
-# green and drained the never-sampled backlog; what remains is
-# STALENESS — 49 registry rows whose last driver-green row predates
-# the round-7 engine (plan cache, bucketed + work-aware staging, the
-# 42-site oracle tokenization rewrite): they were last certified in
-# r03/r04. This window is exactly those 49 rows (computed from the
-# union of CORRECTNESS_r01..r07: latest green round <= 4) plus
-# `mm_feature_neardup`, the one oracled query that has never had a
-# driver-green row (its only sample, r05, predates its oracle). After
-# this round every registry row's external certification is <= 3
-# rounds old. New query registration stays FROZEN (round-7 verdict
-# item 6). Every name here must exist in the union — registry()
-# raises on a stale entry, so a rename/removal fails loudly instead
-# of silently rotating the wrong row into the window.
+# Round-9 driver window (the external correctness gate samples the
+# FIRST 50 registry keys): the precomputed rotation from the round-8
+# coverage log. Round 8 went 50/50 green, so the oldest external
+# certifications are now the 41 rows last driver-green in r05
+# (computed from the union of CORRECTNESS_r01..r08: latest green
+# round == 5) — chief among them the full streaming family, the r05
+# text/dedup/sim/mm/temporal batches, u8_sugar_chain and
+# s13_fetch_manifest. Several of these took round-8 oracle/operator
+# edits (text_fingerprint, text_token_stats, dedup_simhash_portable,
+# dedup_ngram_jaccard, dedup_cluster_canonical_jaccard) that were only
+# builder-re-verified — rotating them in certifies those edits
+# externally. The 9 remaining slots go to freshest-r06 rows touched by
+# the round-8 searchable() boundary / dirty-data fuzz fixes
+# (sim_recall_eval, sim_hard_negatives, emb_int8_quantize,
+# emb_centroid_medoid, sim_ivf_ann, sim_ivf_pq_rerank) plus the
+# portable-twin and capstone headliners (dedup_minhash_lsh_portable,
+# text_decontaminate_bloom, training_data_pipeline). After this round
+# no registry row's external certification predates r06. New query
+# registration stays FROZEN (round-7 verdict item 6). Every name here
+# must exist in the union — registry() raises on a stale entry, so a
+# rename/removal fails loudly instead of silently rotating the wrong
+# row into the window.
 _PROMOTE = (
-    # the one oracled row with no driver-green record ever
-    "mm_feature_neardup",
-    # perf-watched + 4-rounds-stale (round-7 verdict items 1 and 7)
-    "w5_topk_per_group",
-    "q9_group_by_array",
-    # --- the remaining 47 rows last certified r03/r04 ---
-    "a11_cube_combinations",
-    "a11_grouping_sets",
-    "a11_rollup_hierarchy",
-    "a2_group_by_rest_nulls",
-    "a5_quantile",
-    "a8_inscode_sort",
-    "a_histogram_fixed_width",
-    "a_stat_moments",
-    "chain_ec_rollup",
-    "dedup_embedding_cosine",
-    "f14_json_extract",
-    "f16_sentinel_cast_sum",
-    "f8_sequence_explode",
-    "f9_selector_strings",
-    "f_string_kitchen",
-    "graph_bfs_distances",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "hier_topology_walk",
-    "j_full_outer_reconcile",
-    "j_ref_integrity_check",
-    "p7_conditional_overwrite",
-    "p8_column_swap",
-    "q10_semi_join_rollup",
-    "q11_hierarchy_walk",
-    "q12_array_membership",
-    "q13_compare_groups",
-    "q14_topk_by_count",
-    "q15_subgraph_export",
-    "q16_json_payload",
-    "q1_global_summary_counts",
-    "q2_unambiguous_counts",
-    "q3_substring_search",
-    "q5_interaction_detail",
-    "q6_all_mode",
-    "q6_any_mode",
-    "q6_best_mode",
-    "q7_rollup_by_p_brand",
-    "q7_rollup_by_p_type",
-    "q8_group_ratio",
-    "t4_union_hetero",
-    "t_pivot_status",
-    "t_set_operators",
-    "w1_group_share",
-    "w2_best_per_group",
-    "w3_dense_ids",
-    "w_rank_family",
+    # --- streaming family: the oldest certs in the registry (r05) ---
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_late_data_policy",
+    "stream_hypertable_rollup",
+    "stream_stateful_totals",
+    "stream_funnel_join",
+    "stream_static_enrich",
+    # --- r05 text batch (fingerprint/token_stats were r08-edited) ---
+    "text_fingerprint",
+    "text_token_stats",
+    "text_rolling_hash",
+    "text_langid",
+    "text_quality_score",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_scrub_pii",
+    "text_decontaminate",
+    "text_bpe_token_count",
+    # --- r05 dedup batch (three r08-edited oracles) ---
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical_jaccard",
+    "dedup_simhash_portable",
+    "dedup_repeated_passages",
+    # --- r05 similarity / embeddings ---
+    "sim_bruteforce_topk",
+    "sim_bruteforce_fold",
+    "sim_lsh_ann",
+    "emb_array_stats",
+    # --- r05 multimodal / temporal / sampling / misc ---
+    "mm_resize",
+    "mm_frame_sample",
+    "asof_purchase_view",
+    "range_join_signup_window",
+    "sample_exact_k_per_source",
+    "mix_weighted_sources",
+    "split_train_val_test",
+    "sketch_cms_heavy_hitters",
+    "corpus_filter_pipeline",
+    "w_frame_moving_stats",
+    "f_fuzzy_match_levenshtein",
+    "u8_sugar_chain",
+    "s13_fetch_manifest",
+    # --- 9 freshest-r06 rows: round-8 searchable()/fuzz-touched ---
+    "dedup_minhash_lsh_portable",
+    "sim_recall_eval",
+    "sim_hard_negatives",
+    "sim_ivf_ann",
+    "sim_ivf_pq_rerank",
+    "emb_int8_quantize",
+    "emb_centroid_medoid",
+    "text_decontaminate_bloom",
+    "training_data_pipeline",
 )
 
 

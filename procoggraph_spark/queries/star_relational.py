@@ -104,9 +104,15 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while a broadcast would rebuild+ship a 1.5M-row hash relation per
     # query and stops being possible at 100 TB anyway
     o = o.hint("merge")
+    # customer gets NO broadcast hint: it scales with the fact tables
+    # (same argument that keeps the orders join a bucketed SMJ), so the
+    # 100 TB posture is a size-based decision — Catalyst/AQE broadcasts
+    # it while it fits autoBroadcastJoinThreshold and falls back to a
+    # shuffle join when it no longer does. Only the genuinely bounded
+    # dims (nation: 25 rows, region: 5 rows) are hint-pinned.
     return (
         lagg.join(o, lagg.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -152,11 +152,12 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 8 is the re-certification sweep: the 50-entry _PROMOTE list
-    IS the whole window — the 49 rows whose last driver-green record
-    predates the round-7 engine (latest green <= r04) plus
-    mm_feature_neardup (oracled, never driver-green). This pin makes
-    any addition or reorder fail HERE, loudly, instead of silently
+    Round 9 lands the precomputed rotation: the 41 rows last
+    driver-green in r05 (full streaming family, the r05
+    text/dedup/sim/mm/temporal batches) plus 9 freshest-r06 rows
+    touched by the round-8 searchable()/fuzz fixes. After this window
+    no registry row's external cert predates r06. This pin makes any
+    addition or reorder fail HERE, loudly, instead of silently
     pushing a stale row past the gate; when a future round re-rotates,
     update deliberately."""
     from procoggraph_spark.queries import _PROMOTE

@@ -56,6 +56,16 @@ def test_j7_broadcasts_dimensions(spark):
     assert p.count("BroadcastHashJoin") >= 2  # nation + region at minimum
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # customer must NOT be hint-pinned to broadcast: it is fact-sized at
+    # scale, so its join strategy is a size-based Catalyst/AQE decision
+    # (fine if the optimizer broadcasts it at test SF — the HINT is the
+    # 100 TB bug). Only nation, region (bounded dims) + the orders merge
+    # hint appear in the parsed logical plan.
+    parsed = plan(spark, df, "extended").split("== Analyzed Logical Plan ==")[0]
+    hints = [
+        ln for ln in parsed.splitlines() if "ResolvedHint (strategy=broadcast)" in ln
+    ]
+    assert len(hints) == 2, hints
 
 
 def test_q4_preagg_below_join(spark):

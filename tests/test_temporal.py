@@ -72,6 +72,27 @@ def test_asof_null_key_and_null_value_semantics(spark):
     assert by_key[1] is None
 
 
+def test_asof_non_identifier_value_columns(spark):
+    """The carried-struct NULL literal is built from a real StructType,
+    not a DDL string — value columns whose names are not bare
+    identifiers (spaces, dashes, dots) must work (round-8 advice: the
+    f-string DDL raised on them)."""
+    left = spark.createDataFrame(
+        [(1, ts(10)), (2, ts(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), 100.0, "a")], "k long, ts timestamp, `bid price` double, `src.tag` string"
+    )
+    out = {
+        r["k"]: (r["right_bid price"], r["right_src.tag"])
+        for r in asof_join(
+            left, right, on="k", value_cols=["bid price", "src.tag"]
+        ).collect()
+    }
+    assert out[1] == (100.0, "a")
+    assert out[2] == (None, None)
+
+
 def test_sessionize_null_event_type_counts_zero(spark):
     """A session consisting only of NULL-type events has n_purchases 0,
     not NULL (an unknown-type event is simply not a purchase)."""
