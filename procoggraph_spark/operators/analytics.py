@@ -154,7 +154,13 @@ def event_transitions(
     within a user-partitioned window (state bounded by one user's
     history), (prev, next) pair counts, and row-normalized transition
     probabilities; optional top-k with a full deterministic tiebreak.
+
+    NULL event-time contract: a timestamp-less event has no position in
+    the user's sequence and is excluded (engines disagree on NULL sort
+    placement — Spark nulls-first vs DuckDB nulls-last — so including
+    them makes the transition table engine-dependent; dirty-ts fuzz).
     """
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     pairs = (
         events.withColumn("prev_type", F.lag(type_col).over(w))
@@ -403,7 +409,12 @@ def sessionize(
     history). Gap math truncates timestamps to whole epoch seconds on
     both engines (Spark long cast == DuckDB date_diff('second')), so
     results are engine-portable.
+
+    NULL event-time contract: a timestamp-less event cannot be placed
+    in any session (no gap is computable against it) and is excluded —
+    same rule as the streaming session window (dirty-ts fuzz).
     """
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     # NTZ-robust epoch seconds: TIMESTAMP_NTZ refuses a direct long
     # cast; casting through TIMESTAMP first is a no-op for LTZ inputs
@@ -457,7 +468,13 @@ def volume_anomaly(
     squares) so the doubles are bit-identical across engines — never
     from a windowed stddev aggregate, whose accumulation order is
     engine-specific. Events collapse to the bounded (type, hour) grain
-    before any window."""
+    before any window.
+
+    NULL event-time contract: a timestamp-less event belongs to no
+    hourly bucket and is excluded (a NULL bucket would otherwise enter
+    the trailing frame at an engine-specific sort position; dirty-ts
+    fuzz)."""
+    events = events.filter(F.col(ts_col).isNotNull())
     hourly = events.groupBy(
         F.col(type_col).alias("event_type"),
         F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
@@ -709,7 +726,12 @@ def last_touch_attribution(
     user's immediately preceding event type; per touch type — count,
     share of attributed targets, and exact-cents value total. The
     marketing-attribution primitive, one user-bounded lag window + one
-    bounded agg."""
+    bounded agg.
+
+    NULL event-time contract: a timestamp-less event has no sequence
+    position, so it neither credits nor receives attribution — excluded
+    (engines disagree on NULL sort placement; dirty-ts fuzz)."""
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     hits = (
         events.withColumn("_prev", F.lag(type_col).over(w))
@@ -901,7 +923,12 @@ def weekly_streaks(
     island key — then max island length per user and a bounded
     histogram. The only window partitions by user over that user's
     distinct WEEKS (bounded by calendar span, not event count).
+
+    NULL event-time contract: a timestamp-less event belongs to no
+    week and is excluded from the activity grid (dirty-ts fuzz — a
+    NULL week would otherwise form a phantom one-week island).
     """
+    events = events.filter(F.col(ts_col).isNotNull())
     week = F.date_trunc("week", F.col(ts_col)).cast("date")
     grid = events.select(F.col(user_col).alias("_u"), week.alias("_w")).distinct()
     w = Window.partitionBy("_u").orderBy("_w")

@@ -193,6 +193,7 @@ def train_bpe(
     n_merges: int = 20,
     batch_size: int = 32,
     exact: bool = True,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     list [(a, b, count)] in learned order plus the final vocab table

@@ -80,7 +80,15 @@ def asof_join(
     # anonymous user's purchase onto another anonymous user's events
     # (fuzz finding). NULL-key LEFT rows are kept — they simply carry
     # no value, same as a left join.
-    rt = right.filter(F.col(on).isNotNull()).select(
+    # NULL event-TIME on the right is excluded too: `l.ts >= r.ts` is
+    # never true for a timestamp-less row, so it can never be the
+    # "most recent prior" (SQL ASOF semantics; dirty-ts fuzz finding —
+    # NULLs sort FIRST in the merry-go-round window and would
+    # otherwise be carried onto every row of the key). NULL-ts LEFT
+    # rows sort before all right rows and correctly carry nothing.
+    rt = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),

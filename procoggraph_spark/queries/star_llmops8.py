@@ -142,7 +142,7 @@ _TRANSITIONS_SQL = """
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     c AS (
       SELECT prev_type, event_type AS next_type, COUNT(*) AS n
@@ -382,7 +382,7 @@ _SESSIONIZE_SQL = """
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      IS NULL
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       -- event_id tiebreak matches the operator's (ts, order_tiebreak)
@@ -419,7 +419,7 @@ _VOLUME_ANOMALY_SQL = """
     WITH h AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket_start,
              COUNT(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     wstat AS (
       SELECT event_type, bucket_start, n,
@@ -704,7 +704,7 @@ _ATTRIBUTION_SQL = """
       SELECT user_id, event_type, value,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     h AS (
       SELECT prev_type AS touch_type, COUNT(*) AS n_conversions,

@@ -228,7 +228,7 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAK_SQL = """
     WITH grid AS (
       SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     r AS (SELECT u, w, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w) AS rn
           FROM grid),

@@ -33,7 +33,7 @@ def q(name: str, oracle: str | None = None):
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,6 +50,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                - k * INTERVAL '30 minutes' AS window_start,
              event_type
       FROM events, LATERAL unnest([0, 1]) AS u(k)
+      WHERE ts IS NOT NULL
     )
     GROUP BY window_start, event_type
     """,
@@ -70,7 +71,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, ts,
@@ -224,6 +225,7 @@ def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )

@@ -45,12 +45,19 @@ _EVENTS_US = """
     f"""
     WITH e AS ({_EVENTS_US}),
     l AS (SELECT * FROM e WHERE event_type = 'purchase'),
-    r AS (SELECT * FROM e WHERE event_type = 'view')
+    -- NULL event-time contract (dirty-ts fuzz): a timestamp-less view
+    -- can never be the "most recent prior"; a timestamp-less purchase
+    -- has no prior at all (DuckDB's ASOF would quirkily match it, so
+    -- the NULL-ts left rows are carved out and re-attached unmatched)
+    r AS (SELECT * FROM e WHERE event_type = 'view' AND ts IS NOT NULL)
     SELECT l.event_id, l.user_id,
            epoch_us(l.ts) // 1000000 AS ts_sec,
            r.value AS right_value
-    FROM l ASOF LEFT JOIN r
+    FROM (SELECT * FROM l WHERE ts IS NOT NULL) l ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts >= r.ts
+    UNION ALL
+    SELECT event_id, user_id, NULL AS ts_sec, NULL AS right_value
+    FROM l WHERE ts IS NULL
     """,
 )
 def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,17 +128,21 @@ def range_join_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
                           RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                                     AND CURRENT ROW) AS n_last_30m
-    FROM events WHERE user_id < 20
+    FROM events WHERE user_id < 20 AND ts IS NOT NULL
     """,
 )
 def w_frame_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAME specs (beyond-reference: the reference never uses
     rows/range frames): a 4-row moving sum (exact long-cents) and a
     30-minute RANGE frame count per user. One shuffle on user_id serves
-    both frames."""
+    both frames. NULL event-time rows are excluded — they have no
+    position in either frame (engines disagree on NULL sort placement;
+    dirty-ts fuzz)."""
     from procoggraph_spark.queries.common import cents
 
-    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & F.col("ts").isNotNull()
+    )
     w_rows = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -15,10 +15,22 @@ from procoggraph_spark.functions.timeutil import epoch_seconds
 from procoggraph_spark.queries.common import dsum2
 
 
+def _with_event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Event-time contract, shared by every windowed operator: an event
+    with no event time cannot be assigned to any window and is excluded
+    — the streaming semantic (Spark's TimeWindow drops NULL-ts rows;
+    a watermark has nothing to compare). Explicit on the batch twins so
+    the SQL oracles (`WHERE ts IS NOT NULL`) state the same contract
+    instead of relying on an engine-specific NULL-bucket behavior
+    (DuckDB's time_bucket keeps a NULL group — dirty-ts fuzz finding)."""
+    return events.filter(F.col(ts_col).isNotNull())
+
+
 def tumbling_counts(
     events: DataFrame, *, duration: str = "1 hour", ts_col: str = "ts"
 ) -> DataFrame:
     """Per (tumbling window, event_type): count + exact value sum."""
+    events = _with_event_time(events, ts_col)
     return (
         events.groupBy(F.window(ts_col, duration), "event_type")
         .agg(
@@ -43,6 +55,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Per (sliding window, event_type) counts — each event lands in
     duration/slide windows."""
+    events = _with_event_time(events, ts_col)
     return (
         events.groupBy(F.window(ts_col, duration, slide), "event_type")
         .agg(F.count("*").alias("n"))
@@ -59,6 +72,7 @@ def session_windows_batch(
 
     Output: one row per (user_id, session): start, end, n_events.
     """
+    events = _with_event_time(events, ts_col)
     w = Window.partitionBy("user_id").orderBy(ts_col)
     gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     with_sess = (
@@ -81,6 +95,7 @@ def session_windows_native(
 ) -> DataFrame:
     """`F.session_window` formulation — the one to use under
     readStream + watermark (state-store backed merged sessions)."""
+    events = _with_event_time(events, ts_col)
     return (
         events.groupBy(F.session_window(ts_col, gap), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -281,6 +296,7 @@ def enriched_counts_batch(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Batch twin of the stream-static enrichment: events joined to the
     (broadcast) customer dimension, rolled up per (hour window, market
     segment)."""
+    events = _with_event_time(events, "ts")
     j = events.join(
         F.broadcast(customers.select("c_custkey", "c_mktsegment")),
         events.user_id == F.col("c_custkey"),

@@ -105,6 +105,23 @@ def build_corpus(spark):
                     ).otherwise(F.col("event_type")),
                 )
                 .withColumn(
+                    "ts",
+                    # dirty event-time: a missing timestamp (decoder
+                    # dropped it) and an epoch-zero timestamp (corrupted
+                    # clock) — the streaming family's windows must agree
+                    # with their SQL twins on both (NULL window group /
+                    # a 1970 bucket), not crash or silently drop
+                    F.when(
+                        (F.col("event_id") % 97 == 67) & (F.col("event_id") < 2000),
+                        F.lit(None).cast(df.schema["ts"].dataType),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 71) & (F.col("event_id") < 2000),
+                        F.lit("1970-01-01 00:00:00").cast(df.schema["ts"].dataType),
+                    )
+                    .otherwise(F.col("ts")),
+                )
+                .withColumn(
                     "props",
                     # malformed/missing payloads: NULL, empty object,
                     # non-JSON garbage, wrong-typed field
