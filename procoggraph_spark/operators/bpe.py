@@ -219,14 +219,21 @@ def train_bpe(
     merge priorities. Measured on a 50 k-doc Zipfian probe: exact mode
     1 000 merges / 371 rounds / 140 s; greedy mode 1 000 merges /
     57 rounds / 33.5 s — greedy is the 100 TB default, exact the
-    correctness-pinning mode.
+    correctness-pinning mode. Production-merge-count greedy sustain is
+    recorded in BENCH.md (``tools/bpe_probe.py``).
+
+    ``stats``: optional dict, filled with ``{"rounds": N}`` — the
+    number of pair-count Spark jobs the training took (probe
+    instrumentation).
     """
     vocab = word_vocab(df, text_col=text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
     # over-collect so the scan can see the conflicting row that bounds
     # the truncation; still bounded driver traffic
     top_m = max(4 * batch_size, 64)
     while len(merges) < n_merges:
+        rounds += 1
         rows = (
             _pair_counts(vocab)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
@@ -245,6 +252,10 @@ def train_bpe(
         vocab = vocab.withColumn(
             "syms", _apply_merges(F.col("syms"), [(a, b) for a, b, _ in batch])
         ).localCheckpoint(eager=True)
+    if stats is not None:
+        # probe instrumentation only (rounds == Spark jobs over the
+        # pair-count table); never consulted on the training path
+        stats["rounds"] = rounds
     return merges, vocab
 
 

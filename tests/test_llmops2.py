@@ -705,3 +705,54 @@ def test_compression_ratio_exact_and_ordering(spark):
     assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
     assert got[3]["compression_ratio"] is None and got[3]["n_bytes"] == 0
     assert got[4]["compression_ratio"] is None
+
+
+def test_bpe_greedy_vocab_valid_at_scale(spark):
+    """Production-posture validity at a merge count where the greedy
+    packer actually batches: the learned artifact must stay a real
+    tokenizer — no duplicate merges, valid merge-order dependencies,
+    symbol arrays still spell their words — and the round count must be
+    far below the merge count (the whole point of greedy packing).
+    The FULL production probe (10k-30k merges on the 50 k-doc Zipfian
+    corpus) lives in tools/bpe_probe.py and records to BENCH.md; this
+    is its suite-bounded twin sharing the same validator."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from bpe_probe import validate
+
+    from procoggraph_spark.operators.bpe import train_bpe
+
+    # mid-size Zipfian corpus: hash-derived word ranks, deterministic
+    from pyspark.sql import functions as F
+
+    n_words = 2000
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    u = (
+        F.pmod(F.hash("doc_id", F.col("p"), F.lit(7919)), F.lit(1_000_003))
+        / 1_000_003.0
+    )
+    rank = F.least(
+        F.lit(n_words - 1), F.floor(F.pow(u, F.lit(3.0)) * n_words).cast("int")
+    )
+    word = F.concat(
+        F.lpad(F.conv(F.col("r").cast("string"), 10, 26), 3, "a"),
+        F.substring(F.md5(F.col("r").cast("string")), 1, 2),
+    )
+    corpus = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("p"))
+        .withColumn("r", rank)
+        .withColumn("w", word)
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+    )
+    stats: dict = {}
+    merges, vocab = train_bpe(
+        corpus, n_merges=400, batch_size=64, exact=False, stats=stats
+    )
+    ok, problems = validate(
+        merges, vocab.select("word", "syms").collect(), 400
+    )
+    assert ok, problems
+    assert stats["rounds"] < 400 / 4, stats  # greedy must actually batch
