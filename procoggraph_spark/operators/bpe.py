@@ -194,6 +194,7 @@ def train_bpe(
     batch_size: int = 32,
     exact: bool = True,
     stats: dict | None = None,
+    top_multiplier: int = 4,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     list [(a, b, count)] in learned order plus the final vocab table
@@ -230,8 +231,12 @@ def train_bpe(
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     # over-collect so the scan can see the conflicting row that bounds
-    # the truncation; still bounded driver traffic
-    top_m = max(4 * batch_size, 64)
+    # the truncation; still bounded driver traffic. `top_multiplier`
+    # sizes the slice relative to the batch: greedy packing skips
+    # conflicting rows instead of stopping, so a deeper slice lets it
+    # fill the batch past symbol collisions (the per-round Spark job is
+    # the cost that matters; a few thousand collected rows are not)
+    top_m = max(top_multiplier * batch_size, 64)
     while len(merges) < n_merges:
         rounds += 1
         rows = (

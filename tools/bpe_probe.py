@@ -107,6 +107,7 @@ def main() -> int:
     ap.add_argument("--merges", type=int, default=10_000)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--exact", action="store_true")
+    ap.add_argument("--top-mult", type=int, default=4)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -130,6 +131,7 @@ def main() -> int:
         batch_size=args.batch_size,
         exact=args.exact,
         stats=stats,
+        top_multiplier=args.top_mult,
     )
     wall = time.monotonic() - t0
     ok, problems = validate(
@@ -144,6 +146,7 @@ def main() -> int:
                 "wall_s": round(wall, 1),
                 "batch_size": args.batch_size,
                 "mode": "exact" if args.exact else "greedy",
+                "top_mult": args.top_mult,
                 "rounds_per_ideal": round(stats.get("rounds", 0) / ideal, 2),
                 "vocab_valid": ok,
                 "problems": problems,
