@@ -756,3 +756,46 @@ def test_streaming_srm_monitor_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(map(tuple, read_srm_monitor(spark, state_dir).collect())) == got
+
+
+def test_streaming_equals_batch_tumbling_dirty_ts(spark, tmp_path):
+    """The NULL-event-time contract holds across BOTH execution faces:
+    a corpus with NULL and epoch-zero timestamps drains to the same
+    windowed counts under readStream (where Spark's TimeWindow drops
+    NULL-ts rows natively) as the batch twin (which excludes them via
+    the explicit _with_event_time boundary) — and neither crashes."""
+    ev = t(spark, SF_SMOKE, "events")
+    dirty = ev.withColumn(
+        "ts",
+        F.when(F.col("event_id") % 11 == 3, F.lit(None).cast(ev.schema["ts"].dataType))
+        .when(
+            F.col("event_id") % 11 == 7,
+            F.lit("1970-01-01 00:00:00").cast(ev.schema["ts"].dataType),
+        )
+        .otherwise(F.col("ts")),
+    )
+    path = str(tmp_path / "events_dirty")
+    dirty.write.mode("overwrite").parquet(path)
+    agg = streaming_tumbling_counts(spark, path, dirty.schema, duration="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumb_dirty")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumb_dirty").collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(dirty, duration="1 hour").collect()
+    }
+    assert stream_rows == batch_rows
+    # the epoch-zero events ARE windowed (a 1970 bucket exists); the
+    # NULL-ts events are in neither face's output
+    assert any(ws.year == 1970 for ws, _ in batch_rows)
+    n_total = dirty.filter(F.col("ts").isNotNull()).count()
+    assert sum(n for n, _ in batch_rows.values()) == n_total
