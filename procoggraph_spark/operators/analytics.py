@@ -828,7 +828,14 @@ def cohort_ltv(
     Per-customer state is one date; the cumulative window partitions by
     cohort month over the bounded month-offset axis (at most a few
     hundred cells regardless of corpus size), never by customer.
+
+    NULL event-time contract: an undated order has no month offset and
+    cannot be placed in the triangle — excluded (a NULL-offset cell
+    enters the cumulative window at an engine-dependent sort position;
+    dirty-star fuzz). A customer whose orders are all undated has no
+    cohort.
     """
+    orders = orders.filter(F.col(date_col).isNotNull())
     if cents_col is None:
         cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
     mon = F.date_trunc("month", F.col(date_col))

@@ -184,9 +184,11 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHAIN_ROLLUP_SQL = """
 WITH cc AS (
+  -- a chain with no entry id is malformed input: dead-lettered, never
+  -- a NULL-entry rollup group (dirty-star fuzz contract)
   SELECT p_brand AS pdb_id, CAST(p_size AS VARCHAR) AS asym,
          string_split(p_type, ' ') AS ecl
-  FROM part
+  FROM part WHERE p_brand IS NOT NULL
 ),
 chains AS (
   SELECT DISTINCT pdb_id, pdb_id || '_' || asym AS chain FROM cc
@@ -212,7 +214,7 @@ def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_protein_chain_nodes,
     )
 
-    cc = t(spark, sf_dir, "part").select(
+    cc = t(spark, sf_dir, "part").filter(F.col("p_brand").isNotNull()).select(
         F.col("p_brand").alias("pdb_id"),
         F.concat(F.col("p_size").cast("string"), F.lit("_1")).alias(
             "assembly_chain_id_protein"
@@ -244,10 +246,14 @@ def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIER_WALK_SQL = r"""
 WITH doms AS (
+  -- a domain whose dotted accession is incomplete (missing type or
+  -- brand component) cannot be placed in the 3-level hierarchy:
+  -- dead-lettered on both engines (dirty-star fuzz contract; DuckDB's
+  -- split_part('' on NULL) would otherwise fabricate a '.' node)
   SELECT CAST(p_partkey AS VARCHAR) AS dom,
          p_type || '.' || regexp_extract(p_brand, '#(\d+)', 1) || '.' ||
              CAST(p_size AS VARCHAR) AS acc
-  FROM part
+  FROM part WHERE p_type IS NOT NULL AND p_brand IS NOT NULL
 )
 SELECT split_part(acc, '.', 1) AS cath_class,
        split_part(acc, '.', 1) || '.' || split_part(acc, '.', 2)
@@ -272,14 +278,21 @@ def hier_topology_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_classification_hierarchy,
     )
 
-    domains = t(spark, sf_dir, "part").select(
-        F.col("p_partkey").cast("string").alias("domain"),
-        F.concat_ws(
-            ".",
-            F.col("p_type"),
-            F.regexp_extract("p_brand", r"#(\d+)", 1),
-            F.col("p_size").cast("string"),
-        ).alias("groupAccession"),
+    domains = (
+        t(spark, sf_dir, "part")
+        # incomplete accessions are dead-lettered, matching the oracle
+        # (concat_ws would silently SKIP a NULL component and fabricate
+        # a 2-part accession the hierarchy builder then drops)
+        .filter(F.col("p_type").isNotNull() & F.col("p_brand").isNotNull())
+        .select(
+            F.col("p_partkey").cast("string").alias("domain"),
+            F.concat_ws(
+                ".",
+                F.col("p_type"),
+                F.regexp_extract("p_brand", r"#(\d+)", 1),
+                F.col("p_size").cast("string"),
+            ).alias("groupAccession"),
+        )
     )
     parts = F.split("groupAccession", r"\.")
     names = (

@@ -160,7 +160,7 @@ _LTV_SQL = """
       SELECT o_custkey,
              MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
                AS cohort_month
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
     ),
     sz AS (SELECT cohort_month, COUNT(*) AS cohort_size FROM f GROUP BY 1),
     cell AS (
@@ -172,6 +172,7 @@ _LTV_SQL = """
              CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
                   AS BIGINT) AS revenue_cents
       FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+      WHERE o.o_orderdate IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT c.cohort_month, c.month_offset, c.revenue_cents,

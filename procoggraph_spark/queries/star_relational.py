@@ -702,12 +702,20 @@ def w2_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_dense_ids",
     """
     SELECT DISTINCT p_brand, DENSE_RANK() OVER (ORDER BY p_brand) AS brand_id
-    FROM part
+    FROM part WHERE p_brand IS NOT NULL
     """,
 )
 def w3_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: rerun-stable dense ids from a global ordering over distinct keys (bounded key-level window)."""
-    p = t(spark, sf_dir, "part").select("p_brand").distinct()
+    """W3: rerun-stable dense ids from a global ordering over distinct
+    keys (bounded key-level window). A NULL key gets NO id — "missing"
+    has no identity, and its rank placement is engine-dependent
+    (Spark ranks NULLS FIRST, DuckDB LAST; dirty-star fuzz)."""
+    p = (
+        t(spark, sf_dir, "part")
+        .select("p_brand")
+        .filter(F.col("p_brand").isNotNull())
+        .distinct()
+    )
     return p.withColumn("brand_id", F.dense_rank().over(Window.orderBy("p_brand")))
 
 
@@ -885,7 +893,7 @@ def p6_ownership_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
            upper(p_brand) AS brand_upper,
            regexp_replace(p_brand, '^Brand#', '') AS brand_num,
-           p_brand || ':' || p_type AS brand_type,
+           concat_ws(':', p_brand, p_type) AS brand_type,
            length(p_name) AS name_len
     FROM part WHERE p_partkey < 300
     """,

@@ -90,6 +90,9 @@ WITH src AS (
   FROM part WHERE p_partkey < 300
 ),
 g AS (
+  -- a NULL conversion key (NULL p_name source) cannot be converted or
+  -- cached (S16 keyed caches join on the key; NULL never matches) —
+  -- dropped on both engines (dirty-star fuzz contract)
   SELECT WURCS,
     CASE WHEN regexp_matches(WURCS, '^WURCS=[^/]+/\d+,\d+,\d+/')
       THEN 'FAKE-GLYCOCT/res='
@@ -98,7 +101,7 @@ g AS (
         || regexp_extract(WURCS, '^WURCS=[^/]+/(\d+),(\d+),(\d+)/', 3)
         || '/' || substr(sha256(WURCS), 1, 10)
       ELSE NULL END AS glycoct
-  FROM src
+  FROM src WHERE WURCS IS NOT NULL
 ),
 c AS (
   SELECT WURCS, glycoct,
@@ -145,7 +148,7 @@ def u8_sugar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("WURCS")
-    ).distinct()
+    ).filter(F.col("WURCS").isNotNull()).distinct()
     # stable per-session cache root (keyed by Spark application id, not
     # a fresh mkdtemp per call): repeat invocations within a bench /
     # correctness session hit the three S16 caches instead of

@@ -144,6 +144,77 @@ def build_corpus(spark):
                     .otherwise(F.col("props")),
                 )
             )
+        if t == "lineitem":
+            # dirty fact rows (bounded slice): NULL ship dates (a feed
+            # that lost the date), NULL discounts/quantities (partial
+            # records). TPC-H declares these NOT NULL; a robust engine
+            # must still agree with its oracle when reality disagrees
+            # with the spec.
+            df = (
+                df.withColumn(
+                    "l_shipdate",
+                    F.when(
+                        (F.col("l_orderkey") % 89 == 7) & (F.col("l_orderkey") < 2000),
+                        F.lit(None).cast(df.schema["l_shipdate"].dataType),
+                    ).otherwise(F.col("l_shipdate")),
+                )
+                .withColumn(
+                    "l_discount",
+                    F.when(
+                        (F.col("l_orderkey") % 89 == 13) & (F.col("l_orderkey") < 2000),
+                        F.lit(None).cast(df.schema["l_discount"].dataType),
+                    ).otherwise(F.col("l_discount")),
+                )
+                .withColumn(
+                    "l_quantity",
+                    F.when(
+                        (F.col("l_orderkey") % 89 == 17) & (F.col("l_orderkey") < 2000),
+                        F.lit(None).cast(df.schema["l_quantity"].dataType),
+                    ).otherwise(F.col("l_quantity")),
+                )
+            )
+        if t == "orders":
+            df = df.withColumn(
+                "o_orderdate",
+                F.when(
+                    (F.col("o_orderkey") % 89 == 19) & (F.col("o_orderkey") < 2000),
+                    F.lit(None).cast(df.schema["o_orderdate"].dataType),
+                ).otherwise(F.col("o_orderdate")),
+            ).withColumn(
+                "o_orderstatus",
+                F.when(
+                    (F.col("o_orderkey") % 89 == 23) & (F.col("o_orderkey") < 2000),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("o_orderstatus")),
+            )
+        if t == "customer":
+            df = df.withColumn(
+                "c_mktsegment",
+                F.when(
+                    (F.col("c_custkey") % 89 == 29) & (F.col("c_custkey") < 500),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("c_mktsegment")),
+            ).withColumn(
+                "c_acctbal",
+                F.when(
+                    (F.col("c_custkey") % 89 == 31) & (F.col("c_custkey") < 500),
+                    F.lit(None).cast(df.schema["c_acctbal"].dataType),
+                ).otherwise(F.col("c_acctbal")),
+            )
+        if t == "part":
+            df = df.withColumn(
+                "p_name",
+                F.when(
+                    (F.col("p_partkey") % 89 == 37) & (F.col("p_partkey") < 500),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("p_name")),
+            ).withColumn(
+                "p_brand",
+                F.when(
+                    (F.col("p_partkey") % 89 == 41) & (F.col("p_partkey") < 500),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("p_brand")),
+            )
         if t == "embeddings":
             # zero-norm and NULL vectors: the shapes the similarity
             # family's boundary filters exist for (a failed encoder
