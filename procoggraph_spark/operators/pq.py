@@ -407,6 +407,13 @@ def ivf_pq_index_numpy(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf):
+                # model dim rules: a vector that doesn't match the
+                # coarse-centroid dimension cannot be encoded (ragged
+                # encoder output must degrade, not crash np.stack)
+                from procoggraph_spark.operators.similarity import rows_of_dim
+
+                pdf = rows_of_dim(pdf, vec_col, C.shape[1])
             if not len(pdf):
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

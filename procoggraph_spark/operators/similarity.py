@@ -64,6 +64,18 @@ SEARCHABLE_SQL = (
 )
 
 
+def rows_of_dim(pdf, vec_col: str, d: int):
+    """Per-batch dimension guard for the numpy kernels: rows whose
+    vector length differs from the query/model dimension ``d`` are
+    unsearchable against it and are dropped — a ragged encoder output
+    (e.g. a truncated embedding) must degrade like a NULL vector, not
+    crash ``np.stack`` with an inhomogeneous-shape error (dirty-vector
+    probe). The JVM paths already degrade (zip_with NULL-pads)."""
+    lens = pdf[vec_col].map(len)
+    mask = lens == d
+    return pdf if bool(mask.all()) else pdf[mask]
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either vector has zero norm (the
     mathematically undefined case — an all-zero feature vector, e.g.
@@ -184,6 +196,14 @@ def gemm_topk(
                 ]
             ),
         )
+    # the query set defines the search dimension: the most common
+    # vector length wins (tie -> smallest, deterministic); deviant-dim
+    # queries are unsearchable, same contract as rows_of_dim below
+    from collections import Counter
+
+    dim_counts = Counter(len(r[vec_col]) for r in qrows)
+    d = min(sorted(dim_counts), key=lambda n: (-dim_counts[n], n))
+    qrows = [r for r in qrows if len(r[vec_col]) == d]
     qids = np.array([r[id_col] for r in qrows])
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     Qn = np.linalg.norm(Q, axis=1)
@@ -191,6 +211,8 @@ def gemm_topk(
     def part(batches):
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf):
+                pdf = rows_of_dim(pdf, vec_col, d)
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -370,6 +392,9 @@ def ivf_assign_numpy(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf):
+                # model dim rules: deviant-dim vectors are unindexable
+                pdf = rows_of_dim(pdf, vec_col, C.shape[1])
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy())
@@ -423,15 +448,21 @@ def train_centroids(
         F.col(id_col).cast("long").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    crows = [
+    # over-collect seeds, then keep only rows matching the FIRST
+    # (lowest-id) seed's dimension: the model dim is defined by that
+    # deterministic anchor, and a deviant-dim row in the seed window
+    # must not crash the centroid stack (ragged-encoder contract)
+    seed_rows = [
         (r["cid"], list(r["_v"]))
-        for r in c.orderBy("cid").limit(n_cells).collect()
+        for r in c.orderBy("cid").limit(4 * n_cells).collect()
     ]
-    if not crows:
+    if not seed_rows:
         raise ValueError(
             "train_centroids: corpus is empty (0 rows) — cannot seed "
             "any cells; check the upstream vector filters"
         )
+    d0 = len(seed_rows[0][1])
+    crows = [(i, v) for i, v in seed_rows if len(v) == d0][:n_cells]
     # re-key cells to dense 0..n_cells-1 so means map back positionally
     crows = [(i, v) for i, (_, v) in enumerate(crows)]
     for _ in range(iterations):
@@ -622,6 +653,9 @@ def lsh_topk(
             import pandas as pd
 
             for pdf in batches:
+                if len(pdf):
+                    # plane dim rules: deviant-dim vectors can't hash
+                    pdf = rows_of_dim(pdf, vec_col, P.shape[1])
                 if len(pdf) == 0:
                     continue
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -583,6 +583,44 @@ def test_similarity_family_boundary_on_degenerate_vectors(spark):
     assert audit[98]["recon_cos"] is None and audit[98]["q_norm2"] is None
 
 
+def test_similarity_family_boundary_on_ragged_vectors(spark):
+    """Dimension guard (round 9): a wrong-LENGTH vector (truncated /
+    ragged encoder output) must degrade like a NULL vector — dropped at
+    the kernel boundary — never crash np.stack with an
+    inhomogeneous-shape error. The JVM paths (zip_with) already
+    NULL-pad; this pins the numpy kernels to the same liveness."""
+    from procoggraph_spark.operators.pq import ivf_pq_index_numpy, train_pq
+    from procoggraph_spark.operators.similarity import (
+        gemm_topk,
+        ivf_topk,
+        lsh_topk,
+        train_centroids,
+    )
+
+    rows = [(i, [float((i % 7) + d) for d in range(8)]) for i in range(30)]
+    rows.append((95, [1.0, 2.0]))        # too short
+    rows.append((96, [0.5] * 12))        # too long
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = corpus.filter("vec_id < 3 OR vec_id >= 95")
+    bad = {95, 96}
+    for fn, kw in [
+        (gemm_topk, dict(k=5)),
+        (lsh_topk, dict(dim=8, n_planes=4, n_tables=2, k=5)),
+        (ivf_topk, dict(n_cells=4, n_probe=2, k=5)),
+    ]:
+        out = fn(corpus, qs, id_col="vec_id", vec_col="embedding", **kw).collect()
+        assert out, fn.__name__
+        assert all(
+            r["query_id"] not in bad and r["neighbor_id"] not in bad for r in out
+        ), fn.__name__
+    # trainers: deviant-dim rows must not poison the model either
+    cents = train_centroids(corpus, id_col="vec_id", n_cells=4, iterations=2)
+    assert all(len(v) == 8 for _, v in cents)
+    cbs = train_pq(corpus, id_col="vec_id", m=4, k=4, dim=8, iterations=2)
+    index = ivf_pq_index_numpy(corpus, cents, cbs, id_col="vec_id").collect()
+    assert {r["vec_id"] for r in index} == set(range(30))
+
+
 def test_release_diff_null_text_classification(spark):
     """corpus-release-diff style presence semantics: a NULL-text doc in
     both versions is 'unchanged' (presence flags, not hash nullness),
