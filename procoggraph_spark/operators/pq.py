@@ -115,13 +115,19 @@ def _codes_column(codebooks: list[list[list[float]]], vec_col: str):
                 # round before the argmin cut (engine-wide convention):
                 # near-tie codes resolve by code order on every backend
                 # (column, numpy, SQL oracle) instead of by last-ulp
-                # summation order
+                # summation order.
+                # A malformed codebook entry (wrong sub-dimension, e.g.
+                # built from a ragged seed vector) gets +inf distance —
+                # its truncated zip would otherwise sum to ~0 and
+                # attract every row to a garbage code
                 F.round(
                     _l2_sq(
                         sub, F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
                     ),
                     6,
-                ).alias("d"),
+                ).alias("d")
+                if len(codebooks[s][c]) == d_sub
+                else F.lit(float("inf")).alias("d"),
                 F.lit(c).alias("c"),
             )
             for c in range(k)
@@ -148,6 +154,10 @@ def pq_adc_topk(
     m = len(codebooks)
     k = len(codebooks[0])
     d_sub = len(codebooks[0][0])
+    # deviant-dim queries are unsearchable against this model: dropped
+    # (same dimension boundary as the searchers' rows_of_dim; a
+    # truncated subspace sum is even the wrong TYPE — sum(()) is int 0)
+    queries = [(qid, qv) for qid, qv in queries if len(qv) == m * d_sub]
     rows = []
     for qid, qv in queries:
         table = []
@@ -155,6 +165,12 @@ def pq_adc_topk(
             qs = qv[s * d_sub:(s + 1) * d_sub]
             for c in range(k):
                 cent = codebooks[s][c]
+                if len(cent) != d_sub:
+                    # malformed codebook entry (ragged seed): +inf —
+                    # never a plausible match, and keeps the table
+                    # float-typed (sum of an empty zip is the INT 0)
+                    table.append(float("inf"))
+                    continue
                 # rounded entries: same near-tie convention as the
                 # encoders, SQL-oracle-replayable ADC sums
                 table.append(
@@ -203,6 +219,12 @@ def ivf_pq_index(
     centroid literals, fine codes via `pq_encode`'s per-subspace
     argmin. No shuffle; the index is written once and scanned by every
     query afterwards."""
+    # dimension boundary (same contract as the numpy twin's
+    # rows_of_dim): a vector that doesn't match the codebook dimension
+    # cannot be encoded — its element_at reads would NULL out the codes
+    # and a NULL ADC distance would sort ABOVE real candidates
+    dim = len(codebooks) * len(codebooks[0][0])
+    df = df.filter(F.size(F.col(vec_col)) == dim)
     v = F.col(vec_col).cast("array<double>")
     cells = F.array(*[
         F.struct(
@@ -242,6 +264,11 @@ def ivf_pq_topk(
     m = len(codebooks)
     k = len(codebooks[0])
     d_sub = len(codebooks[0][0])
+    # deviant-dim queries are unsearchable against this model: dropped
+    # (same dimension boundary as the searchers' rows_of_dim; a
+    # truncated subspace sum is even the wrong TYPE — sum(()) is int 0
+    # — and crashes the dtable DataFrame build)
+    queries = [(qid, qv) for qid, qv in queries if len(qv) == m * d_sub]
     rows = []
     for qid, qv in queries:
         # probe distances and table entries round to 6 decimals before
@@ -255,11 +282,15 @@ def ivf_pq_topk(
         for s in range(m):
             qs = qv[s * d_sub:(s + 1) * d_sub]
             for c in range(k):
+                cent = codebooks[s][c]
+                if len(cent) != d_sub:
+                    # malformed codebook entry (ragged seed): +inf —
+                    # never a plausible match, and keeps the table
+                    # float-typed (sum of an empty zip is the INT 0)
+                    table.append(float("inf"))
+                    continue
                 table.append(
-                    round(
-                        sum((a - b) ** 2 for a, b in zip(qs, codebooks[s][c])),
-                        6,
-                    )
+                    round(sum((a - b) ** 2 for a, b in zip(qs, cent)), 6)
                 )
         for _, cell in by_cell:
             rows.append((qid, cell, table))
@@ -391,14 +422,36 @@ def ivf_pq_index_numpy(
     """
     import numpy as np
 
+    from procoggraph_spark.operators.similarity import _dominant_dim
+
     cells_sorted = sorted(cell_centroids)
     cell_ids = np.array([c for c, _ in cells_sorted], dtype=np.int64)
-    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cells_sorted])
+    # malformed (ragged-seed) cell centroids become +inf rows: never a
+    # plausible argmin, and np.stack stays rectangular
+    d_cell = _dominant_dim(v for _, v in cells_sorted)
+    C = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            if len(v) == d_cell
+            else np.full(d_cell, np.inf)
+            for _, v in cells_sorted
+        ]
+    )
     Cn2 = (C * C).sum(axis=1)
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
+    # malformed (ragged-seed) codebook entries become +inf centroids:
+    # never a plausible argmin, and np.stack stays rectangular — the
+    # same contract as _codes_column's +inf distance
     B = [
-        np.stack([np.asarray(c, dtype=np.float64) for c in codebooks[s]])
+        np.stack(
+            [
+                np.asarray(c, dtype=np.float64)
+                if len(c) == d_sub
+                else np.full(d_sub, np.inf)
+                for c in codebooks[s]
+            ]
+        )
         for s in range(m)
     ]
     Bn2 = [(b * b).sum(axis=1) for b in B]

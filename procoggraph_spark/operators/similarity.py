@@ -64,6 +64,16 @@ SEARCHABLE_SQL = (
 )
 
 
+def _dominant_dim(vectors) -> int:
+    """The model dimension of a vector sample: the most common length
+    (tie -> smallest, deterministic). Anchoring on 'the first row'
+    breaks when that row is itself ragged — the mode does not."""
+    from collections import Counter
+
+    counts = Counter(len(v) for v in vectors)
+    return min(sorted(counts), key=lambda n: (-counts[n], n))
+
+
 def rows_of_dim(pdf, vec_col: str, d: int):
     """Per-batch dimension guard for the numpy kernels: rows whose
     vector length differs from the query/model dimension ``d`` are
@@ -196,13 +206,10 @@ def gemm_topk(
                 ]
             ),
         )
-    # the query set defines the search dimension: the most common
-    # vector length wins (tie -> smallest, deterministic); deviant-dim
-    # queries are unsearchable, same contract as rows_of_dim below
-    from collections import Counter
-
-    dim_counts = Counter(len(r[vec_col]) for r in qrows)
-    d = min(sorted(dim_counts), key=lambda n: (-dim_counts[n], n))
+    # the query set defines the search dimension (dominant length);
+    # deviant-dim queries are unsearchable, same contract as
+    # rows_of_dim below
+    d = _dominant_dim(r[vec_col] for r in qrows)
     qrows = [r for r in qrows if len(r[vec_col]) == d]
     qids = np.array([r[id_col] for r in qrows])
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
@@ -375,7 +382,18 @@ def ivf_assign_numpy(
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     cells = np.array([cid for cid, _ in centroid_rows], dtype=np.int64)
-    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroid_rows])
+    # a malformed (ragged-seed) centroid becomes a +inf row: cosine ~0
+    # / L2 inf — never a plausible assignment, and np.stack stays
+    # rectangular (same contract as the PQ builders)
+    d_cell = _dominant_dim(v for _, v in centroid_rows)
+    C = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            if len(v) == d_cell
+            else np.full(d_cell, np.inf)
+            for _, v in centroid_rows
+        ]
+    )
     Cn = np.linalg.norm(C, axis=1)
     Cn[Cn == 0.0] = 1.0
     Cn2 = (C * C).sum(axis=1)
@@ -461,7 +479,7 @@ def train_centroids(
             "train_centroids: corpus is empty (0 rows) — cannot seed "
             "any cells; check the upstream vector filters"
         )
-    d0 = len(seed_rows[0][1])
+    d0 = _dominant_dim(v for _, v in seed_rows)
     crows = [(i, v) for i, v in seed_rows if len(v) == d0][:n_cells]
     # re-key cells to dense 0..n_cells-1 so means map back positionally
     crows = [(i, v) for i, (_, v) in enumerate(crows)]
@@ -528,9 +546,18 @@ def ivf_topk(
         # collecting it is the same data movement as broadcasting it.
         # Pass `centroids` (e.g. from `train_centroids`) to swap the
         # lowest-id seeds for a trained codebook without a plan change.
-        crows = centroids or [
-            (r["_cell"], list(r["_cv"])) for r in centroid_df.collect()
-        ]
+        if centroids:
+            crows = centroids
+        else:
+            # over-collect, anchor the model dim on the lowest-id seed,
+            # drop deviant-dim rows (ragged-encoder contract — a bad
+            # seed must not crash the centroid stack), keep n_cells
+            seed = [
+                (r["neighbor_id"], list(r["_v"]))
+                for r in c.orderBy("neighbor_id").limit(4 * n_cells).collect()
+            ]
+            d0 = _dominant_dim(v for _, v in seed) if seed else 0
+            crows = [(i, v) for i, v in seed if len(v) == d0][:n_cells]
         if not crows:
             # an IVF index over an empty corpus has no cells; searching
             # it finds nothing — return the contract schema empty

@@ -42,6 +42,16 @@ def _nullify(df, name):
         df = df.withColumn(
             col, F.when(F.col(key) % mod == 0, None).otherwise(F.col(col))
         )
+    if name == "embeddings":
+        # ragged vectors too (a truncated encoder output): the numpy
+        # kernels must drop them at the dimension boundary, never crash
+        # np.stack (round-9 liveness contract)
+        df = df.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 17 == 3, F.slice(F.col("embedding"), 1, 3)
+            ).otherwise(F.col("embedding")),
+        )
     return df
 
 
