@@ -456,21 +456,26 @@ _SRM_SQL = """
     grid AS (SELECT DISTINCT segment FROM obs),
     arms AS (SELECT UNNEST(generate_series(0, 1)) AS arm),
     c AS (
+      -- IS NOT DISTINCT FROM: units with no source label are a REAL
+      -- segment to monitor (unattributed traffic), matching the Spark
+      -- groupBy's NULL-group semantics — a plain equi-join would lose
+      -- the NULL segment between the grid and its own counts
       SELECT g.segment, a.arm, COALESCE(o.n, 0) AS n
       FROM grid g CROSS JOIN arms a
-      LEFT JOIN obs o ON o.segment = g.segment AND o.arm = a.arm
+      LEFT JOIN obs o ON o.segment IS NOT DISTINCT FROM g.segment
+                     AND o.arm = a.arm
     ),
     t AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS tt FROM c GROUP BY 1),
     chi AS (
       SELECT c.segment,
              ROUND(CAST(SUM((2 * c.n - t.tt) * (2 * c.n - t.tt)) AS DOUBLE)
                    / (2 * CAST(t.tt AS DOUBLE)), 6) AS chi2
-      FROM c JOIN t ON t.segment = c.segment
+      FROM c JOIN t ON t.segment IS NOT DISTINCT FROM c.segment
       GROUP BY c.segment, t.tt
     )
     SELECT c.segment, CAST(c.arm AS BIGINT) AS arm, CAST(c.n AS BIGINT) AS n,
            chi.chi2, chi.chi2 > 3.841459 AS srm_flag
-    FROM c JOIN chi ON chi.segment = c.segment
+    FROM c JOIN chi ON chi.segment IS NOT DISTINCT FROM c.segment
     """
 
 

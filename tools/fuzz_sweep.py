@@ -78,6 +78,17 @@ def build_corpus(spark):
                     F.when(cond, val) if expr is None else expr.when(cond, val)
                 )
             df = df.withColumn("text", expr.otherwise(F.col("text")))
+            # dirty provenance: documents with no source label (a feed
+            # that lost attribution) — the sampling/mix/split/caps
+            # family groups, weights, and caps BY source, so NULL must
+            # mean one consistent thing on both engines
+            df = df.withColumn(
+                "source",
+                F.when(
+                    (F.col("doc_id") % 25 == 8) & (F.col("doc_id") < 400),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("source")),
+            )
         if t == "events":
             # dirty telemetry: anonymous events (NULL user_id), events
             # with no value, and events with an unknown/missing type —
