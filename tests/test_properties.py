@@ -651,3 +651,63 @@ def test_select_batch_sequential_equivalence(words, batch_size):
     bat_m, bat_s = _py_bpe_batched(words, 12, batch_size)
     assert bat_m == seq_m
     assert bat_s == seq_s
+
+
+# ---------------------------------------------------------------------------
+# salted_join ≡ plain join, under randomized attack
+# ---------------------------------------------------------------------------
+
+
+def _py_join(fact, dim_keys, how):
+    """Pure-Python reference for a fact-preserving equi-join of
+    fact=(k, fid) rows against a dim key set."""
+    if how == "inner":
+        return sorted((k, fid) for k, fid in fact if k in dim_keys)
+    if how == "left_semi":
+        return sorted((k, fid) for k, fid in fact if k in dim_keys)
+    if how == "left_anti":
+        return sorted((k, fid) for k, fid in fact if k not in dim_keys)
+    raise AssertionError(how)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(0, 10 ** 6)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    ),
+    st.sets(st.integers(-5, 5), max_size=8),
+    st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    st.integers(min_value=1, max_value=6),
+)
+def test_salted_join_equivalence_property(spark, fact_rows, dim_keys, how, salts):
+    """operators.skew.salted_join must be value-identical to the plain
+    join for EVERY accepted fact-preserving how, any salt count, and
+    NEGATIVE keys too (the pmod-vs-% regression: a plain % emits a
+    negative salt for negative keys and those fact rows silently
+    vanish from the inner join against the 0..salts-1 dim replicas).
+    The reference semantics are computed in pure Python; keys are
+    drawn from a tiny domain so hot keys (many fact rows on one key —
+    the operator's raison d'être) occur constantly."""
+    from procoggraph_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(fact_rows, "k long, fid long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in sorted(dim_keys)], "k long, name string"
+    )
+    got = salted_join(fact, dim, key_col="k", salt_from="fid", salts=salts, how=how)
+    if how == "left":
+        rows = sorted(
+            (r["name"] and int(r["name"][1:]), r["fid"])
+            for r in got.select("name", "fid").collect()
+        )
+        expect = sorted(
+            (k if k in dim_keys else None, fid) for k, fid in fact_rows
+        )
+        # None sorts incomparably vs int in py3: compare as multisets
+        assert sorted(rows, key=str) == sorted(expect, key=str)
+    else:
+        rows = sorted((r["k"], r["fid"]) for r in got.select("k", "fid").collect())
+        assert rows == _py_join(fact_rows, dim_keys, how)

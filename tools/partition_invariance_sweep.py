@@ -39,12 +39,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.01"
 
 # (conf key, baseline value, variant value) — all runtime SQL confs.
+# The variant flips physical layout (partitions/splits/broadcast) AND
+# execution internals (interpreted instead of whole-stage codegen,
+# sort-based instead of object-hash aggregation), so a divergence
+# also catches expression semantics that differ between the
+# codegen and interpreted paths.
 CONFS = [
     ("spark.sql.shuffle.partitions", "32", "5"),
     ("spark.sql.adaptive.enabled", "true", "false"),
     ("spark.sql.files.maxPartitionBytes", "134217728", "262144"),
     ("spark.sql.files.openCostInBytes", "4194304", "0"),
     ("spark.sql.autoBroadcastJoinThreshold", "10485760", "-1"),
+    ("spark.sql.codegen.wholeStage", "true", "false"),
+    ("spark.sql.execution.useObjectHashAggregateExec", "true", "false"),
 ]
 
 

@@ -9,7 +9,9 @@ Stages (each a subprocess, same interpreter):
   3. fuzz_sweep --regen                  — degenerate-data differential (exit = divergences)
   4. empty_input_sweep                   — zero-row robustness (exit = raw crashes)
   5. empty_input_sweep --nulls           — NULL-payload robustness
-  6. bench.py at $SPARK_GRAFT_SF_DIR     — must emit its JSON line with rc=0
+  6. partition_invariance_sweep          — results identical under an adversarial
+                                           physical profile (exit = divergences)
+  7. bench.py at $SPARK_GRAFT_SF_DIR     — must emit its JSON line with rc=0
 
 Usage:
     python tools/release_gate.py            # all stages (~40 min)
@@ -45,6 +47,7 @@ def stages(quick: bool) -> list[tuple[str, list[str], dict[str, str]]]:
         ("fuzz", [py, "tools/fuzz_sweep.py", "--regen"], {}),
         ("empty", [py, "tools/empty_input_sweep.py"], {}),
         ("nulls", [py, "tools/empty_input_sweep.py", "--nulls"], {}),
+        ("pinv", [py, "tools/partition_invariance_sweep.py"], {}),
         (
             "bench",
             [py, "bench.py"],
