@@ -141,6 +141,13 @@ def dim_covariance_topk(
     d x d matrix per partition, then a d^2-row merge); the join form is
     the engine-portable twin the oracle can replay.
     """
+    # population boundary: a vector with a NaN/Inf component has no
+    # integer quantization (round(NaN*quant) ANSI-crashes the cast) and
+    # would poison every covariance sum it enters — excluded from the
+    # population AND its size n, on both engines (oracle: FINITE_SQL)
+    from procoggraph_spark.operators.similarity import finite_vectors
+
+    emb = finite_vectors(emb, vec_col)
     q = emb.select(
         F.col(id_col).alias("_id"),
         F.posexplode(

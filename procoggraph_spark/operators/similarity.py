@@ -34,24 +34,55 @@ def l2_norm(a: Column) -> Column:
 
 
 def searchable(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """The similarity family's shared boundary filter: NULL vectors and
-    zero-norm (all-zero) vectors are unsearchable and unindexable —
-    cosine is undefined at zero norm, an unguarded division NaNs (and
-    NaN sorts ABOVE real sims in a desc rank window) or ANSI-crashes.
-    One predicate, applied at every operator's vector load, so the
-    whole family shares one edge contract; the SQL twins filter with
-    the equivalent `v IS NOT NULL AND list_dot_product(v, v) > 0`.
+    """The similarity family's shared boundary filter: NULL vectors,
+    zero-norm (all-zero) vectors, and vectors with any NON-FINITE
+    component are unsearchable and unindexable — cosine is undefined at
+    zero norm, an unguarded division NaNs, and a NaN/Inf similarity
+    sorts ABOVE every real one in a desc rank window on the JVM path
+    while numpy's argsort puts NaN LAST, so a single poisoned vector
+    makes ranks engine-dependent. One predicate, applied at every
+    operator's vector load, so the whole family shares one edge
+    contract; the SQL twin is SEARCHABLE_SQL.
 
     Squares in DOUBLE (matching SEARCHABLE_SQL's CAST(x AS DOUBLE)):
     squaring in the array's native float would underflow |x| ~< 1e-23
     to a zero sum and disagree with the oracle on which vectors are
-    searchable."""
-    sq = F.aggregate(
+    searchable. Finiteness rides the same fold: a NaN component makes
+    the sum NaN and an Inf/overflow component makes it +Inf, and BOTH
+    engines place NaN above +Inf in the comparison total order, so
+    `sum < +Inf` is a one-predicate finite-and-usable test."""
+    sq = _sq_sum(vec_col)
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & (sq > 0.0)
+        & (sq < F.lit(float("inf")))
+    )
+
+
+def _sq_sum(vec_col: str) -> Column:
+    """Sum of double-squared components — NaN if any component is NaN,
+    +Inf if any component is ±Inf (or the squares overflow)."""
+    return F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return df.filter(F.col(vec_col).isNotNull() & (sq > 0.0))
+
+
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The weaker boundary for population statistics (covariance,
+    per-dim z-scores): non-NULL vectors whose components are all
+    finite. Unlike ``searchable``, zero-norm vectors STAY — an all-zero
+    embedding is a legitimate data point for corpus QA, it is only
+    undefined as a cosine-search operand. A NaN/Inf component, by
+    contrast, poisons any aggregate it enters (and integer
+    quantization ANSI-crashes on it), so a non-finite vector
+    contributes to no population on either engine. SQL twin:
+    FINITE_SQL."""
+    sq = _sq_sum(vec_col)
+    return df.filter(
+        F.col(vec_col).isNotNull() & (sq < F.lit(float("inf")))
+    )
 
 
 # SQL fragment for the same boundary in DuckDB oracles (append to the
@@ -59,9 +90,12 @@ def searchable(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 # NOTE: NOT list_dot_product — DuckDB's list_inner_product raises on a
 # NULL list even behind `{v} IS NOT NULL AND ...` (no short-circuit
 # guarantee in WHERE); the list_sum fold is NULL-safe (NULL -> 0).
-SEARCHABLE_SQL = (
-    "COALESCE(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)), 0) > 0"
-)
+# The `< 'inf'` leg is the finiteness test (NaN > Inf in DuckDB's
+# comparison order too, so it excludes NaN and Inf sums alike).
+_SQ_SQL = "COALESCE(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * x)), 0)"
+SEARCHABLE_SQL = f"{_SQ_SQL} > 0 AND {_SQ_SQL} < 'inf'::DOUBLE"
+# finite_vectors' twin: non-NULL + all-finite (zero-norm kept)
+FINITE_SQL = f"{{v}} IS NOT NULL AND {_SQ_SQL} < 'inf'::DOUBLE"
 
 
 def _dominant_dim(vectors) -> int:
@@ -797,6 +831,16 @@ def int8_quantize_stats(
             (a["qn2d"] + e["c"] * e["c"]).alias("qn2d"),
         ),
     )
+    # audit contract, non-finite leg: a vector with a NaN/Inf component
+    # has no int8 code (round(NaN*127/amax) ANSI-crashes the long cast)
+    # — the row STAYS in the audit with NULL stats, flagging the broken
+    # encoder instead of crashing the scan or silently dropping it. The
+    # CASE gate is evaluated per-row BEFORE the fold, so the crashing
+    # cast never runs (oracle twin gates each output the same way).
+    finite = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ) < F.lit(float("inf"))
+    stats = F.when(finite, stats)
     return df.select(F.col(id_col), stats.alias("_s")).select(
         id_col,
         F.col("_s.qn2").alias("q_norm2"),

@@ -491,10 +491,12 @@ _BRUTEFORCE_SQL = """
                FROM embeddings
                WHERE vec_id < 5
                  AND COALESCE(list_sum(list_transform(
-                       embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                       embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
           WHERE COALESCE(list_sum(list_transform(
-                  embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                  embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(qv, cv) /
@@ -550,7 +552,8 @@ def _lsh_oracle_sql(*, n_tables: int = 8, n_planes: int = 4, dim: int = 64,
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE COALESCE(list_sum(list_transform(
-                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     b AS (
       {buckets}
     ),
@@ -587,7 +590,8 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ORACLE_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE COALESCE(list_sum(list_transform(
-                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     cent AS (
       SELECT vec_id AS cell, v AS cv,
              CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0

@@ -183,9 +183,20 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_outlier_zscore",
     """
-    WITH x AS (
+    WITH fe AS (
+      -- finite_vectors boundary: a NaN/Inf component would poison the
+      -- per-dim mean (Spark) and overflow STDDEV_POP (DuckDB raises
+      -- Out of Range) — non-finite vectors are excluded from the
+      -- population on both engines; zero-norm vectors stay (legit QA
+      -- data points)
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND COALESCE(list_sum(list_transform(
+              embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
+    ),
+    x AS (
       SELECT vec_id, label, i, embedding[i] AS v
-      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+      FROM fe, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
     ),
     s AS (SELECT i, AVG(v) AS m, stddev_pop(v) AS sd FROM x GROUP BY i),
     z AS (
@@ -204,8 +215,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding outlier QA: flag vectors whose worst per-dimension z-score is ≥3 (corrupt encodes, wrong-modality rows, normalization bugs). Per-dim mean/stddev_pop is one hash aggregation over a BOUNDED key space (the dim index); the stats come back as a single broadcast row of dim-indexed arrays and the z fold runs zip_with/aggregate at scan speed — the emb_centroid_medoid discipline: never a (vec,dim)-keyed join-back of the corpus, never a per-dim collect of raw vectors. z rounded to 4 before compare so both engines gate on identical values."""
-    e = t(spark, sf_dir, "embeddings")
+    """Embedding outlier QA: flag vectors whose worst per-dimension z-score is ≥3 (corrupt encodes, wrong-modality rows, normalization bugs). Per-dim mean/stddev_pop is one hash aggregation over a BOUNDED key space (the dim index); the stats come back as a single broadcast row of dim-indexed arrays and the z fold runs zip_with/aggregate at scan speed — the emb_centroid_medoid discipline: never a (vec,dim)-keyed join-back of the corpus, never a per-dim collect of raw vectors. z rounded to 4 before compare so both engines gate on identical values. Non-finite vectors are excluded from the population (finite_vectors boundary — a NaN component poisons the per-dim mean; DuckDB's STDDEV_POP raises outright on Inf)."""
+    from procoggraph_spark.operators.similarity import finite_vectors
+
+    e = finite_vectors(t(spark, sf_dir, "embeddings"))
     d = e.select("vec_id", F.posexplode("embedding").alias("dim", "_vf")).withColumn(
         "v", F.col("_vf").cast("double")
     )

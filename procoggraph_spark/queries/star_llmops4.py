@@ -112,7 +112,8 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_PQ_RERANK_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE COALESCE(list_sum(list_transform(
-                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     seed AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)

@@ -116,25 +116,36 @@ _INT8_QUANT_SQL = """
     ),
     qq AS (
       SELECT vec_id, v,
-             list_transform(v, x -> round(x * 127.0 / amax)) AS q
+             list_transform(v, x -> round(x * 127.0 / amax)) AS q,
+             -- audit contract, non-finite leg: no int8 code exists for
+             -- a NaN/Inf component (the BIGINT cast would overflow) —
+             -- the row stays with NULL stats (Spark gates identically)
+             COALESCE(list_sum(list_transform(v, x -> x * x)), 0)
+               < 'inf'::DOUBLE AS is_finite
       FROM a
     )
     SELECT vec_id,
-           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_norm2,
-           CAST(list_sum(list_transform(q,
-                x -> CASE WHEN abs(x) >= 127.0 THEN 1 ELSE 0 END))
-                AS BIGINT) AS n_saturated,
+           CASE WHEN is_finite THEN
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+           END AS q_norm2,
+           CASE WHEN is_finite THEN
+             CAST(list_sum(list_transform(q,
+                  x -> CASE WHEN abs(x) >= 127.0 THEN 1 ELSE 0 END))
+                  AS BIGINT)
+           END AS n_saturated,
            -- generate_series folds, NOT list_dot_product: the latter
            -- raises on a NULL list even under CASE (vectorized branch
            -- evaluation does not short-circuit); these yield NULL for
            -- NULL v, and a zero-norm vector divides 0/0 -> NULL (same
            -- as the Spark side's explicit guard)
-           ROUND(list_sum(list_transform(generate_series(1, len(v)),
-                     i -> v[i] * q[i])) /
-                 (sqrt(list_sum(list_transform(generate_series(1, len(v)),
-                     i -> v[i] * v[i]))) *
-                  sqrt(list_sum(list_transform(generate_series(1, len(q)),
-                     i -> q[i] * q[i])))), 6) AS recon_cos
+           CASE WHEN is_finite THEN
+             ROUND(list_sum(list_transform(generate_series(1, len(v)),
+                       i -> v[i] * q[i])) /
+                   (sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                       i -> v[i] * v[i]))) *
+                    sqrt(list_sum(list_transform(generate_series(1, len(q)),
+                       i -> q[i] * q[i])))), 6)
+           END AS recon_cos
     FROM qq
     """
 
@@ -192,10 +203,20 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Matryoshka (truncated-dimension) search -------------------------------
 
 _MATRYOSHKA_SQL = """
-    WITH e AS (
+    WITH sliced AS (
       SELECT vec_id,
              list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS v
       FROM embeddings
+    ),
+    e AS (
+      -- searchable() boundary on the SLICED vector (the Spark side
+      -- slices first, then brute_force_topk filters): a NaN/Inf or
+      -- zero-norm prefix is unsearchable at this resolution
+      SELECT vec_id, v FROM sliced
+      WHERE v IS NOT NULL
+        AND COALESCE(list_sum(list_transform(v, x -> x * x)), 0) > 0
+        AND COALESCE(list_sum(list_transform(v, x -> x * x)), 0)
+              < 'inf'::DOUBLE
     ),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
     scored AS (

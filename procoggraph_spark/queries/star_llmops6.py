@@ -274,12 +274,14 @@ _HARD_NEG_SQL = """
              CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 5
         AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
     ),
     c AS (
       SELECT vec_id AS neighbor_id, label AS neighbor_label,
              CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings
       WHERE COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
     ),
     scored AS (
       SELECT q.query_id, q.query_label, c.neighbor_id, c.neighbor_label,
@@ -324,11 +326,13 @@ _KNN_VOTE_SQL = """
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id % 10 <> 0
         AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
     ),
     u AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE vec_id % 10 = 0
         AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
     ),
     scored AS (
       SELECT u.vec_id AS query_id, l.vec_id AS neighbor_id, l.label,

@@ -71,7 +71,8 @@ def _mmr_oracle_sql(*, k: int = 5, pool: int = 20, lam: float = 0.7,
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE COALESCE(list_sum(list_transform(
-                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
     scored AS (
       SELECT query_id, e.vec_id AS nid,
@@ -254,14 +255,23 @@ def events_weekly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding dimension covariance ---------------------------------------
 
 _COV_SQL = """
-    WITH q AS (
+    WITH fe AS (
+      -- population boundary (finite_vectors' twin): a NaN/Inf
+      -- component has no integer quantization and would poison every
+      -- covariance sum — excluded from the population AND from n
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND COALESCE(list_sum(list_transform(
+              embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
+    ),
+    q AS (
       SELECT vec_id AS id, i - 1 AS dim,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
                   AS BIGINT) AS qv
-      FROM embeddings,
+      FROM fe,
            LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
     ),
-    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM fe),
     s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY dim),
     c AS (SELECT a.dim AS i, b.dim AS j,
                  CAST(SUM(a.qv * b.qv) AS BIGINT) AS sij
@@ -378,7 +388,8 @@ def events_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROCCHIO_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE COALESCE(list_sum(list_transform(
-                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0),
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
     qz AS (SELECT vec_id AS query_id,
                   list_transform(v, x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
                     AS qq,

@@ -502,7 +502,16 @@ def _emb_twins(e: DataFrame) -> DataFrame:
     "dedup_embedding_cosine",
     """
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                  FROM embeddings WHERE vec_id < 200),
+                  FROM embeddings WHERE vec_id < 200
+                    -- searchable() boundary: a NaN cosine passes
+                    -- `>= 0.9` on BOTH engines (NaN ranks above every
+                    -- real number in the comparison total order), so
+                    -- one poisoned vector floods the near-dup pairs
+                    AND COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
+                    AND COALESCE(list_sum(list_transform(
+                          embedding, x -> CAST(x AS DOUBLE) * x)), 0)
+                          < 'inf'::DOUBLE),
     twins AS (
       SELECT vec_id + 1000 AS vec_id, vv AS v FROM (
         SELECT vec_id, list_transform(range(0, 64), d ->
@@ -522,11 +531,14 @@ def _emb_twins(e: DataFrame) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs >= 0.9 over planted twins: SimHash pigeonhole blocking + exact rerank; oracle is the exact all-pairs twin."""
     from procoggraph_spark.operators import dedup as D
-    from procoggraph_spark.operators.similarity import cosine, hyperplane_signature
+    from procoggraph_spark.operators.similarity import (
+        cosine,
+        hyperplane_signature,
+        searchable,
+    )
 
     base = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
+        searchable(t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     corpus = base.unionByName(_emb_twins(base))

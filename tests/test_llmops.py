@@ -929,3 +929,54 @@ def test_degenerate_doc_edge_contracts(spark):
         ).collect()
     }
     assert fps[3] == 0 and fps[4] != 0 and fps[6] is None
+
+
+def test_similarity_family_boundary_on_nonfinite_vectors(spark):
+    """Non-finite contract (round 9): a vector with a NaN or Inf
+    component is unsearchable/unindexable — BOTH engines place NaN
+    above +Inf above every real in the comparison total order, so a
+    poisoned cosine passes any `>= t` gate and ranks FIRST in a desc
+    window on the JVM path while numpy's argsort ranks it LAST; and
+    integer quantization ANSI-crashes (CAST_OVERFLOW) on it. searchable
+    drops it, finite_vectors drops it (but keeps zero-norm), and the
+    int8 audit keeps the row with NULL stats."""
+    from procoggraph_spark.operators.similarity import (
+        brute_force_topk,
+        finite_vectors,
+        int8_quantize_stats,
+        searchable,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [(i, [float((i % 7) + d) for d in range(8)]) for i in range(30)]
+    rows.append((95, [1.0, 2.0, nan] + [0.5] * 5))   # NaN component
+    rows.append((96, [1.0, inf] + [0.25] * 6))       # +Inf component
+    rows.append((97, [0.0] * 8))                     # zero-norm (finite)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ok = set(range(30))
+    assert {r["vec_id"] for r in searchable(corpus).collect()} == ok
+    assert {r["vec_id"] for r in finite_vectors(corpus).collect()} == ok | {97}
+
+    qs = corpus.filter("vec_id < 3 OR vec_id >= 95")
+    out = brute_force_topk(corpus, qs, id_col="vec_id", vec_col="embedding", k=5)
+    bad = {95, 96, 97}
+    got = out.collect()
+    assert got
+    assert all(
+        r["query_id"] not in bad and r["neighbor_id"] not in bad for r in got
+    )
+    # no NaN/Inf similarity survives anywhere in the ranked output
+    import math
+
+    assert all(math.isfinite(r["cosine_sim"]) for r in got)
+
+    audit = {r["vec_id"]: r for r in int8_quantize_stats(corpus).collect()}
+    assert len(audit) == 33  # every row keeps its audit row
+    for poisoned in (95, 96):
+        r = audit[poisoned]
+        assert r["q_norm2"] is None
+        assert r["n_saturated"] is None
+        assert r["recon_cos"] is None
+    assert audit[97]["q_norm2"] == 0  # zero-norm: defined codes, NULL cosine
+    assert audit[97]["recon_cos"] is None

@@ -229,15 +229,37 @@ def build_corpus(spark):
         if t == "embeddings":
             # zero-norm and NULL vectors: the shapes the similarity
             # family's boundary filters exist for (a failed encoder
-            # emits zeros or nothing; cosine is undefined at zero norm)
+            # emits zeros or nothing; cosine is undefined at zero norm).
+            # NaN/Inf components: a diverged encoder (fp16 overflow,
+            # 0/0 in a normalization layer) — must be unsearchable on
+            # BOTH engines, not rank-poison (Spark's total order puts
+            # NaN sims FIRST in desc windows; numpy argsort puts them
+            # LAST — one poisoned vector makes top-k engine-dependent).
             dim = df.selectExpr("size(embedding) AS d").first()["d"]
             zero = F.array(*[F.lit(0.0).cast("float") for _ in range(dim)])
+
+            def poisoned(bad: float):
+                return F.array(
+                    *[
+                        F.lit(bad if i == 3 else 0.25).cast("float")
+                        for i in range(dim)
+                    ]
+                )
+
             df = df.withColumn(
                 "embedding",
                 F.when((F.col("vec_id") % 50 == 37) & (F.col("vec_id") < 400), zero)
                 .when(
                     (F.col("vec_id") % 50 == 43) & (F.col("vec_id") < 400),
                     F.lit(None).cast(df.schema["embedding"].dataType),
+                )
+                .when(
+                    (F.col("vec_id") % 50 == 11) & (F.col("vec_id") < 400),
+                    poisoned(float("nan")),
+                )
+                .when(
+                    (F.col("vec_id") % 50 == 17) & (F.col("vec_id") < 400),
+                    poisoned(float("inf")),
                 )
                 .otherwise(F.col("embedding")),
             )
