@@ -24,6 +24,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _finite_num(c: Column) -> Column:
+    """queries.common.finite_num's operator-layer twin (kept local to
+    avoid importing the query layer): NaN/±Inf measures degrade to NULL
+    — both engines order NaN above +Inf above every real, so one
+    band predicate covers all three."""
+    return F.when(
+        (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
+    )
+
+
 
 def _sql_str(v) -> str:
     """Escape a value as a SQL single-quoted string literal (quotes
@@ -739,8 +749,12 @@ def last_touch_attribution(
         .groupBy(F.col("_prev").alias("touch_type"))
         .agg(
             F.count("*").alias("n_conversions"),
+            # finite_num: a NaN/Inf value would ANSI-crash the exact-
+            # cents long cast — degrades to NULL like a missing value
             F.sum(
-                F.round(F.col(value_col) * (10 ** cents_scale), 0).cast("long")
+                F.round(
+                    _finite_num(F.col(value_col)) * (10 ** cents_scale), 0
+                ).cast("long")
             ).alias("_vc"),
         )
     )
@@ -837,7 +851,9 @@ def cohort_ltv(
     """
     orders = orders.filter(F.col(date_col).isNotNull())
     if cents_col is None:
-        cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+        cents_col = F.round(_finite_num(F.col("o_totalprice")) * 100).cast(
+            "long"
+        )
     mon = F.date_trunc("month", F.col(date_col))
     first = orders.groupBy(cust_col).agg(F.min(mon).alias("cohort_month"))
     sized = first.groupBy("cohort_month").agg(

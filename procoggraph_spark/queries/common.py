@@ -247,11 +247,25 @@ def _staged_splittable(path: str) -> str:
 
 
 def dec2(c: Column) -> Column:
-    return c.cast("decimal(18,2)")
+    return finite_num(c).cast("decimal(18,2)")
 
 
 def dec4(c: Column) -> Column:
-    return c.cast("decimal(18,4)")
+    return finite_num(c).cast("decimal(18,4)")
+
+
+def finite_num(c: Column) -> Column:
+    """Non-finite measure contract: a NaN/±Inf numeric (a corrupt feed
+    value — fp decode garbage, an overflowed upstream computation) is
+    an UNKNOWN measure and degrades to NULL, exactly like a missing
+    value, instead of ANSI-crashing the integer/decimal cast it flows
+    into or poisoning a whole aggregate. One predicate covers all
+    three: both engines order NaN above +Inf above every real, so
+    ``-Inf < c AND c < +Inf`` is false for ±Inf and for NaN alike.
+    SQL twin: ``CASE WHEN isfinite(x) THEN x END``."""
+    return F.when(
+        (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
+    )
 
 
 def cents(c: Column, scale: int = 2) -> Column:
@@ -262,8 +276,10 @@ def cents(c: Column, scale: int = 2) -> Column:
     associative, so results are partitioning-independent like decimal.
     Overflow headroom: 9.2e18 cents ≈ 9.2e16 in measure units; beyond
     that (extreme 100 TB rollups) switch the final reduce to
-    ``sum(cast(c as decimal(38,scale)))``."""
-    return F.round(c * (10 ** scale), 0).cast("long")
+    ``sum(cast(c as decimal(38,scale)))``. Non-finite inputs degrade to
+    NULL via ``finite_num`` (they have no cents representation — the
+    long cast would ANSI-crash on them)."""
+    return F.round(finite_num(c) * (10 ** scale), 0).cast("long")
 
 
 def dsum2(c: Column) -> Column:

@@ -170,7 +170,7 @@ _LTV_SQL = """
                    - year(f.cohort_month)) * 12
                   + (month(date_trunc('month', o.o_orderdate))
                      - month(f.cohort_month)) AS BIGINT) AS month_offset,
-             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+             CAST(SUM(CAST(ROUND((CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END) * 100, 0) AS BIGINT))
                   AS BIGINT) AS revenue_cents
       FROM orders o JOIN f ON o.o_custkey = f.o_custkey
       WHERE o.o_orderdate IS NOT NULL

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from procoggraph_spark.queries.common import cents, dsum2, t
+from procoggraph_spark.queries.common import cents, dsum2, finite_num, t
 
 QUERIES = {}
 ORACLES = {}
@@ -314,7 +314,7 @@ def p8_column_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderpriority, status_v, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM src GROUP BY o_orderpriority, status_v
     """,
 )
@@ -374,9 +374,9 @@ def a11_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_pivot_status",
     """
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -442,15 +442,29 @@ def f9_selector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderpriority,
-           COUNT(CASE WHEN raw_val NOT IN ('?', '.') THEN 1 END) AS n_valid,
+           -- a parsed value that is NaN/Inf is one more sentinel shape
+           -- (a '?' and a 'NaN' both mean "no usable number"): excluded
+           -- from n_valid AND the sum on both engines
+           -- TRY_CAST, not CAST: DuckDB's AND is vectorized with no
+           -- short-circuit guarantee, so a guarded CAST('?') can still
+           -- raise; TRY_CAST degrades the sentinel to NULL and
+           -- isfinite(NULL) falls through the CASE
+           COUNT(CASE WHEN raw_val NOT IN ('?', '.')
+                       AND isfinite(TRY_CAST(raw_val AS DOUBLE)) THEN 1 END)
+               AS n_valid,
            CAST(SUM(CASE WHEN raw_val NOT IN ('?', '.')
-                         THEN CAST(CAST(raw_val AS DOUBLE) AS DECIMAL(18,2)) END)
+                          AND isfinite(TRY_CAST(raw_val AS DOUBLE))
+                         THEN CAST(TRY_CAST(raw_val AS DOUBLE)
+                                   AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS total
     FROM src GROUP BY o_orderpriority
     """,
 )
 def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F16: sentinel-filtered cast-and-sum (non-numeric sentinels excluded before aggregation)."""
+    """F16: sentinel-filtered cast-and-sum (non-numeric sentinels
+    excluded before aggregation; a value that parses to NaN/Inf is one
+    more sentinel shape — no usable number — excluded from n_valid and
+    the sum alike)."""
     o = t(spark, sf_dir, "orders")
     raw = (
         F.when(F.col("o_orderkey") % 97 == 0, "?")
@@ -458,7 +472,12 @@ def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice").cast("string"))
     )
     src = o.select("o_orderpriority", raw.alias("raw_val"))
-    valid = ~F.col("raw_val").isin("?", ".")
+    # the numeric probe stays INSIDE the sentinel branch: ANSI cast of
+    # '?' raises, so the when() must gate it (CaseWhen is lazy per-row)
+    valid = F.when(
+        ~F.col("raw_val").isin("?", "."),
+        finite_num(F.col("raw_val").cast("double")).isNotNull(),
+    ).otherwise(F.lit(False))
     return src.groupBy("o_orderpriority").agg(
         F.count(F.when(valid, 1)).alias("n_valid"),
         (F.sum(F.when(valid, cents(F.col("raw_val").cast("double"), 2))) / 100.0)
@@ -571,12 +590,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 300),
     tot AS (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      SELECT l_orderkey, SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS total_qty
       FROM li GROUP BY l_orderkey
     ),
     grp AS (
       SELECT l_orderkey, l_partkey,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+             SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS qty,
              list_sort(list(l_linenumber)) AS interface
       FROM li GROUP BY l_orderkey, l_partkey
     )
@@ -776,11 +795,15 @@ def t_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                AS avg_qty,
-           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
-           ROUND(var_samp(l_quantity), 6) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(stddev_samp(CASE WHEN isfinite(l_quantity)
+                             THEN l_quantity END), 6) AS sd_qty,
+           ROUND(var_samp(CASE WHEN isfinite(l_quantity)
+                          THEN l_quantity END), 6) AS var_qty,
+           ROUND(corr(CASE WHEN isfinite(l_quantity) THEN l_quantity END,
+                      CASE WHEN isfinite(l_extendedprice)
+                      THEN l_extendedprice END), 6) AS corr_qty_price,
            ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -791,12 +814,17 @@ def a_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (each moment is an associative (n, sum, co-moment) triple,
     so the shape is shuffle-light at any scale)."""
     l = t(spark, sf_dir, "lineitem")
+    # non-finite measures enter no moment (a single Inf makes stddev
+    # NaN here and raises Out-of-Range in DuckDB) — finite_num degrades
+    # them to NULL, which every moment aggregate already skips
+    fq = finite_num(F.col("l_quantity"))
+    fp = finite_num(F.col("l_extendedprice"))
     return l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         (dsum2(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.stddev_samp(fq), 6).alias("sd_qty"),
+        F.round(F.var_samp(fq), 6).alias("var_qty"),
+        F.round(F.corr(fq, fp), 6).alias("corr_qty_price"),
         # + 0.0 canonicalizes IEEE -0.0 (a near-zero covariance rounds to
         # -0.0 on one engine and +0.0 on the other) — same on the oracle.
         (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
@@ -810,12 +838,12 @@ def a_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "a_histogram_fixed_width",
     """
-    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+    SELECT CAST(least(floor((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) / 25000), 19) AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price
     FROM orders
-    GROUP BY CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT)
+    GROUP BY CAST(least(floor((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) / 25000), 19) AS BIGINT)
     """,
 )
 def a_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,7 +854,11 @@ def a_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregation with map-side partials, and the bucket total uses
     the exact decimal-sum discipline."""
     o = t(spark, sf_dir, "orders")
-    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    # finite_num: a NaN total has no bucket (floor(NaN) would ANSI-crash
+    # the long cast) — it groups under the NULL bucket like a NULL total
+    bucket = F.least(
+        F.floor(finite_num(F.col("o_totalprice")) / 25000), F.lit(19)
+    ).cast("long")
     return o.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_orders"),
         dsum2(F.col("o_totalprice")).alias("total_price"),
@@ -845,7 +877,13 @@ SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status,
        GROUPING(o_orderpriority) AS g_prio,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       -- engine-portable finiteness gate (this string runs VERBATIM on
+       -- Spark and DuckDB, so no isfinite(): both engines parse the
+       -- Infinity literal and order NaN above it)
+       CAST(SUM(CAST((CASE WHEN o_totalprice > CAST('-Infinity' AS DOUBLE)
+                            AND o_totalprice < CAST('Infinity' AS DOUBLE)
+                      THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
 FROM {table}
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                         (o_orderstatus, o_orderpriority), ())

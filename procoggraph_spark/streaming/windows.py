@@ -119,13 +119,18 @@ def _user_totals_fn(key, pdfs, state):
     are bit-identical to the batch twin."""
     import pandas as pd
 
+    import numpy as np
+
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # dropna: SQL SUM skips NULLs — a NULL value must not poison
-        # the exact-cents total (int(NaN) raises), and the row still
-        # counts toward n like the batch twin's count(*)
-        cents += int(round(pdf["value"].dropna() * 100, 0).sum())
+        # isfinite mask: SQL SUM skips NULLs (NaN in pandas), and the
+        # batch twin's finite_num gate degrades NaN/±Inf to NULL — the
+        # same rows are excluded here so streamed totals stay
+        # bit-identical (int(NaN) raises, int(Inf) overflows); the row
+        # still counts toward n like the batch twin's count(*)
+        v = pdf["value"]
+        cents += int(round(v[np.isfinite(v)] * 100, 0).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}

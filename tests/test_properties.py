@@ -699,13 +699,13 @@ def test_salted_join_equivalence_property(spark, fact_rows, dim_keys, how, salts
     )
     got = salted_join(fact, dim, key_col="k", salt_from="fid", salts=salts, how=how)
     if how == "left":
-        rows = sorted(
+        rows = [
             (r["name"] and int(r["name"][1:]), r["fid"])
             for r in got.select("name", "fid").collect()
-        )
-        expect = sorted(
+        ]
+        expect = [
             (k if k in dim_keys else None, fid) for k, fid in fact_rows
-        )
+        ]
         # None sorts incomparably vs int in py3: compare as multisets
         assert sorted(rows, key=str) == sorted(expect, key=str)
     else:

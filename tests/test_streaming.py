@@ -120,7 +120,9 @@ def test_stateful_user_totals_equals_batch(spark, tmp_path):
     """applyInPandasWithState running totals, drained availableNow, must
     equal the batch groupBy twin (exact cents discipline end-to-end) —
     including NULL event values, which SQL SUM skips but an unguarded
-    pandas fold would turn into int(NaN) and crash the state update."""
+    pandas fold would turn into int(NaN) and crash the state update,
+    and NaN/Inf values, which the batch twin's finite_num gate degrades
+    to NULL while an unguarded pandas fold overflows int(Inf)."""
     from pyspark.sql import functions as F
 
     from procoggraph_spark.streaming.windows import (
@@ -132,6 +134,8 @@ def test_stateful_user_totals_equals_batch(spark, tmp_path):
     ev = ev.withColumn(
         "value",
         F.when(F.col("event_id") % 11 == 3, F.lit(None).cast("double"))
+        .when(F.col("event_id") % 11 == 5, F.lit(float("nan")))
+        .when(F.col("event_id") % 11 == 7, F.lit(float("inf")))
         .otherwise(F.col("value")),
     )
     ev.write.mode("overwrite").parquet(path)

@@ -106,7 +106,12 @@ def build_corpus(spark):
                     F.when(
                         (F.col("event_id") % 97 == 23) & (F.col("event_id") < 2000),
                         F.lit(None).cast(df.schema["value"].dataType),
-                    ).otherwise(F.col("value")),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 29) & (F.col("event_id") < 2000),
+                        F.lit(float("nan")),
+                    )
+                    .otherwise(F.col("value")),
                 )
                 .withColumn(
                     "event_type",
@@ -183,6 +188,24 @@ def build_corpus(spark):
                         F.lit(None).cast(df.schema["l_quantity"].dataType),
                     ).otherwise(F.col("l_quantity")),
                 )
+                # non-finite measures: fp decode garbage / overflowed
+                # upstream computations — an exact-cents fold must not
+                # ANSI-crash its long cast on them (contract: degrade
+                # to NULL like a missing value, both engines)
+                .withColumn(
+                    "l_extendedprice",
+                    F.when(
+                        (F.col("l_orderkey") % 89 == 29) & (F.col("l_orderkey") < 2000),
+                        F.lit(float("nan")),
+                    ).otherwise(F.col("l_extendedprice")),
+                )
+                .withColumn(
+                    "l_quantity",
+                    F.when(
+                        (F.col("l_orderkey") % 89 == 31) & (F.col("l_orderkey") < 2000),
+                        F.lit(float("inf")),
+                    ).otherwise(F.col("l_quantity")),
+                )
             )
         if t == "orders":
             df = df.withColumn(
@@ -197,6 +220,12 @@ def build_corpus(spark):
                     (F.col("o_orderkey") % 89 == 23) & (F.col("o_orderkey") < 2000),
                     F.lit(None).cast("string"),
                 ).otherwise(F.col("o_orderstatus")),
+            ).withColumn(
+                "o_totalprice",
+                F.when(
+                    (F.col("o_orderkey") % 89 == 41) & (F.col("o_orderkey") < 2000),
+                    F.lit(float("nan")),
+                ).otherwise(F.col("o_totalprice")),
             )
         if t == "customer":
             df = df.withColumn(
@@ -210,7 +239,12 @@ def build_corpus(spark):
                 F.when(
                     (F.col("c_custkey") % 89 == 31) & (F.col("c_custkey") < 500),
                     F.lit(None).cast(df.schema["c_acctbal"].dataType),
-                ).otherwise(F.col("c_acctbal")),
+                )
+                .when(
+                    (F.col("c_custkey") % 89 == 43) & (F.col("c_custkey") < 500),
+                    F.lit(float("-inf")),
+                )
+                .otherwise(F.col("c_acctbal")),
             )
         if t == "part":
             df = df.withColumn(
