@@ -26,12 +26,11 @@ from pyspark.sql import functions as F
 
 def _finite_num(c: Column) -> Column:
     """queries.common.finite_num's operator-layer twin (kept local to
-    avoid importing the query layer): NaN/±Inf measures degrade to NULL
-    — both engines order NaN above +Inf above every real, so one
-    band predicate covers all three."""
-    return F.when(
-        (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
-    )
+    avoid importing the query layer): NaN/±Inf and out-of-band measures
+    degrade to NULL — both engines order NaN above +Inf above every
+    real, so ONE band predicate covers all four shapes. 9.0e15 is the
+    DECIMAL(18,2)/long-cents representation intersection."""
+    return F.when((c >= F.lit(-9.0e15)) & (c <= F.lit(9.0e15)), c)
 
 
 

@@ -144,10 +144,18 @@ def dim_covariance_topk(
     # population boundary: a vector with a NaN/Inf component has no
     # integer quantization (round(NaN*quant) ANSI-crashes the cast) and
     # would poison every covariance sum it enters — excluded from the
-    # population AND its size n, on both engines (oracle: FINITE_SQL)
+    # population AND its size n, on both engines (oracle: FINITE_SQL).
+    # Same for any component beyond the quantization domain: fp32-max
+    # garbage (3.4e38) is finite and squarable but round(x*quant) still
+    # overflows the long — the component band is |x| <= 9e18/quant.
     from procoggraph_spark.operators.similarity import finite_vectors
 
     emb = finite_vectors(emb, vec_col)
+    comp_bound = 9.0e18 / quant
+    emb = emb.filter(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+        <= F.lit(comp_bound)
+    )
     q = emb.select(
         F.col(id_col).alias("_id"),
         F.posexplode(

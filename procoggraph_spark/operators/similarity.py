@@ -1234,9 +1234,23 @@ def rocchio_expand_topk(
     back over the corpus for the second pass.
     """
     # shared boundary: the second-pass scan divides by corpus norms
-    # inline, so zero-norm/NULL vectors must not reach it
-    corpus = searchable(corpus, vec_col)
-    queries = searchable(queries, vec_col)
+    # inline, so zero-norm/NULL vectors must not reach it. The exact-
+    # centroid discipline additionally REQUIRES integer quantization,
+    # so a vector with a component beyond 9e18/quant (fp32-max garbage
+    # is finite and searchable but round(x*quant) overflows the long)
+    # is outside this operator's domain — excluded on both engines.
+    comp_bound = 9.0e18 / quant
+
+    def quantizable(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.array_max(
+                F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+            )
+            <= F.lit(comp_bound)
+        )
+
+    corpus = quantizable(searchable(corpus, vec_col))
+    queries = quantizable(searchable(queries, vec_col))
     first = brute_force_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=feedback
     ).select("query_id", "neighbor_id")

@@ -251,21 +251,24 @@ def dec2(c: Column) -> Column:
 
 
 def dec4(c: Column) -> Column:
-    return finite_num(c).cast("decimal(18,4)")
+    return finite_num(c, bound=9.0e13).cast("decimal(18,4)")
 
 
-def finite_num(c: Column) -> Column:
-    """Non-finite measure contract: a NaN/±Inf numeric (a corrupt feed
-    value — fp decode garbage, an overflowed upstream computation) is
-    an UNKNOWN measure and degrades to NULL, exactly like a missing
-    value, instead of ANSI-crashing the integer/decimal cast it flows
-    into or poisoning a whole aggregate. One predicate covers all
-    three: both engines order NaN above +Inf above every real, so
-    ``-Inf < c AND c < +Inf`` is false for ±Inf and for NaN alike.
-    SQL twin: ``CASE WHEN isfinite(x) THEN x END``."""
-    return F.when(
-        (c > F.lit(float("-inf"))) & (c < F.lit(float("inf"))), c
-    )
+def finite_num(c: Column, bound: float = 9.0e15) -> Column:
+    """Usable-measure contract: a NaN/±Inf numeric (fp decode garbage,
+    an overflowed upstream computation) OR a finite value beyond the
+    representation band is an UNKNOWN measure and degrades to NULL,
+    exactly like a missing value, instead of ANSI-crashing the
+    integer/decimal cast it flows into (round(1e300*100)::long is
+    CAST_OVERFLOW on Spark; DECIMAL(18,2) overflows on DuckDB) or
+    poisoning a whole aggregate. ONE band predicate covers all four:
+    both engines order NaN above +Inf above every real, so
+    ``-bound <= c AND c <= bound`` is false for ±Inf, for NaN, and for
+    out-of-band magnitudes alike. The default bound 9.0e15 is the
+    DECIMAL(18,2)/long-cents intersection (the oracle twin's
+    representation); SQL twin: ``CASE WHEN x >= -9.0e15 AND
+    x <= 9.0e15 THEN x END``."""
+    return F.when((c >= F.lit(-bound)) & (c <= F.lit(bound)), c)
 
 
 def cents(c: Column, scale: int = 2) -> Column:
@@ -276,10 +279,13 @@ def cents(c: Column, scale: int = 2) -> Column:
     associative, so results are partitioning-independent like decimal.
     Overflow headroom: 9.2e18 cents ≈ 9.2e16 in measure units; beyond
     that (extreme 100 TB rollups) switch the final reduce to
-    ``sum(cast(c as decimal(38,scale)))``. Non-finite inputs degrade to
-    NULL via ``finite_num`` (they have no cents representation — the
-    long cast would ANSI-crash on them)."""
-    return F.round(finite_num(c) * (10 ** scale), 0).cast("long")
+    ``sum(cast(c as decimal(38,scale)))``. Inputs outside the
+    representation band (non-finite, or magnitude past what
+    DECIMAL(18,scale) and the long fold can hold) degrade to NULL via
+    ``finite_num`` — a corrupt feed value must not crash the rollup."""
+    return F.round(
+        finite_num(c, bound=9.0 * 10 ** (17 - scale)) * (10 ** scale), 0
+    ).cast("long")
 
 
 def dsum2(c: Column) -> Column:

@@ -146,7 +146,7 @@ _SALTED_JOIN_SQL = """
       FROM lineitem
     )
     SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST((CASE WHEN isfinite(f.l_quantity) THEN f.l_quantity END) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST((CASE WHEN f.l_quantity >= -9.0e15 AND f.l_quantity <= 9.0e15 THEN f.l_quantity END) AS DECIMAL(18,2))) AS DOUBLE)
                AS total_qty
     FROM f JOIN supplier s ON f.join_key = s.s_suppkey
     GROUP BY s.s_nationkey
@@ -497,13 +497,13 @@ def curation_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TARGET_ENCODE_SQL = """
     WITH g AS (
-      SELECT CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS gs,
+      SELECT CAST(SUM(CAST((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS gs,
              COUNT(*) AS gn
       FROM orders
     ),
     c AS (
       SELECT o_orderpriority, COUNT(*) AS n,
-             CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS s
+             CAST(SUM(CAST((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS s
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n_o_orderpriority,
@@ -575,7 +575,7 @@ def feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INC_REFRESH_SQL = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE)
                AS total_qty,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus

@@ -336,7 +336,7 @@ _RFM_SQL = """
                        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
                AS r_days,
              COUNT(*) AS freq,
-             CAST(SUM(CAST(ROUND((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) * 100, 0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(ROUND((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) * 100, 0) AS BIGINT)) AS BIGINT)
                AS m_cents
       FROM orders GROUP BY o_custkey
     ),
@@ -708,7 +708,7 @@ _ATTRIBUTION_SQL = """
     ),
     h AS (
       SELECT prev_type AS touch_type, COUNT(*) AS n_conversions,
-             CAST(SUM(CAST(ROUND((CASE WHEN isfinite(value) THEN value END) * 100, 0) AS BIGINT)) AS BIGINT) AS vc
+             CAST(SUM(CAST(ROUND((CASE WHEN value >= -9.0e15 AND value <= 9.0e15 THEN value END) * 100, 0) AS BIGINT)) AS BIGINT) AS vc
       FROM o WHERE event_type = 'purchase' AND prev_type IS NOT NULL
       GROUP BY 1
     ),

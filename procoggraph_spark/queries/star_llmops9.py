@@ -170,7 +170,7 @@ _LTV_SQL = """
                    - year(f.cohort_month)) * 12
                   + (month(date_trunc('month', o.o_orderdate))
                      - month(f.cohort_month)) AS BIGINT) AS month_offset,
-             CAST(SUM(CAST(ROUND((CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END) * 100, 0) AS BIGINT))
+             CAST(SUM(CAST(ROUND((CASE WHEN o.o_totalprice >= -9.0e15 AND o.o_totalprice <= 9.0e15 THEN o.o_totalprice END) * 100, 0) AS BIGINT))
                   AS BIGINT) AS revenue_cents
       FROM orders o JOIN f ON o.o_custkey = f.o_custkey
       WHERE o.o_orderdate IS NOT NULL
@@ -258,11 +258,15 @@ _COV_SQL = """
     WITH fe AS (
       -- population boundary (finite_vectors' twin): a NaN/Inf
       -- component has no integer quantization and would poison every
-      -- covariance sum — excluded from the population AND from n
+      -- covariance sum — excluded from the population AND from n.
+      -- The component band (9e18/quant = 9e12) additionally excludes
+      -- finite-but-unquantizable garbage like an fp32-max component.
       SELECT vec_id, embedding FROM embeddings
       WHERE embedding IS NOT NULL
         AND COALESCE(list_sum(list_transform(
               embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
+        AND list_max(list_transform(
+              embedding, x -> abs(CAST(x AS DOUBLE)))) <= 9.0e12
     ),
     q AS (
       SELECT vec_id AS id, i - 1 AS dim,
@@ -389,7 +393,12 @@ _ROCCHIO_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
               WHERE COALESCE(list_sum(list_transform(
                           embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
-                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
+                 AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
+                 -- quantizable-domain band (9e18/quant): the exact-
+                 -- centroid discipline integer-quantizes components,
+                 -- so fp32-max garbage is outside the operator domain
+                 AND list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))) <= 9.0e12),
     qz AS (SELECT vec_id AS query_id,
                   list_transform(v, x -> CAST(ROUND(x * 1000000, 0) AS BIGINT))
                     AS qq,

@@ -46,12 +46,12 @@ def q(name: str, oracle: str | None = None):
     "a1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST((CASE WHEN l_extendedprice >= -9.0e15 AND l_extendedprice <= 9.0e15 THEN l_extendedprice END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS DOUBLE)
                AS sum_disc_price,
            COUNT(*) AS count_order,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+           CAST(SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -75,7 +75,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_star_join_rollup",
     """
     SELECT r_name, n_name,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS DOUBLE)
                AS revenue,
            COUNT(DISTINCT o_orderkey) AS n_orders
     FROM lineitem
@@ -217,7 +217,7 @@ def q3_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_suppliers,
-           CAST(COALESCE(SUM(CAST((CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))), 0)
+           CAST(COALESCE(SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))), 0)
                 AS DOUBLE) AS revenue,
            COALESCE(string_agg(DISTINCT p_brand, '|' ORDER BY p_brand), '') AS brands
     FROM orders
@@ -348,7 +348,7 @@ for _dim in ("p_brand", "p_type"):
     ORACLES[f"q7_rollup_by_{_dim}"] = f"""
     SELECT {_dim}, COUNT(DISTINCT l_suppkey) AS n_suppliers,
            COUNT(DISTINCT l_orderkey) AS n_orders,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY {_dim}
     """
@@ -750,7 +750,8 @@ def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_quantile",
     """
     SELECT o_orderpriority,
-           ROUND(quantile_cont(CASE WHEN isfinite(o_totalprice)
+           ROUND(quantile_cont(CASE WHEN o_totalprice >= -9.0e15
+                                AND o_totalprice <= 9.0e15
                                THEN o_totalprice END, 0.8), 4) AS p80_totalprice
     FROM orders GROUP BY o_orderpriority
     """,
@@ -761,8 +762,8 @@ def a5_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.round(
             F.expr(
-                "percentile(CASE WHEN o_totalprice > double('-inf') AND"
-                " o_totalprice < double('inf') THEN o_totalprice END, 0.8)"
+                "percentile(CASE WHEN o_totalprice >= -9.0e15 AND"
+                " o_totalprice <= 9.0e15 THEN o_totalprice END, 0.8)"
             ),
             4,
         ).alias("p80_totalprice")
@@ -979,7 +980,7 @@ def f14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s_suppkey, s_name, s_acctbal, NULL, 'supplier' FROM supplier
     )
     SELECT kind, COUNT(*) AS n, COUNT(segment) AS n_with_segment,
-           CAST(SUM(CAST((CASE WHEN isfinite(bal) THEN bal END)
+           CAST(SUM(CAST((CASE WHEN bal >= -9.0e15 AND bal <= 9.0e15 THEN bal END)
                     AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM party GROUP BY kind
     """,

@@ -314,7 +314,7 @@ def p8_column_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderpriority, status_v, COUNT(*) AS n,
-           CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM src GROUP BY o_orderpriority, status_v
     """,
 )
@@ -374,9 +374,9 @@ def a11_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_pivot_status",
     """
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2)) END)
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS qty_O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2)) END)
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -447,13 +447,15 @@ def f9_selector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- from n_valid AND the sum on both engines
            -- TRY_CAST, not CAST: DuckDB's AND is vectorized with no
            -- short-circuit guarantee, so a guarded CAST('?') can still
-           -- raise; TRY_CAST degrades the sentinel to NULL and
-           -- isfinite(NULL) falls through the CASE
+           -- raise; TRY_CAST degrades the sentinel to NULL, which
+           -- fails the representation band and falls through the CASE
            COUNT(CASE WHEN raw_val NOT IN ('?', '.')
-                       AND isfinite(TRY_CAST(raw_val AS DOUBLE)) THEN 1 END)
+                       AND TRY_CAST(raw_val AS DOUBLE) >= -9.0e15
+                       AND TRY_CAST(raw_val AS DOUBLE) <= 9.0e15 THEN 1 END)
                AS n_valid,
            CAST(SUM(CASE WHEN raw_val NOT IN ('?', '.')
-                          AND isfinite(TRY_CAST(raw_val AS DOUBLE))
+                          AND TRY_CAST(raw_val AS DOUBLE) >= -9.0e15
+                          AND TRY_CAST(raw_val AS DOUBLE) <= 9.0e15
                          THEN CAST(TRY_CAST(raw_val AS DOUBLE)
                                    AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS total
@@ -590,12 +592,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 300),
     tot AS (
-      SELECT l_orderkey, SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS total_qty
+      SELECT l_orderkey, SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS total_qty
       FROM li GROUP BY l_orderkey
     ),
     grp AS (
       SELECT l_orderkey, l_partkey,
-             SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS qty,
+             SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS qty,
              list_sort(list(l_linenumber)) AS interface
       FROM li GROUP BY l_orderkey, l_partkey
     )
@@ -795,14 +797,15 @@ def t_set_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(CAST((CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                AS avg_qty,
-           ROUND(stddev_samp(CASE WHEN isfinite(l_quantity)
-                             THEN l_quantity END), 6) AS sd_qty,
-           ROUND(var_samp(CASE WHEN isfinite(l_quantity)
-                          THEN l_quantity END), 6) AS var_qty,
-           ROUND(corr(CASE WHEN isfinite(l_quantity) THEN l_quantity END,
-                      CASE WHEN isfinite(l_extendedprice)
+           ROUND(stddev_samp(CASE WHEN l_quantity >= -9.0e15
+                              AND l_quantity <= 9.0e15 THEN l_quantity END), 6) AS sd_qty,
+           ROUND(var_samp(CASE WHEN l_quantity >= -9.0e15
+                           AND l_quantity <= 9.0e15 THEN l_quantity END), 6) AS var_qty,
+           ROUND(corr(CASE WHEN l_quantity >= -9.0e15 AND l_quantity <= 9.0e15 THEN l_quantity END,
+                      CASE WHEN l_extendedprice >= -9.0e15
+                            AND l_extendedprice <= 9.0e15
                       THEN l_extendedprice END), 6) AS corr_qty_price,
            ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
     FROM lineitem GROUP BY l_returnflag
@@ -838,12 +841,12 @@ def a_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "a_histogram_fixed_width",
     """
-    SELECT CAST(least(floor((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) / 25000), 19) AS BIGINT) AS bucket,
+    SELECT CAST(least(floor((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) / 25000), 19) AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price
     FROM orders
-    GROUP BY CAST(least(floor((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) / 25000), 19) AS BIGINT)
+    GROUP BY CAST(least(floor((CASE WHEN o_totalprice >= -9.0e15 AND o_totalprice <= 9.0e15 THEN o_totalprice END) / 25000), 19) AS BIGINT)
     """,
 )
 def a_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,11 +880,12 @@ SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status,
        GROUPING(o_orderpriority) AS g_prio,
        COUNT(*) AS n,
-       -- engine-portable finiteness gate (this string runs VERBATIM on
-       -- Spark and DuckDB, so no isfinite(): both engines parse the
-       -- Infinity literal and order NaN above it)
-       CAST(SUM(CAST((CASE WHEN o_totalprice > CAST('-Infinity' AS DOUBLE)
-                            AND o_totalprice < CAST('Infinity' AS DOUBLE)
+       -- engine-portable usable-measure band (this string runs VERBATIM
+       -- on Spark and DuckDB, so no isfinite(): both engines order NaN
+       -- above +Inf above every real, so the band excludes NaN, ±Inf,
+       -- and unrepresentable magnitudes in one predicate)
+       CAST(SUM(CAST((CASE WHEN o_totalprice >= -9.0e15
+                            AND o_totalprice <= 9.0e15
                       THEN o_totalprice END) AS DECIMAL(18,2))) AS DOUBLE)
            AS total_price
 FROM {table}

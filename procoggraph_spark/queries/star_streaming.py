@@ -32,7 +32,7 @@ def q(name: str, oracle: str | None = None):
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST((CASE WHEN value >= -9.0e15 AND value <= 9.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
@@ -122,7 +122,7 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_totals",
     """
     SELECT user_id, COUNT(*) AS n,
-           CAST(SUM(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST((CASE WHEN value >= -9.0e15 AND value <= 9.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY user_id
     """,
 )
@@ -143,14 +143,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(epoch_us(time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)))
                   // 1000000 AS BIGINT) AS bucket_start,
              event_type, COUNT(*) AS n,
-             CAST(SUM(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS total
+             CAST(SUM(CAST((CASE WHEN value >= -9.0e15 AND value <= 9.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 2, 3
       UNION ALL
       SELECT 'day',
              CAST(epoch_us(time_bucket(INTERVAL '1 day', make_timestamp(epoch_ns(ts) // 1000)))
                   // 1000000 AS BIGINT),
              event_type, COUNT(*),
-             CAST(SUM(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(SUM(CAST((CASE WHEN value >= -9.0e15 AND value <= 9.0e15 THEN value END) AS DECIMAL(18,2))) AS DOUBLE)
       FROM events GROUP BY 2, 3
     )
     """,
@@ -225,7 +225,7 @@ def stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
            c.c_mktsegment,
            COUNT(*) AS n,
-           CAST(SUM(CAST((CASE WHEN isfinite(e.value) THEN e.value END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST((CASE WHEN e.value >= -9.0e15 AND e.value <= 9.0e15 THEN e.value END) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.ts IS NOT NULL
     GROUP BY 1, 2

@@ -121,7 +121,7 @@ def range_join_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_frame_moving_stats",
     """
     SELECT event_id, user_id,
-           CAST(SUM(CAST((CASE WHEN isfinite(value) THEN value END) AS DECIMAL(18,2)))
+           CAST(SUM(CAST((CASE WHEN value >= -9.0e15 AND value <= 9.0e15 THEN value END) AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS moving_sum,

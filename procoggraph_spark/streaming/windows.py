@@ -124,13 +124,15 @@ def _user_totals_fn(key, pdfs, state):
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # isfinite mask: SQL SUM skips NULLs (NaN in pandas), and the
-        # batch twin's finite_num gate degrades NaN/±Inf to NULL — the
-        # same rows are excluded here so streamed totals stay
-        # bit-identical (int(NaN) raises, int(Inf) overflows); the row
+        # usable-measure mask: SQL SUM skips NULLs (NaN in pandas), and
+        # the batch twin's finite_num band degrades NaN/±Inf AND
+        # out-of-band magnitudes to NULL — the same rows are excluded
+        # here so streamed totals stay bit-identical (int(NaN) raises;
+        # a 1e300 value would overflow the LONG state column); the row
         # still counts toward n like the batch twin's count(*)
         v = pdf["value"]
-        cents += int(round(v[np.isfinite(v)] * 100, 0).sum())
+        usable = np.isfinite(v) & (v.abs() <= 9.0e15)
+        cents += int(round(v[usable] * 100, 0).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}

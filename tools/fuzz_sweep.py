@@ -111,6 +111,10 @@ def build_corpus(spark):
                         (F.col("event_id") % 97 == 29) & (F.col("event_id") < 2000),
                         F.lit(float("nan")),
                     )
+                    .when(
+                        (F.col("event_id") % 97 == 41) & (F.col("event_id") < 2000),
+                        F.lit(1e300),
+                    )
                     .otherwise(F.col("value")),
                 )
                 .withColumn(
@@ -206,6 +210,16 @@ def build_corpus(spark):
                         F.lit(float("inf")),
                     ).otherwise(F.col("l_quantity")),
                 )
+                # finite but unrepresentable: a 1e300 "price" has no
+                # cents/DECIMAL(18,2) form — must degrade to NULL, not
+                # CAST_OVERFLOW the rollup (representation-band contract)
+                .withColumn(
+                    "l_extendedprice",
+                    F.when(
+                        (F.col("l_orderkey") % 89 == 43) & (F.col("l_orderkey") < 2000),
+                        F.lit(1e300),
+                    ).otherwise(F.col("l_extendedprice")),
+                )
             )
         if t == "orders":
             df = df.withColumn(
@@ -225,7 +239,12 @@ def build_corpus(spark):
                 F.when(
                     (F.col("o_orderkey") % 89 == 41) & (F.col("o_orderkey") < 2000),
                     F.lit(float("nan")),
-                ).otherwise(F.col("o_totalprice")),
+                )
+                .when(
+                    (F.col("o_orderkey") % 89 == 47) & (F.col("o_orderkey") < 2000),
+                    F.lit(-1e300),
+                )
+                .otherwise(F.col("o_totalprice")),
             )
         if t == "customer":
             df = df.withColumn(
@@ -294,6 +313,12 @@ def build_corpus(spark):
                 .when(
                     (F.col("vec_id") % 50 == 17) & (F.col("vec_id") < 400),
                     poisoned(float("inf")),
+                )
+                .when(
+                    (F.col("vec_id") % 50 == 23) & (F.col("vec_id") < 400),
+                    # fp32-max garbage: finite, squarable (1.2e77), but
+                    # beyond any integer-quantization domain
+                    poisoned(3.4e38),
                 )
                 .otherwise(F.col("embedding")),
             )
