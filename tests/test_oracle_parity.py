@@ -174,15 +174,13 @@ def test_driver_window_rotation():
 
 def test_queries_md_in_sync():
     """QUERIES.md (the generated registry index the coverage audit
-    reads) must list every registry entry with its current oracle
-    status — regenerate it when adding or re-rotating queries."""
-    import re
+    reads) must be BYTE-identical to what the generator produces —
+    name/status presence alone let a rotation reorder the registry and
+    leave the committed index stale for a whole round (caught r09).
+    Regenerate with `python tools/gen_queries_md.py`."""
+    import tools.gen_queries_md as gen
 
     md = open(os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")).read()
-    listed = dict(re.findall(r"\| \d+ \| `([^`]+)` \| (oracle|rows-only) \|", md))
-    assert set(listed) == set(QUERIES), (
-        f"QUERIES.md out of sync: missing {set(QUERIES) - set(listed)}, "
-        f"stale {set(listed) - set(QUERIES)}"
+    assert md == gen.build(), (
+        "QUERIES.md is stale — run `python tools/gen_queries_md.py`"
     )
-    for name, check in listed.items():
-        assert (check == "oracle") == (name in ORACLES), name

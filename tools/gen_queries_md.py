@@ -101,7 +101,11 @@ def summarize(fn) -> str:
     return lead
 
 
-def main() -> None:
+def build() -> str:
+    """The full QUERIES.md text — shared by main() and the sync test
+    (tests/test_oracle_parity.py::test_queries_md_in_sync compares this
+    byte-for-byte, so a rotation or docstring edit cannot leave the
+    committed index stale)."""
     from procoggraph_spark.queries import registry
 
     queries, oracles = registry()
@@ -121,10 +125,18 @@ def main() -> None:
     for name in rows_only:
         why, cert = ROWS_ONLY_WHY[name]
         lines.append(f"| `{name}` | {why} | {cert} |\n")
+    return "".join(lines)
+
+
+def main() -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "QUERIES.md")
+    text = build()
     with open(out, "w") as f:
-        f.writelines(lines)
-    print(f"wrote {len(queries)} rows")
+        f.write(text)
+    import re
+
+    n = len(re.findall(r"^\| \d+ \| `", text, flags=re.M))
+    print(f"wrote {n} rows")
 
 
 if __name__ == "__main__":
