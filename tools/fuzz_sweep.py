@@ -248,6 +248,17 @@ def build_corpus(spark):
             )
         if t == "customer":
             df = df.withColumn(
+                "c_name",
+                F.when(
+                    (F.col("c_custkey") % 89 == 53) & (F.col("c_custkey") < 500),
+                    F.lit("Müller-Lüdenscheidt, Straße 12"),
+                )
+                .when(
+                    (F.col("c_custkey") % 89 == 59) & (F.col("c_custkey") < 500),
+                    F.lit("顧客 第一 🏢"),
+                )
+                .otherwise(F.col("c_name")),
+            ).withColumn(
                 "c_mktsegment",
                 F.when(
                     (F.col("c_custkey") % 89 == 29) & (F.col("c_custkey") < 500),
@@ -266,12 +277,29 @@ def build_corpus(spark):
                 .otherwise(F.col("c_acctbal")),
             )
         if t == "part":
+            # unicode names: a real catalog has accents/CJK/emoji in
+            # display strings — the relational string functions
+            # (substr/length/case/initcap/concat/regexp) must agree
+            # with their SQL twins beyond ASCII
             df = df.withColumn(
                 "p_name",
                 F.when(
                     (F.col("p_partkey") % 89 == 37) & (F.col("p_partkey") < 500),
                     F.lit(None).cast("string"),
-                ).otherwise(F.col("p_name")),
+                )
+                .when(
+                    (F.col("p_partkey") % 89 == 53) & (F.col("p_partkey") < 500),
+                    F.lit("épice forêt crème brûlée"),
+                )
+                .when(
+                    (F.col("p_partkey") % 89 == 59) & (F.col("p_partkey") < 500),
+                    F.lit("日本語パーツ 零件 🌟"),
+                )
+                .when(
+                    (F.col("p_partkey") % 89 == 61) & (F.col("p_partkey") < 500),
+                    F.lit("STRASSE große ärger"),
+                )
+                .otherwise(F.col("p_name")),
             ).withColumn(
                 "p_brand",
                 F.when(
