@@ -128,11 +128,21 @@ def _select_batch(
     * The batch is then truncated to counts STRICTLY greater than the
       stopping row's count (or the collection floor when the table was
       sampled): existing pairs only lose count under a merge, and every
-      NEW pair (x, a+b) / (a+b, y) inherits at most the count of a
-      boundary pair (x, a) / (b, y) — any boundary pair counting above
-      an accepted candidate would share a symbol and have stopped the
-      scan first, so post-truncation every accepted count strictly
+      NEW pair (x, a+b) / (a+b, y) / (a+b, a+b) inherits at most the
+      count of an old pair sharing a symbol with (a, b) — (x, a),
+      (b, y), or (b, a) — and any such row counting at-or-above an
+      accepted candidate sorts before it and stops the scan as a
+      conflict, so post-truncation every accepted count strictly
       dominates anything sequential could newly prefer, ties included.
+    * EXCEPT a SELF-pair (a, a): its created pairs ((aa, aa) from even
+      runs, (aa, a) from odd runs) are bounded only by the accepted
+      row's OWN count — and the accepted row never stops the scan.
+      After merging aaaabb's (a, a) [count 6], the created (aa, aa)
+      [count 2] outranks the tied (b, b) [count 2] on the lexicographic
+      tie-break, so sequential picks it next while a naive batch
+      already committed to (b, b) (hypothesis counter-example, r09).
+      Therefore a kept self-pair raises the truncation floor to its own
+      count: nothing at-or-below it survives the batch.
     * The head row is always exact (it IS the global argmax with the
       same tie-break), so the batch never selects fewer than one.
 
@@ -182,8 +192,15 @@ def _select_batch(
     if not complete:
         # rows beyond the collected sample count at most rows[-1]["cnt"]
         floor = max(floor, rows[-1]["cnt"])
-    head, rest = accepted[0], accepted[1:]
-    return [head] + [m for m in rest if m[2] > floor]
+    out: list[tuple[str, str, int]] = []
+    for i, m in enumerate(accepted):
+        if i > 0 and m[2] <= floor:
+            continue
+        out.append(m)
+        if m[0] == m[1]:
+            # self-pair: created pairs are bounded by m's own count
+            floor = max(floor, m[2])
+    return out
 
 
 def train_bpe(
