@@ -38,13 +38,49 @@ def q(name: str, oracle: str | None = None):
 @q(
     "f_fuzzy_match_levenshtein",
     """
-    SELECT name_a, closest, dist FROM (
-      SELECT a.n_name AS name_a, b.n_name AS closest,
-             levenshtein(a.n_name, b.n_name) AS dist,
-             ROW_NUMBER() OVER (PARTITION BY a.n_name
-                                ORDER BY levenshtein(a.n_name, b.n_name),
-                                         b.n_name) AS rn
+    WITH RECURSIVE pairs AS (
+      SELECT a.n_name AS name_a, b.n_name AS name_b
       FROM nation a JOIN nation b ON a.n_name <> b.n_name
+    ),
+    cp AS (
+      SELECT name_a, name_b,
+             regexp_split_to_array(name_a, '') AS ac,
+             regexp_split_to_array(name_b, '') AS bc
+      FROM pairs
+    ),
+    -- CODEPOINT-level Wagner-Fischer: DuckDB's levenshtein() counts
+    -- BYTES ('Müller'->'Muller' = 2, '日本語'->'日本' = 3) while
+    -- Spark's counts characters — the operator contract is character
+    -- edit distance, so the oracle runs the DP itself: one recursive
+    -- step per name_a prefix, each new DP row built by a list_reduce
+    -- left-fold (the prepended [i+1] element is the fold's initial
+    -- accumulator — DuckDB 1.0 has no 3-arg list_reduce)
+    rec AS (
+      SELECT name_a, name_b, ac, bc, 0 AS i,
+             range(0, len(bc) + 1) AS row
+      FROM cp
+      UNION ALL
+      SELECT name_a, name_b, ac, bc, i + 1,
+             list_reduce(
+               list_prepend([CAST(i + 1 AS BIGINT)],
+                            list_transform(range(1, len(bc) + 1), j -> [j])),
+               (acc, x) -> list_append(acc, least(
+                   row[x[1] + 1] + 1,
+                   acc[len(acc)] + 1,
+                   row[x[1]] + CASE WHEN ac[i + 1] = bc[x[1]]
+                               THEN 0 ELSE 1 END))
+             ) AS row
+      FROM rec WHERE i < len(ac)
+    ),
+    d AS (
+      SELECT name_a, name_b, row[len(bc) + 1] AS dist
+      FROM rec WHERE i = len(ac)
+    )
+    SELECT name_a, closest, dist FROM (
+      SELECT name_a, name_b AS closest, dist,
+             ROW_NUMBER() OVER (PARTITION BY name_a
+                                ORDER BY dist, name_b) AS rn
+      FROM d
     ) WHERE rn = 1
     """,
 )
@@ -54,8 +90,10 @@ def f_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     because both sides are dimension-sized (broadcast nested loop over
     25x25); at corpus scale the same primitive runs behind an LSH/
     n-gram blocking stage (operators/dedup) so only co-blocked pairs
-    compare. Both engines implement standard edit distance, so the
-    oracle is integer-exact."""
+    compare. Contract: CHARACTER (codepoint) edit distance — Spark's
+    native semantics; DuckDB's levenshtein() counts BYTES and diverges
+    on any non-ASCII name (unicode-names fuzz finding), so the oracle
+    replays the Wagner-Fischer DP over codepoint arrays instead."""
     from pyspark.sql import Window
 
     n = t(spark, sf_dir, "nation")

@@ -69,6 +69,18 @@ def build_corpus(spark):
     for t in TABLES:
         src = os.path.join(SRC_DIR, f"{t}.parquet")
         df = spark.read.parquet(src)
+        if t == "nation":
+            # unicode dimension names: the fuzzy-match operator runs
+            # edit distance over these — DuckDB's levenshtein counts
+            # BYTES vs Spark's codepoints, so non-ASCII names are the
+            # probe that forced the oracle onto the codepoint DP
+            df = df.withColumn(
+                "n_name",
+                F.when(F.col("n_nationkey") == 3, F.lit("BRÉSIL ÉTOILE"))
+                .when(F.col("n_nationkey") == 7, F.lit("日本国 🗾"))
+                .when(F.col("n_nationkey") == 11, F.lit("CÔTE D'IVOIRE"))
+                .otherwise(F.col("n_name")),
+            )
         if t == "documents":
             expr = None
             for slot, txt in DEGENERATE.items():
