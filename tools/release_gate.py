@@ -11,7 +11,9 @@ Stages (each a subprocess, same interpreter):
   5. empty_input_sweep --nulls           — NULL-payload robustness
   6. partition_invariance_sweep          — results identical under an adversarial
                                            physical profile (exit = divergences)
-  7. bench.py at $SPARK_GRAFT_SF_DIR     — must emit its JSON line with rc=0
+  7. skew_probe                          — whale-key join: AQE skew-join, naive,
+                                           and salted strategies must agree
+  8. bench.py at $SPARK_GRAFT_SF_DIR     — must emit its JSON line with rc=0
 
 Usage:
     python tools/release_gate.py            # all stages (~40 min)
@@ -48,6 +50,7 @@ def stages(quick: bool) -> list[tuple[str, list[str], dict[str, str]]]:
         ("empty", [py, "tools/empty_input_sweep.py"], {}),
         ("nulls", [py, "tools/empty_input_sweep.py", "--nulls"], {}),
         ("pinv", [py, "tools/partition_invariance_sweep.py"], {}),
+        ("skew", [py, "tools/skew_probe.py"], {}),
         (
             "bench",
             [py, "bench.py"],
