@@ -33,6 +33,17 @@ def _finite_num(c: Column) -> Column:
     return F.when((c >= F.lit(-9.0e15)) & (c <= F.lit(9.0e15)), c)
 
 
+def _valid_ts(c: Column) -> Column:
+    """queries.common.valid_ts's operator-layer twin (local for the
+    same no-query-layer-import reason as ``_finite_num``): a timestamp
+    outside the portable representation window — Arrow/pandas
+    datetime64[ns] bounds with whole-day margins — is corrupted-clock
+    data and degrades to NULL like a missing event time."""
+    lo = F.lit("1677-09-22 00:00:00").cast("timestamp")
+    hi = F.lit("2262-04-11 00:00:00").cast("timestamp")
+    return F.when((c >= lo) & (c <= hi), c)
+
+
 
 def _sql_str(v) -> str:
     """Escape a value as a SQL single-quoted string literal (quotes
@@ -848,7 +859,14 @@ def cohort_ltv(
     dirty-star fuzz). A customer whose orders are all undated has no
     cohort.
     """
-    orders = orders.filter(F.col(date_col).isNotNull())
+    # undated orders AND orders whose month-bucket is outside the
+    # portable timestamp window (a year-9999 sentinel date) cannot be
+    # placed in the triangle — the cohort_month output column is a
+    # TIMESTAMP, so an out-of-band bucket would crash the client's
+    # Arrow/pandas hop; same degrade-like-NULL contract as valid_ts
+    orders = orders.filter(
+        _valid_ts(F.date_trunc("month", F.col(date_col))).isNotNull()
+    )
     if cents_col is None:
         cents_col = F.round(_finite_num(F.col("o_totalprice")) * 100).cast(
             "long"

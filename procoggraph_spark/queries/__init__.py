@@ -142,6 +142,24 @@ def registry():
         raise KeyError(
             f"stale _PROMOTE entries (renamed/removed queries?): {missing}"
         )
+
+    # Table-level event-time contract, oracle side: every oracle that
+    # reads the `events` view gets the band-gated shadow CTE, mirroring
+    # the valid_ts gate t() applies at the Spark-side load (see
+    # queries.common). Applied here — at the one point all oracles pass
+    # through — so a new events oracle can't forget the gate.
+    import re
+
+    from procoggraph_spark.queries import common
+
+    oracles = {
+        n: (
+            common.gate_events_oracle(sql)
+            if re.search(r"\bevents\b", sql)
+            else sql
+        )
+        for n, sql in oracles.items()
+    }
     ordered = {n: _plan_cached(n, queries[n]) for n in _PROMOTE}
     ordered.update(
         (n, _plan_cached(n, fn)) for n, fn in queries.items()

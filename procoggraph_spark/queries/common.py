@@ -71,6 +71,13 @@ def t(
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Table-level event-time contract (see valid_ts): a timestamp
+        # outside the portable representation window is corrupted-clock
+        # data and degrades to NULL at load, so every consumer — window
+        # buckets, pandas folds, raw-ts outputs — inherits one boundary.
+        # The oracle twin is the registry-level events CTE
+        # (gate_events_oracle); the two gates must stay in lockstep.
+        df = df.withColumn("ts", valid_ts(F.col("ts")))
     else:
         df = spark.read.parquet(path)
     df = _ntz_to_ltz(df)
@@ -269,6 +276,61 @@ def finite_num(c: Column, bound: float = 9.0e15) -> Column:
     representation); SQL twin: ``CASE WHEN x >= -9.0e15 AND
     x <= 9.0e15 THEN x END``."""
     return F.when((c >= F.lit(-bound)) & (c <= F.lit(bound)), c)
+
+
+# Portable event-time window: the intersection of every temporal
+# representation a value crosses between the JVM and the client —
+# Arrow/pandas datetime64[ns] is the narrowest ([1677-09-21 00:12,
+# 2262-04-11 23:47]; int64 nanoseconds since epoch), and it sits on
+# EVERY Python-facing path: toPandas, Pandas UDFs, applyInPandas
+# stateful folds. Spark's own F.window() additionally overflows at
+# year 10000 computing a bucket end. Whole-day margins inside the ns
+# bounds keep the band timezone-proof.
+TS_BAND_MIN = "1677-09-22 00:00:00"
+TS_BAND_MAX = "2262-04-11 00:00:00"
+
+
+def valid_ts(c: Column) -> Column:
+    """Usable-event-time contract, the temporal twin of ``finite_num``:
+    a timestamp outside the portable representation window
+    [``TS_BAND_MIN``, ``TS_BAND_MAX``] is corrupted-clock data (a
+    decoder emitting year-9999 sentinels, a negative-epoch clock) and
+    degrades to NULL exactly like a missing timestamp — instead of
+    crashing the Arrow→pandas hop every Python-facing path performs
+    (OutOfBoundsDatetime beyond datetime64[ns]) or F.window's bucket
+    arithmetic (ValueError at year 10000). NULL event time already has
+    a pinned contract (NULL window group / excluded from sessions), so
+    the degrade rides it. SQL twin: ``CASE WHEN x BETWEEN TIMESTAMP
+    '1677-09-22 00:00:00' AND TIMESTAMP '2262-04-11 00:00:00' THEN x
+    END`` (see ``gate_events_oracle``)."""
+    lo = F.lit(TS_BAND_MIN).cast("timestamp")
+    hi = F.lit(TS_BAND_MAX).cast("timestamp")
+    return F.when((c >= lo) & (c <= hi), c)
+
+
+# DuckDB twin of the t() events gate: a CTE shadowing the `events`
+# view with ts band-gated (main.events escapes the CTE's own name —
+# DuckDB binds a bare `events` inside it as a circular reference).
+_EVENTS_GATED_CTE = (
+    "events AS (SELECT event_id, CASE WHEN ts BETWEEN TIMESTAMP "
+    f"'{TS_BAND_MIN}' AND TIMESTAMP '{TS_BAND_MAX}' THEN ts END AS ts, "
+    "user_id, event_type, value, props FROM main.events)"
+)
+
+
+def gate_events_oracle(sql: str) -> str:
+    """Splice the band-gated events CTE into an oracle that reads the
+    `events` view, so the oracle sees the same portable-event-time
+    domain ``t()`` gives every Spark-side consumer. Applied centrally
+    by the registry to every oracle whose text references the table —
+    a table-level load contract, not a per-query rewrite."""
+    body = sql.strip()
+    upper = body.upper()
+    if upper.startswith("WITH RECURSIVE"):
+        return f"WITH RECURSIVE {_EVENTS_GATED_CTE}, " + body[len("WITH RECURSIVE"):].lstrip()
+    if upper.startswith("WITH"):
+        return f"WITH {_EVENTS_GATED_CTE}, " + body[len("WITH"):].lstrip()
+    return f"WITH {_EVENTS_GATED_CTE} " + body
 
 
 def cents(c: Column, scale: int = 2) -> Column:

@@ -157,23 +157,30 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cohort LTV ------------------------------------------------------------
 
 _LTV_SQL = """
-    WITH f AS (
-      SELECT o_custkey,
-             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
-               AS cohort_month
-      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
+    WITH o1 AS (
+      -- portable-month contract (valid_ts twin): an undated order OR
+      -- one whose month-bucket falls outside the representable
+      -- timestamp window (year-9999 sentinel dates) is excluded
+      SELECT o_custkey, o_totalprice,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+      FROM orders
+      WHERE o_orderdate IS NOT NULL
+        AND CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+            BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                AND TIMESTAMP '2262-04-11 00:00:00'
+    ),
+    f AS (
+      SELECT o_custkey, MIN(m) AS cohort_month FROM o1 GROUP BY o_custkey
     ),
     sz AS (SELECT cohort_month, COUNT(*) AS cohort_size FROM f GROUP BY 1),
     cell AS (
       SELECT f.cohort_month,
-             CAST((year(date_trunc('month', o.o_orderdate))
-                   - year(f.cohort_month)) * 12
-                  + (month(date_trunc('month', o.o_orderdate))
-                     - month(f.cohort_month)) AS BIGINT) AS month_offset,
+             CAST((year(o.m) - year(f.cohort_month)) * 12
+                  + (month(o.m) - month(f.cohort_month)) AS BIGINT)
+               AS month_offset,
              CAST(SUM(CAST(ROUND((CASE WHEN o.o_totalprice >= -9.0e15 AND o.o_totalprice <= 9.0e15 THEN o.o_totalprice END) * 100, 0) AS BIGINT))
                   AS BIGINT) AS revenue_cents
-      FROM orders o JOIN f ON o.o_custkey = f.o_custkey
-      WHERE o.o_orderdate IS NOT NULL
+      FROM o1 o JOIN f ON o.o_custkey = f.o_custkey
       GROUP BY 1, 2
     )
     SELECT c.cohort_month, c.month_offset, c.revenue_cents,

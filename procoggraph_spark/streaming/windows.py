@@ -12,7 +12,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.functions.timeutil import epoch_seconds
-from procoggraph_spark.queries.common import dsum2
+from procoggraph_spark.queries.common import dsum2, valid_ts
+
+
+def _events_stream(spark, events_path: str, schema, ts_col: str = "ts"):
+    """readStream face of the events load, with the same ``valid_ts``
+    event-time band the batch face applies in ``queries.common.t()``:
+    a corrupted-clock timestamp (year-9999 sentinel, negative-epoch
+    clock) degrades to NULL BEFORE it reaches a watermark, a window
+    bucket, or a state-store fold — one out-of-band event must not
+    crash the micro-batch's Arrow hop or window arithmetic. NULL event
+    time then follows the already-pinned contract (excluded from
+    windows/sessions, NULL-keyed where the operator keeps it)."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    if ts_col in stream.columns:
+        stream = stream.withColumn(ts_col, valid_ts(F.col(ts_col)))
+    return stream
 
 
 def _with_event_time(events: DataFrame, ts_col: str) -> DataFrame:
@@ -178,7 +193,7 @@ def incremental_cache_stream(
     "compute only what's not cached" (`get_pdb_parity.py:157-171`) with
     exactly-once progress tracking instead of a hand-rolled manifest.
     Caller awaits the returned query."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _events_stream(spark, events_path, schema)
 
     def merge(batch_df, _batch_id: int) -> None:
         cache.upsert(batch_df.dropDuplicates(cache.key_cols))
@@ -202,7 +217,7 @@ def streaming_tumbling_counts(
     """readStream twin of `tumbling_counts` with a late-data watermark.
     Drain with `.trigger(availableNow=True)` + `processAllAvailable()`
     for deterministic batch-equivalent results."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _events_stream(spark, events_path, schema)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration), "event_type")
@@ -264,8 +279,7 @@ def streaming_funnel_join(
     watermark passes the interval). Same semantics as
     `funnel_join_batch` when drained with trigger(availableNow)."""
     a = (
-        spark.readStream.schema(schema)
-        .parquet(events_path)
+        _events_stream(spark, events_path, schema)
         .filter(F.col("event_type") == first_type)
         .select(
             F.col("event_id").alias("first_id"),
@@ -275,8 +289,7 @@ def streaming_funnel_join(
         .withWatermark("a_ts", watermark)
     )
     b = (
-        spark.readStream.schema(schema)
-        .parquet(events_path)
+        _events_stream(spark, events_path, schema)
         .filter(F.col("event_type") == then_type)
         .select(
             F.col("event_id").alias("then_id"),
@@ -333,7 +346,7 @@ def streaming_enriched_counts(
     stream-stream), then a watermarked windowed aggregation. The
     standard enrichment topology for a 100 TB event firehose with a
     slowly-changing dimension."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _events_stream(spark, events_path, schema)
     j = stream.join(
         F.broadcast(customers.select("c_custkey", "c_mktsegment")),
         stream.user_id == F.col("c_custkey"),
@@ -369,7 +382,7 @@ def streaming_dedup(
     — a redelivery that arrives with a bumped event time (retry queues
     rewrite timestamps) is still a duplicate. ``dropDuplicates([key,
     ts_col])`` would key state on (id, event-time) and admit it twice."""
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _events_stream(spark, events_path, schema)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [key]
     )
@@ -404,7 +417,7 @@ def streaming_cms(
 
     from procoggraph_spark.operators.sketches import cms_build
 
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _events_stream(spark, events_path, schema)
 
     def merge(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -781,7 +794,7 @@ def streaming_volume_monitor(
 
     from pyspark.sql import functions as F
 
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _events_stream(spark, events_path, schema)
 
     def merge(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession

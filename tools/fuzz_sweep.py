@@ -151,6 +151,31 @@ def build_corpus(spark):
                         (F.col("event_id") % 97 == 71) & (F.col("event_id") < 2000),
                         F.lit("1970-01-01 00:00:00").cast(df.schema["ts"].dataType),
                     )
+                    # corrupted clocks, out-of-band: beyond the portable
+                    # event-time window (Arrow/pandas datetime64[ns] is
+                    # int64 ns — nothing past 2262-04-11 fits; F.window
+                    # overflows at year 10000; negative-epoch era values
+                    # crash local-time collect). Contract: degrade to
+                    # NULL event time at load (valid_ts band), both
+                    # engines.
+                    .when(
+                        (F.col("event_id") % 97 == 73) & (F.col("event_id") < 2000),
+                        F.lit("2300-06-15 12:00:00").cast(df.schema["ts"].dataType),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 79) & (F.col("event_id") < 2000),
+                        F.lit("9999-12-31 23:59:59").cast(df.schema["ts"].dataType),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 83) & (F.col("event_id") < 2000),
+                        F.lit("1600-01-01 00:00:00").cast(df.schema["ts"].dataType),
+                    )
+                    # in-band edge: one day inside the window — must
+                    # SURVIVE the gate (the band must not over-drop)
+                    .when(
+                        (F.col("event_id") % 97 == 89) & (F.col("event_id") < 2000),
+                        F.lit("2262-04-10 00:00:00").cast(df.schema["ts"].dataType),
+                    )
                     .otherwise(F.col("ts")),
                 )
                 .withColumn(
@@ -188,7 +213,18 @@ def build_corpus(spark):
                     F.when(
                         (F.col("l_orderkey") % 89 == 7) & (F.col("l_orderkey") < 2000),
                         F.lit(None).cast(df.schema["l_shipdate"].dataType),
-                    ).otherwise(F.col("l_shipdate")),
+                    )
+                    # extreme ship dates (DATE robustness leg — see the
+                    # orders comment): year-9999 sentinel + a leap day
+                    .when(
+                        (F.col("l_orderkey") % 89 == 37) & (F.col("l_orderkey") < 2000),
+                        F.lit("9999-12-31").cast(df.schema["l_shipdate"].dataType),
+                    )
+                    .when(
+                        (F.col("l_orderkey") % 89 == 41) & (F.col("l_orderkey") < 2000),
+                        F.lit("2024-02-29").cast(df.schema["l_shipdate"].dataType),
+                    )
+                    .otherwise(F.col("l_shipdate")),
                 )
                 .withColumn(
                     "l_discount",
@@ -239,7 +275,27 @@ def build_corpus(spark):
                 F.when(
                     (F.col("o_orderkey") % 89 == 19) & (F.col("o_orderkey") < 2000),
                     F.lit(None).cast(df.schema["o_orderdate"].dataType),
-                ).otherwise(F.col("o_orderdate")),
+                )
+                # extreme business dates: DATE surfaces are robust across
+                # year 1–9999 on both engines (proleptic Gregorian, kept
+                # DateType client-side) — these rows verify that, EXCEPT
+                # where a date is truncated into a TIMESTAMP output
+                # (cohort months), which inherits the valid_ts band
+                .when(
+                    (F.col("o_orderkey") % 89 == 59) & (F.col("o_orderkey") < 2000),
+                    F.lit("9999-12-31").cast(df.schema["o_orderdate"].dataType),
+                )
+                .when(
+                    (F.col("o_orderkey") % 89 == 61) & (F.col("o_orderkey") < 2000),
+                    F.lit("0001-01-07").cast(df.schema["o_orderdate"].dataType),
+                )
+                .when(
+                    # inside the 1582 Gregorian-reform gap: a real date
+                    # in the proleptic calendar both engines use
+                    (F.col("o_orderkey") % 89 == 67) & (F.col("o_orderkey") < 2000),
+                    F.lit("1582-10-10").cast(df.schema["o_orderdate"].dataType),
+                )
+                .otherwise(F.col("o_orderdate")),
             ).withColumn(
                 "o_orderstatus",
                 F.when(
