@@ -67,12 +67,28 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 
 def _exploded_shingles(
-    df: DataFrame, *, id_col: str, text_col: str, n: int
+    df: DataFrame, *, id_col: str, text_col: str, n: int, sets: bool = False
 ) -> DataFrame:
-    return df.select(
+    """One (_id, _sh) row per shingle of each document.
+
+    ``sets=False`` (the cheap path): distinct WITHIN each row only
+    (``array_distinct`` before the explode — map-only, no shuffle).
+    Correct whenever the consumer is multiplicity-insensitive (minhash
+    takes MIN over the hashes: min over a multiset equals min over the
+    set) OR ids are unique.
+
+    ``sets=True``: globally distinct on (_id, _sh) — the shingle SET of
+    a doc_id is the union over all its rows, so replayed doc_ids
+    (dirty-keys fuzz) contribute each shingle once. Required by every
+    COUNT-consumer (set sizes, intersections, document frequencies):
+    the within-row shortcut over-counts exactly at duplicate ids, and
+    |A∩B| with multiplicity can exceed min(|A|,|B|). Costs one exchange
+    on (_id, _sh); the partial aggregate dedups map-side."""
+    sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sh"),
     )
+    return sh.distinct() if sets else sh
 
 
 def _guarded_shingles(
@@ -89,7 +105,7 @@ def _guarded_shingles(
     any pair generation. Shared by the symmetric (Jaccard) and
     asymmetric (containment) pair generators so the retained-universe
     semantics — and the plan shape — stay identical."""
-    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=n, sets=True)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("_sh")
@@ -550,7 +566,7 @@ def benchmark_contamination(
     shuffle beyond the per-doc count. Documents shorter than ``n`` words
     have no shingles and drop out (nothing to contaminate).
     """
-    c_sh = _exploded_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+    c_sh = _exploded_shingles(corpus, id_col=id_col, text_col=text_col, n=n, sets=True)
     b_sh = (
         benchmark.select(
             F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sh")
@@ -601,7 +617,7 @@ def repeated_passages(
     ``count(*)`` — partial aggregation absorbs hot boilerplate
     passages map-side, with no count-distinct state and no skewed
     reduce-side set."""
-    wins = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window)
+    wins = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window, sets=True)
     return (
         wins.groupBy(F.col("_sh").alias("passage"))
         .agg(
@@ -767,7 +783,7 @@ def strip_boilerplate(
     survived the frequency cut; the fold itself is map-side column
     algebra after an id-keyed join back to the docs.
     """
-    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window)
+    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window, sets=True)
     hot = (
         sh.groupBy("_sh")
         .agg(F.count("*").alias("_df"))
@@ -829,7 +845,7 @@ def bloom_decontaminate(
     """
     from procoggraph_spark.operators.sketches import bloom_build, bloom_probe
 
-    c_sh = _exploded_shingles(corpus, id_col=id_col, text_col=text_col, n=n)
+    c_sh = _exploded_shingles(corpus, id_col=id_col, text_col=text_col, n=n, sets=True)
     b_sh = benchmark.select(
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sh")
     ).distinct()
@@ -1069,9 +1085,15 @@ def substring_ngram_pairs(
     # self-join — without a checkpoint the substring explode re-executes
     # up to 4x (self-joins re-run shared lineage); same discipline as
     # the containment shingle table
-    g = df.select(
-        F.col(id_col).alias("_id"), F.explode(grams).alias("_g")
-    ).localCheckpoint(eager=False)
+    # distinct across rows, not just within (same set-algebra contract
+    # as _exploded_shingles(sets=True)): a replayed doc_id's gram SET is
+    # the union over its rows, so shared-gram counts stay true set
+    # intersections under duplicate ids (dirty-keys fuzz)
+    g = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ok = g.groupBy("_g").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= max_df
     )

@@ -214,10 +214,11 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Build the composed IVF+PQ index rows in ONE map-only pass:
-    (id, cell, pq_codes) — coarse cell by L2 argmin over the broadcast
-    centroid literals, fine codes via `pq_encode`'s per-subspace
-    argmin. No shuffle; the index is written once and scanned by every
+    """Build the composed IVF+PQ index rows: (id, cell, pq_codes) —
+    coarse cell by L2 argmin over the broadcast centroid literals, fine
+    codes via `pq_encode`'s per-subspace argmin. One key_unique
+    survivorship exchange (the index is a keyed entity store), then the
+    encode is map-only; the index is written once and scanned by every
     query afterwards."""
     # dimension boundary (same contract as the numpy twin's
     # rows_of_dim): a vector that doesn't match the codebook dimension
@@ -225,6 +226,15 @@ def ivf_pq_index(
     # and a NULL ADC distance would sort ABOVE real candidates
     dim = len(codebooks) * len(codebooks[0][0])
     df = df.filter(F.size(F.col(vec_col)) == dim)
+    # the index is a keyed ENTITY store: point-lookup/shortlist-fetch
+    # over a replayed id is ill-defined (a duplicated id eats two
+    # shortlist slots and fans the rerank fetch — dirty-keys fuzz), so
+    # the build resolves duplicates deterministically. One exchange at
+    # index-build time, amortized over every query that scans it; the
+    # encode below stays map-only.
+    from procoggraph_spark.operators.similarity import key_unique
+
+    df = key_unique(df.select(id_col, vec_col), id_col, [vec_col])
     v = F.col(vec_col).cast("array<double>")
     cells = F.array(*[
         F.struct(
@@ -371,8 +381,16 @@ def ivf_pq_rerank_topk(
         queries, "query_id long, _qv array<double>"
     )
     v = F.col(vec_col).cast("array<double>")
+    # fetch-by-id is point-lookup (PK) semantics: resolve replayed ids
+    # the same way the index build did, or the broadcast join fans the
+    # shortlist out (a duplicated id occupied two final ranks and
+    # pushed a real neighbor out — dirty-keys fuzz)
+    from procoggraph_spark.operators.similarity import key_unique
+
     exact = (
-        corpus.select(F.col(id_col), v.alias("_v"))
+        key_unique(
+            corpus.select(F.col(id_col), v.alias("_v")), id_col, ["_v"]
+        )
         .join(F.broadcast(sl), id_col)
         .join(F.broadcast(qdf), "query_id")
         .select(
@@ -489,6 +507,11 @@ def ivf_pq_index_numpy(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # same keyed-entity-store contract as ivf_pq_index: resolve
+    # replayed ids deterministically at build time (one exchange,
+    # amortized); the Arrow encode stays map-only on the survivors
+    from procoggraph_spark.operators.similarity import key_unique
+
+    return key_unique(df.select(id_col, vec_col), id_col, [vec_col]).mapInPandas(
         enc, f"{id_col} long, cell int, pq_codes array<int>"
     )

@@ -144,11 +144,20 @@ def pack_sequences(
     budget: int,
     partition_cols: list[str],
     bin_col: str = "bin_id",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget training
     bins. Within each partition group (e.g. source shard), documents are
-    taken in ``id_col`` order and a document starts in the bin where its
-    running token total begins: ``bin = (cumsum - n) // budget``.
+    taken in ``order_cols`` order (default ``[id_col]``) and a document
+    starts in the bin where its running token total begins:
+    ``bin = (cumsum - n) // budget``.
+
+    ``order_cols`` must be a TOTAL order over the rows that matter: if
+    ids can repeat (a replayed feed), pass enough payload columns that
+    rows sharing the full sort key are interchangeable — otherwise the
+    packing is nondeterministic exactly at the duplicates (dirty-keys
+    fuzz finding). The comparator short-circuits on the id, so a heavy
+    tiebreak column costs nothing on unique ids.
 
     One window per partition group — a single shuffle on
     ``partition_cols``; each group's packing is an independent stream,
@@ -157,7 +166,7 @@ def pack_sequences(
     """
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(id_col)
+        .orderBy(*[F.col(c) for c in (order_cols or [id_col])])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)

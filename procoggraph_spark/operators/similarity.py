@@ -85,6 +85,32 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def key_unique(
+    df: DataFrame, id_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Deterministic key survivorship for the id-keyed ANN operators:
+    one row per ``id_col``, the lexicographic minimum of the payload
+    struct. Operators whose INTERNAL algebra keys on the id — IVF cell
+    assignment (one cell per id), PQ shortlist fetch-by-id, the kNN
+    vote's label join — are ill-defined over a bag with replayed ids
+    (dirty-keys fuzz: a duplicated vec_id made the kept copy
+    partition-dependent via dropDuplicates, and doubled kNN votes via
+    the label join-back), so they resolve duplicates at their input
+    boundary, deterministically on both engines. Pure ranking
+    operators (brute force / GEMM top-k) are bag-safe and take inputs
+    as-is. Apply AFTER ``searchable``/``finite_vectors`` so the
+    payload order never compares non-finite components. SQL twin:
+    ``ROW_NUMBER() OVER (PARTITION BY id ORDER BY <payload...>) = 1``.
+    One groupBy on the id; min(struct) combines map-side."""
+    return (
+        df.groupBy(id_col)
+        .agg(F.min(F.struct(*payload_cols)).alias("_p"))
+        .select(
+            id_col, *[F.col(f"_p.{c}").alias(c) for c in payload_cols]
+        )
+    )
+
+
 # SQL fragment for the same boundary in DuckDB oracles (append to the
 # embedding-scan WHERE clause; `{v}` is the raw vector column).
 # NOTE: NOT list_dot_product — DuckDB's list_inner_product raises on a
@@ -560,18 +586,29 @@ def ivf_topk(
     ``n_probe`` nearest cells and reranks exactly within them. The
     candidate join is an equi-join on ``_cell``, so work scales with
     corpus/n_cells per query, not with the full corpus."""
-    c = searchable(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    # key_unique: cell assignment is one-cell-PER-ID — a replayed id
+    # with two payloads would get two cells and a partition-dependent
+    # dropDuplicates pick downstream (dirty-keys fuzz)
+    c = key_unique(
+        searchable(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "neighbor_id",
+        ["_v"],
     )
     centroid_df = (
         c.orderBy("neighbor_id")
         .limit(n_cells)
         .select(F.col("neighbor_id").alias("_cell"), F.col("_v").alias("_cv"))
     )
-    q = searchable(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
+    q = key_unique(
+        searchable(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        ),
+        "query_id",
+        ["_qv"],
     )
     try:
         import numpy  # noqa: F401
@@ -943,6 +980,22 @@ def knn_label_vote(
     neighbor→label join and a per-query majority window. Output:
     (vec_id, pred_label, n_votes, vote_frac).
     """
+    # key_unique on BOTH inputs: the vote's label join-back fans out
+    # under a replayed neighbor id (each top-k row would pick up every
+    # copy's label — doubled votes, dirty-keys fuzz), and duplicate
+    # QUERY ids would merge two observations' candidate lists into one
+    # top-k window. Applied after the searchable boundary so the
+    # payload order never compares non-finite components.
+    labeled = key_unique(
+        searchable(labeled, vec_col).select(id_col, vec_col, label_col),
+        id_col,
+        [vec_col, label_col],
+    )
+    unlabeled = key_unique(
+        searchable(unlabeled, vec_col).select(id_col, vec_col),
+        id_col,
+        [vec_col],
+    )
     nn = (searcher or brute_force_topk)(
         labeled,
         unlabeled,

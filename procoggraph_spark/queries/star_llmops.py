@@ -592,11 +592,20 @@ _IVF_ORACLE_SQL = """
               WHERE COALESCE(list_sum(list_transform(
                           embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
                  AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
+    -- key_unique twin: IVF assigns one cell PER ID, so a replayed
+    -- vec_id resolves to the lexicographic-min payload on both engines
+    e1 AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v) AS _rn
+        FROM e
+      ) WHERE _rn = 1
+    ),
     cent AS (
       SELECT vec_id AS cell, v AS cv,
              CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
                   ELSE sqrt(list_dot_product(v, v)) END AS cn
-      FROM e ORDER BY vec_id LIMIT 16
+      FROM e1 ORDER BY vec_id LIMIT 16
     ),
     sc AS (
       SELECT e.vec_id, e.v, cent.cell,
@@ -604,7 +613,7 @@ _IVF_ORACLE_SQL = """
                    ((CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN 1.0
                           ELSE sqrt(list_dot_product(e.v, e.v)) END) * cent.cn),
                    6) AS s
-      FROM e CROSS JOIN cent
+      FROM e1 AS e CROSS JOIN cent
     ),
     rn AS (
       SELECT vec_id, v, cell,
@@ -894,8 +903,13 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     c AS (
+      -- ORDER BY (doc_id, n_tokens): total over everything the packing
+      -- depends on, so replayed doc_ids (dirty-keys fuzz) pack
+      -- deterministically — rows tying on the full key are
+      -- interchangeable for the cumsum
       SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY doc_id, n_tokens NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM tok
     )
@@ -915,7 +929,7 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(
         d, id_col="doc_id", token_col="n_tokens", budget=512,
-        partition_cols=["source"],
+        partition_cols=["source"], order_cols=["doc_id", "n_tokens"],
     )
     return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")

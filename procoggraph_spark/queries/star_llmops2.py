@@ -180,8 +180,12 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     c AS (
+      -- ORDER BY (doc_id, text): total over everything the packing AND
+      -- the concatenation depend on, so replayed doc_ids (dirty-keys
+      -- fuzz) pack and concatenate deterministically
       SELECT doc_id, source, text, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY doc_id, text NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM tok
     )
@@ -190,7 +194,7 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- COALESCE: a bin of only NULL texts concatenates to ''
            -- (Spark's array_join skips NULL elements; string_agg
            -- would return NULL)
-           COALESCE(string_agg(text, '<|eod|>' ORDER BY doc_id), '')
+           COALESCE(string_agg(text, '<|eod|>' ORDER BY doc_id, text NULLS FIRST), '')
                AS context_text
     FROM c GROUP BY source, (cum - n_tokens) // 512
     """,
@@ -204,7 +208,7 @@ def pack_concat_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(
         d, id_col="doc_id", token_col="n_tokens", budget=512,
-        partition_cols=["source"],
+        partition_cols=["source"], order_cols=["doc_id", "text"],
     )
     return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -199,16 +199,25 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fe, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
     ),
     s AS (SELECT i, AVG(v) AS m, stddev_pop(v) AS sd FROM x GROUP BY i),
+    -- per-ROW z fold over a broadcast stats array, mirroring the Spark
+    -- plan: the earlier GROUP BY vec_id regroup silently MERGED
+    -- bit-exact duplicate observations (redelivered rows, dirty-keys
+    -- fuzz) and double-counted their dims; a bag of two observations
+    -- must yield two QA rows
+    sarr AS (SELECT list(m ORDER BY i) AS ms, list(sd ORDER BY i) AS sds FROM s),
     z AS (
       SELECT vec_id, label,
-             MAX(ABS(ROUND(CASE WHEN sd = 0 THEN 0 ELSE (v - m) / sd END, 4)))
-                 AS max_abs_z,
-             COUNT(*) FILTER (
-               WHERE ABS(ROUND(CASE WHEN sd = 0 THEN 0
-                                    ELSE (v - m) / sd END, 4)) >= 2.0
-             ) AS n_dims_over_2
-      FROM x JOIN s USING (i)
-      GROUP BY vec_id, label
+             list_max(zl) AS max_abs_z,
+             CAST(len(list_filter(zl, zz -> zz >= 2.0)) AS BIGINT)
+                 AS n_dims_over_2
+      FROM (
+        SELECT vec_id, label,
+               list_transform(generate_series(1, len(embedding)),
+                 i -> ABS(ROUND(CASE WHEN sds[i] = 0 THEN 0
+                                     ELSE (CAST(embedding[i] AS DOUBLE) - ms[i])
+                                          / sds[i] END, 4))) AS zl
+        FROM fe CROSS JOIN sarr
+      )
     )
     SELECT vec_id, label, max_abs_z, n_dims_over_2
     FROM z WHERE max_abs_z >= 3.0

@@ -114,15 +114,26 @@ _IVF_PQ_RERANK_SQL = """
               WHERE COALESCE(list_sum(list_transform(
                           embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
                  AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE),
+    -- key_unique twin (see operators/similarity.key_unique): the index
+    -- build, the probe set, and the fetch-by-id rerank are all
+    -- id-keyed, so a replayed vec_id resolves to the lexicographic-min
+    -- payload on both engines
+    e1 AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v) AS _rn
+        FROM e
+      ) WHERE _rn = 1
+    ),
     seed AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
-      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+      FROM (SELECT * FROM e1 ORDER BY vec_id LIMIT 16)
     ),
     coarse AS (
       SELECT e.vec_id, s.cid,
              ROUND(list_sum(list_transform(generate_series(1, 64),
                    i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), 6) AS d
-      FROM e CROSS JOIN seed s
+      FROM e1 AS e CROSS JOIN seed s
     ),
     cellof AS (
       SELECT vec_id, cid AS cell FROM (
@@ -135,7 +146,7 @@ _IVF_PQ_RERANK_SQL = """
              ROUND(list_sum(list_transform(generate_series(1, 4),
                    i -> (e.v[g.s * 4 + i] - sd.cv[g.s * 4 + i])
                       * (e.v[g.s * 4 + i] - sd.cv[g.s * 4 + i]))), 6) AS d
-      FROM e CROSS JOIN generate_series(0, 15) AS g(s) CROSS JOIN seed sd
+      FROM e1 AS e CROSS JOIN generate_series(0, 15) AS g(s) CROSS JOIN seed sd
     ),
     code AS (
       SELECT vec_id, s, cid AS code FROM (
@@ -169,8 +180,8 @@ _IVF_PQ_RERANK_SQL = """
              ROUND(list_sum(list_transform(generate_series(1, 64),
                    i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), 6) AS l2_dist
       FROM sl s
-      JOIN e q ON q.vec_id = s.query_id
-      JOIN e c ON c.vec_id = s.cand_id
+      JOIN e1 q ON q.vec_id = s.query_id
+      JOIN e1 c ON c.vec_id = s.cand_id
     )
     SELECT query_id, vec_id, l2_dist, rank FROM (
       SELECT query_id, vec_id, l2_dist,

@@ -39,20 +39,24 @@ _STOP_LIST = "['the','a','an','of','and','or','to','in','is','it']"
 # --- Gopher structural quality rules ---------------------------------------
 
 _GOPHER_SQL = f"""
+    -- strictly PER-ROW, like the Spark column algebra: one metric row
+    -- per document OBSERVATION. The earlier LEFT JOIN back on doc_id
+    -- fans out under replayed doc_ids (dirty-keys fuzz) — a bag of two
+    -- observations must yield exactly two metric rows on both engines.
+    -- NULL text carries no metrics (the `has` flag gates every metric
+    -- NULL, matching Spark's NULL propagation); gopher_keep is FALSE.
     WITH w AS (
-      -- NULL text carries no metrics: computed only for real texts,
-      -- the final LEFT JOIN leaves NULL rows NULL (Spark's column
-      -- algebra propagates NULL through every metric the same way)
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws
-      FROM documents WHERE text IS NOT NULL
+      SELECT doc_id, text IS NOT NULL AS has,
+             list_filter(string_split_regex(trim(COALESCE(text, '')), '\\s+'), _t -> _t <> '') AS ws
+      FROM documents
     ),
     m AS (
-      SELECT doc_id,
+      SELECT doc_id, has,
              len(ws) AS n_words,
              greatest(len(ws), 1) AS nn,
              -- list_prepend keeps the sum non-NULL for zero-token docs
              -- (Spark's aggregate over an empty array returns its 0
-             -- seed) while a NULL text still propagates NULL
+             -- seed)
              list_sum(list_prepend(CAST(0 AS BIGINT),
                  list_transform(ws, x -> CAST(length(x) AS BIGINT)))) AS tl,
              len(list_filter(ws, x -> regexp_full_match(x, '[a-zA-Z]+')))
@@ -62,18 +66,18 @@ _GOPHER_SQL = f"""
              len(ws) - len(list_distinct(ws)) AS ndup
       FROM w
     )
-    SELECT d.doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           ROUND(tl * 1.0 / nn, 6) AS mean_word_len,
-           ROUND(na * 1.0 / nn, 6) AS frac_alpha_words,
-           CAST(nstop AS BIGINT) AS n_stopwords,
-           ROUND(ndup * 1.0 / nn, 6) AS dup_word_frac,
-           COALESCE((n_words BETWEEN 10 AND 100000)
+    SELECT doc_id,
+           CASE WHEN has THEN CAST(n_words AS BIGINT) END AS n_words,
+           CASE WHEN has THEN ROUND(tl * 1.0 / nn, 6) END AS mean_word_len,
+           CASE WHEN has THEN ROUND(na * 1.0 / nn, 6) END AS frac_alpha_words,
+           CASE WHEN has THEN CAST(nstop AS BIGINT) END AS n_stopwords,
+           CASE WHEN has THEN ROUND(ndup * 1.0 / nn, 6) END AS dup_word_frac,
+           COALESCE(has AND (n_words BETWEEN 10 AND 100000)
              AND (tl * 1.0 / nn >= 3.0) AND (tl * 1.0 / nn <= 10.0)
              AND (na * 1.0 / nn >= 0.8)
              AND (nstop >= 2)
              AND (ndup * 1.0 / nn <= 0.5), FALSE) AS gopher_keep
-    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    FROM m
     """
 
 
@@ -334,12 +338,28 @@ _KNN_VOTE_SQL = """
         AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) > 0
                  AND COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0) < 'inf'::DOUBLE
     ),
+    -- key_unique twins (see operators/similarity.key_unique): the
+    -- vote join and the per-query top-k window are id-keyed
+    l1 AS (
+      SELECT vec_id, label, v FROM (
+        SELECT vec_id, label, v,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v, label) AS _rn
+        FROM l
+      ) WHERE _rn = 1
+    ),
+    u1 AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v) AS _rn
+        FROM u
+      ) WHERE _rn = 1
+    ),
     scored AS (
       SELECT u.vec_id AS query_id, l.vec_id AS neighbor_id, l.label,
              ROUND(list_dot_product(u.v, l.v) /
                    (sqrt(list_dot_product(u.v, u.v)) *
                     sqrt(list_dot_product(l.v, l.v))), 6) AS s
-      FROM u, l WHERE l.vec_id <> u.vec_id
+      FROM u1 u, l1 l WHERE l.vec_id <> u.vec_id
     ),
     nn AS (
       SELECT * FROM (

@@ -399,6 +399,10 @@ def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Corpus data card (per-source gate attribution) -------------------------
 
 _DATA_CARD_SQL = """
+    -- strictly PER-ROW chained CTEs, like the Spark single-pass column
+    -- algebra: the earlier formulation joined four doc_id-keyed CTEs
+    -- back together, which fans out under replayed doc_ids (dirty-keys
+    -- fuzz: one duplicated id inflated its source's n_docs 4-fold).
     WITH s AS (
       SELECT doc_id, source, text,
              list_filter(string_split_regex(trim(text), '\\s+'), _t -> _t <> '') AS ws,
@@ -407,26 +411,27 @@ _DATA_CARD_SQL = """
                  '[!-/:-@\\[-`{-~]', '', 'g')) AS np
       FROM documents
     ),
+    l AS (
+      SELECT *,
+        len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+        len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
+        len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
+        len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+        len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
+      FROM s
+    ),
     lang AS (
-      SELECT doc_id,
+      SELECT *,
         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
              ELSE 'zh' END AS pred_lang
-      FROM (
-        SELECT doc_id,
-          len(list_filter(ws, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
-          len(list_filter(ws, w -> list_contains(['the','a','of','and','to','is'], w))) AS s_en,
-          len(list_filter(ws, w -> list_contains(['el','la','los','de','que','es'], w))) AS s_es,
-          len(list_filter(ws, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
-          len(list_filter(ws, w -> list_contains(['de','le','shi','bu','wo','zai'], w))) AS s_zh
-        FROM s
-      )
+      FROM l
     ),
     qual AS (
-      SELECT doc_id,
+      SELECT *,
              ROUND((
                (CASE WHEN n >= 100 THEN 1.0 ELSE n / 100.0 END)
                + (1.0 - least(np * 1.0 / greatest(n, 1) * 5.0, 1.0))
@@ -438,28 +443,27 @@ _DATA_CARD_SQL = """
                             BETWEEN 3.0 AND 12.0
                        THEN 1.0 ELSE 0.5 END)
              ) / 4.0, 6) AS quality
-      FROM s
+      FROM lang
     ),
     rep AS (
-      SELECT doc_id,
+      SELECT *,
              CASE WHEN len(grams) <= 0 THEN 0.0
                   ELSE ROUND((len(grams) - len(list_distinct(grams))) * 1.0
                              / len(grams), 6) END AS rep_ratio
       FROM (
-        SELECT doc_id,
+        SELECT *,
                list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
                               i -> ws[i] || ' ' || ws[i+1]) AS grams
-        FROM s
+        FROM qual
       )
     ),
     d AS (
-      SELECT s.source,
-             CASE WHEN lang.pred_lang <> 'en' THEN 'drop_lang'
-                  WHEN qual.quality < 0.5 THEN 'drop_quality'
-                  WHEN rep.rep_ratio > 0.2 THEN 'drop_repetition'
+      SELECT source,
+             CASE WHEN pred_lang <> 'en' THEN 'drop_lang'
+                  WHEN quality < 0.5 THEN 'drop_quality'
+                  WHEN rep_ratio > 0.2 THEN 'drop_repetition'
                   ELSE 'kept' END AS dec
-      FROM s JOIN lang USING (doc_id) JOIN qual USING (doc_id)
-             JOIN rep USING (doc_id)
+      FROM rep
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN dec = 'drop_lang' THEN 1 ELSE 0 END) AS BIGINT)

@@ -73,12 +73,23 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "j7_star_join_rollup",
+    # Bag semantics, stated as the pre-aggregate form the engine plans:
+    # one revenue rollup per ORDER OBSERVATION. A replayed order row
+    # (duplicate o_orderkey — dirty-keys fuzz) is counted and weighted
+    # like any other observation; idempotent ingest is a separate
+    # operator (SCD2/upsert), not an implicit join-time dedup. The
+    # flat-join + COUNT(DISTINCT) form disagrees with itself under
+    # duplicate keys (revenue fans out, the count doesn't).
     """
+    WITH lagg AS (
+      SELECT l_orderkey,
+             SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY l_orderkey
+    )
     SELECT r_name, n_name,
-           CAST(SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS DOUBLE)
-               AS revenue,
-           COUNT(DISTINCT o_orderkey) AS n_orders
-    FROM lineitem
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM lagg
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -213,17 +224,29 @@ def q3_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q4_report_card",
+    # Bag semantics (see j7): one report-card row per ORDER OBSERVATION
+    # — a replayed order row yields a second identical card instead of
+    # silently double-counting revenue into one merged card (which is
+    # what GROUP BY o_orderkey over the flat join does under duplicate
+    # keys — dirty-keys fuzz). Stated as the pre-aggregate form the
+    # engine plans.
     """
+    WITH lagg AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             COALESCE(CAST(SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))) AS DOUBLE), 0)
+               AS revenue,
+             COALESCE(string_agg(DISTINCT p_brand, '|' ORDER BY p_brand), '') AS brands
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY l_orderkey
+    )
     SELECT o_orderkey,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_suppliers,
-           CAST(COALESCE(SUM(CAST((CASE WHEN l_extendedprice * (1 - l_discount) >= -9.0e13 AND l_extendedprice * (1 - l_discount) <= 9.0e13 THEN l_extendedprice * (1 - l_discount) END) AS DECIMAL(18,4))), 0)
-                AS DOUBLE) AS revenue,
-           COALESCE(string_agg(DISTINCT p_brand, '|' ORDER BY p_brand), '') AS brands
-    FROM orders
-    LEFT JOIN lineitem ON o_orderkey = l_orderkey
-    LEFT JOIN part ON l_partkey = p_partkey
-    GROUP BY o_orderkey
+           COALESCE(n_parts, 0) AS n_parts,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           COALESCE(revenue, 0) AS revenue,
+           COALESCE(brands, '') AS brands
+    FROM orders LEFT JOIN lagg ON o_orderkey = l_orderkey
     """,
 )
 def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:

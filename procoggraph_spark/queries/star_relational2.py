@@ -1100,12 +1100,16 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
         AND NOT (s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) AND s_de >= s_en)
     ),
-    canon AS (
-      SELECT MIN(doc_id) AS doc_id FROM keepers GROUP BY substr(text, 1, 40)
-    ),
     surv AS (
-      SELECT k.doc_id, k.n_tokens FROM keepers k
-      JOIN canon c ON k.doc_id = c.doc_id
+      -- one survivor per dedup key, tie-safe under replayed doc_ids:
+      -- lexicographic (doc_id, n_tokens) winner (the MIN(doc_id) +
+      -- join-back form keeps BOTH payloads of a duplicated winning id)
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 40)
+                                  ORDER BY doc_id, n_tokens) AS rn
+        FROM keepers
+      ) WHERE rn = 1
     ),
     m1 AS (
       SELECT doc_id, n_tokens,
@@ -1142,9 +1146,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each stage an operator from this engine, end-to-end in one plan:
     curation gate (quality + repetition + lang-ID,
     `text.corpus_keep_decision`) → exact-dedup survivorship via
-    ``min_by``: token counts are computed map-side on the gated rows,
-    then one groupBy on the dedup key keeps (min doc_id, its
-    n_tokens). This is simultaneously single-pass — the EXPENSIVE
+    ``min(struct)``: token counts are computed map-side on the gated
+    rows, then one groupBy on the dedup key keeps the lexicographic
+    (doc_id, n_tokens) winner — a total order, so the survivor is
+    deterministic even under replayed doc_ids (dirty-keys fuzz).
+    This is simultaneously single-pass — the EXPENSIVE
     curation expression evaluates exactly once per row, where the
     agg + semi-join form re-runs it per reference — and skew-safe: a
     viral duplicate group partially aggregates on every mapper, where
@@ -1170,10 +1176,17 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 40).alias("key_prefix"),
         X2.token_count(F.col("text")).alias("n_tokens"),
     )
+    # survivorship must stay deterministic under REPLAYED doc_ids
+    # (dirty-keys fuzz): min_by(n_tokens, doc_id) breaks ties on equal
+    # doc_id nondeterministically, while min over the (doc_id,
+    # n_tokens) struct is a lexicographic total order — same partial
+    # map-side combine, one winner whatever the duplicates
     surv = kept.groupBy("key_prefix").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
-    ).select("doc_id", "n_tokens")
+        F.min(F.struct("doc_id", "n_tokens")).alias("_s")
+    ).select(
+        F.col("_s.doc_id").alias("doc_id"),
+        F.col("_s.n_tokens").alias("n_tokens"),
+    )
     shuf = corpus_shuffle(surv, id_col="doc_id", n_shards=8, seed=17)
     packed = pack_sequences(
         shuf,

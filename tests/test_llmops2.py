@@ -559,7 +559,11 @@ def test_ivf_pq_recall_and_pruning(spark):
     from tests.test_plans import plan
 
     p = plan(spark, idx)
-    assert "Exchange" not in p and "Join" not in p and "Python" not in p
+    # exactly the ONE key_unique survivorship exchange (the index is a
+    # keyed entity store — dirty-keys contract), no join, no Python;
+    # the encode itself stays column algebra on the survivors
+    assert p.count("Exchange (") == 1
+    assert "Join" not in p and "Python" not in p
 
     qrows = [(r["vec_id"], [float(x) for x in r["embedding"]])
              for r in e.filter(F.col("vec_id") < 5).collect()]
@@ -646,8 +650,8 @@ def test_ivf_pq_index_numpy_twin_equality(spark):
     """The Arrow-batched index builder (`ivf_pq_index_numpy`, the
     million-scale path the 1M probe uses) must produce row-for-row the
     same (id, cell, pq_codes) as the column-algebra builder on the
-    driver's embeddings table, and stay a map-only Python plan (no
-    shuffle, no join)."""
+    driver's embeddings table, with exactly the one key_unique
+    survivorship exchange and no join."""
     from procoggraph_spark.operators.pq import (
         ivf_pq_index,
         ivf_pq_index_numpy,
@@ -672,7 +676,10 @@ def test_ivf_pq_index_numpy_twin_equality(spark):
     from tests.test_plans import plan
 
     p = plan(spark, ivf_pq_index_numpy(e, cents, books))
-    assert "Exchange" not in p and "Join" not in p
+    # one key_unique survivorship exchange (keyed-entity-store
+    # contract, same as the column builder), then the map-only Arrow
+    # encode; still no join
+    assert p.count("Exchange (") == 1 and "Join" not in p
 
 
 def test_compression_ratio_exact_and_ordering(spark):

@@ -418,6 +418,68 @@ def build_corpus(spark):
                 )
                 .otherwise(F.col("embedding")),
             )
+        # ---- dirty-keys leg: the corruption shapes a real ingest sees
+        # constantly — exact duplicate rows (retry/redelivery), duplicate
+        # primary keys with DIFFERENT payloads (a replayed feed after an
+        # upstream edit), and negative sentinel keys (-1 "anonymous").
+        # Engines must agree on all three: joins fan out identically,
+        # aggregates count what is there, rankings stay total-ordered.
+        if t == "nation":
+            # one duplicated dimension key with a different display name:
+            # every star join through nation fans out ×2 for that key
+            dup_nation = df.filter(F.col("n_nationkey") == 13).withColumn(
+                "n_name", F.lit("REPLAYED THIRTEEN")
+            )
+            df = df.unionByName(dup_nation)
+        if t == "documents":
+            dup_docs = df.filter(
+                (F.col("doc_id") >= 450) & (F.col("doc_id") < 470)
+            ).withColumn(
+                "text",
+                F.concat_ws(" ", F.col("text"), F.lit("duplicate feed copy")),
+            )
+            df = df.unionByName(dup_docs)
+        if t == "embeddings":
+            # same vec_id, perturbed vector (replayed after re-encode) +
+            # bit-exact duplicate rows (redelivery)
+            dup_vec = df.filter(
+                (F.col("vec_id") >= 450) & (F.col("vec_id") < 460)
+            ).withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(i == 0, x + F.lit(0.01).cast("float")).otherwise(x),
+                ),
+            )
+            exact_vec = df.filter((F.col("vec_id") >= 470) & (F.col("vec_id") < 480))
+            df = df.unionByName(dup_vec).unionByName(exact_vec)
+        if t == "orders":
+            dup_orders = df.filter(
+                (F.col("o_orderkey") % 89 == 73) & (F.col("o_orderkey") < 2000)
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            df = df.unionByName(dup_orders).withColumn(
+                "o_custkey",
+                F.when(
+                    (F.col("o_orderkey") % 89 == 79) & (F.col("o_orderkey") < 2000),
+                    F.lit(-1).cast(df.schema["o_custkey"].dataType),
+                ).otherwise(F.col("o_custkey")),
+            )
+        if t == "lineitem":
+            exact_li = df.filter(
+                (F.col("l_orderkey") % 89 == 61) & (F.col("l_orderkey") < 2000)
+            )
+            df = df.unionByName(exact_li)
+        if t == "events":
+            exact_ev = df.filter(
+                (F.col("event_id") % 97 == 47) & (F.col("event_id") < 2000)
+            )
+            df = df.unionByName(exact_ev).withColumn(
+                "user_id",
+                F.when(
+                    (F.col("event_id") % 97 == 31) & (F.col("event_id") < 2000),
+                    F.lit(-1).cast(df.schema["user_id"].dataType),
+                ).otherwise(F.col("user_id")),
+            )
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(FUZZ_DIR, f"{t}.parquet")
         )
