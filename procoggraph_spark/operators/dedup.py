@@ -1029,7 +1029,12 @@ def crawl_novelty(
     cycle join is on the bounded cycle grain — no window over the
     unbounded key space, portable across engines.
     """
-    cyc = F.floor(F.col(id_col) / F.lit(cycle_size)).cast("long")
+    # integer DIV, not floor(double division): a double is exact only
+    # to 2^53, so snowflake-scale ids (2^61 — huge-keys fuzz) bucket
+    # into the WRONG cycle under float division while the SQL twin's
+    # `//` divides exactly
+    _id = str(id_col).replace("`", "``")
+    cyc = F.expr(f"CAST(`{_id}` AS BIGINT) DIV {int(cycle_size)}")
     key = F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__"))
     d = df.select(cyc.alias("cycle"), key.alias("_k"))
     per_cycle = d.groupBy("cycle").agg(F.count("*").alias("n_docs"))

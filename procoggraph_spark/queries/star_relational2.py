@@ -543,8 +543,18 @@ def f16_sentinel_cast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_twins(e: DataFrame) -> DataFrame:
     """Deterministic near-dup twins for vec_id < 40: identical integer
-    arithmetic to the oracle's list_transform, bit-identical doubles."""
-    k = lambda d: ((F.col("vec_id") * 17 + d * 13) % 7 - 3).cast("double")
+    arithmetic to the oracle's list_transform, bit-identical doubles.
+
+    The id is pre-reduced (% 2^31) before the multiply — a no-op for
+    the vec_id < 40 rows this branch keeps, but Spark does NOT
+    guarantee conjunct evaluation order, so under an adversarial
+    physical profile the transform can evaluate on rows the id filter
+    later drops; an unreduced multiply on a snowflake-scale id (2^61,
+    huge-keys fuzz) is an ANSI long overflow there (the portable-hash
+    pre-reduction discipline every mixer in the repo follows)."""
+    k = lambda d: (
+        ((F.col("vec_id") % F.lit(2147483648)) * 17 + d * 13) % 7 - 3
+    ).cast("double")
     return (
         e.filter(F.col("vec_id") < 40)
         .select(

@@ -164,3 +164,47 @@ def test_q4_bag_semantics_second_identical_card(spark):
     sql = oracles["q4_report_card"]
     assert "WITH lagg AS" in sql and "GROUP BY o_orderkey" not in sql.split("FROM orders")[1]
     assert any(r[0] == some_key for r in base)
+
+
+def test_crawl_novelty_cycles_exact_at_snowflake_ids(spark):
+    """Cycle bucketing must be integer DIV, not floor(double division):
+    a double is exact only to 2^53, so a 2^61-range id (the size real
+    ingest ids are at 100 TB) buckets into the WRONG cycle under float
+    division (huge-keys fuzz finding)."""
+    from procoggraph_spark.operators.dedup import crawl_novelty
+
+    huge = (1 << 61) + 57
+    df = spark.createDataFrame(
+        [(huge, "alpha"), (huge + 1, "beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r["cycle"]: r["n_docs"] for r in crawl_novelty(df, id_col="doc_id", text_col="text", cycle_size=50).collect()}
+    assert rows == {huge // 50: 2, 0: 1}
+
+
+def test_emb_twin_arithmetic_safe_on_huge_ids(spark):
+    """The planted-twin perturbation pre-reduces the id before its
+    multiply: Spark does not guarantee conjunct evaluation order, so
+    the expression must be total — evaluating it on a 2^61 id must not
+    ANSI-overflow even though the id filter would drop that row."""
+    from procoggraph_spark.queries.star_relational2 import _emb_twins
+
+    df = spark.createDataFrame(
+        [(5, [1.0, 2.0]), ((1 << 61) + 3, [3.0, 4.0])],
+        "vec_id long, v array<double>",
+    )
+    # force evaluation of the twin expression on EVERY row (no id cut)
+    probed = df.select(
+        F.transform(
+            "v",
+            lambda x, d: x
+            * (
+                F.lit(1.0)
+                + F.lit(0.003)
+                * (((F.col("vec_id") % F.lit(2147483648)) * 17 + d * 13) % 7 - 3).cast("double")
+            ),
+        ).alias("v")
+    ).collect()
+    assert len(probed) == 2
+    twins = _emb_twins(df).collect()
+    assert [r["vec_id"] for r in twins] == [1005]

@@ -480,6 +480,43 @@ def build_corpus(spark):
                     F.lit(-1).cast(df.schema["user_id"].dataType),
                 ).otherwise(F.col("user_id")),
             )
+        # ---- huge-keys leg: snowflake-scale 64-bit ids (2^61 range) —
+        # at 100 TB, ids ARE this size. Every portable-hash formula
+        # multiplies id-derived values; DuckDB RAISES on BIGINT
+        # overflow while Spark wraps silently, so any formula that
+        # fails to pre-reduce (% 2^31) before multiplying is a latent
+        # crash/divergence this leg exposes. Copies of real rows with
+        # shifted ids, so joins/metrics stay well-formed.
+        _HUGE = 1 << 61
+        if t == "documents":
+            huge_docs = df.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 103)
+            ).withColumn("doc_id", F.col("doc_id") + F.lit(_HUGE))
+            df = df.unionByName(huge_docs)
+        if t == "embeddings":
+            huge_vec = df.filter(
+                (F.col("vec_id") >= 100) & (F.col("vec_id") < 103)
+            ).withColumn("vec_id", F.col("vec_id") + F.lit(_HUGE))
+            df = df.unionByName(huge_vec)
+        if t == "events":
+            huge_ev = (
+                df.filter((F.col("event_id") >= 100) & (F.col("event_id") < 103))
+                .withColumn("event_id", F.col("event_id") + F.lit(_HUGE))
+                .withColumn("user_id", F.col("user_id") + F.lit(_HUGE))
+            )
+            df = df.unionByName(huge_ev)
+        if t == "orders":
+            huge_ord = (
+                df.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 103))
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_HUGE))
+                .withColumn("o_custkey", F.col("o_custkey") + F.lit(_HUGE))
+            )
+            df = df.unionByName(huge_ord)
+        if t == "lineitem":
+            huge_li = df.filter(
+                (F.col("l_orderkey") >= 100) & (F.col("l_orderkey") < 103)
+            ).withColumn("l_orderkey", F.col("l_orderkey") + F.lit(_HUGE))
+            df = df.unionByName(huge_li)
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(FUZZ_DIR, f"{t}.parquet")
         )
