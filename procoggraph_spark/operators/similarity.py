@@ -530,9 +530,14 @@ def train_centroids(
     # (lowest-id) seed's dimension: the model dim is defined by that
     # deterministic anchor, and a deviant-dim row in the seed window
     # must not crash the centroid stack (ragged-encoder contract)
+    # (cid, _v) order, not cid alone: a TOTAL order, so a replayed id
+    # in the seed window cannot make WHICH copy seeds a centroid
+    # partition-dependent (takeOrdered breaks ties by partition order —
+    # dirty-keys audit; a no-op on unique ids, and the comparator
+    # short-circuits on cid)
     seed_rows = [
         (r["cid"], list(r["_v"]))
-        for r in c.orderBy("cid").limit(4 * n_cells).collect()
+        for r in c.orderBy("cid", "_v").limit(4 * n_cells).collect()
     ]
     if not seed_rows:
         raise ValueError(

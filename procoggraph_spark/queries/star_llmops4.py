@@ -212,7 +212,9 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unindexable/unsearchable (a NULL embedding reaching the exact
     # rerank folds to a NaN distance and poisons the rank window)
     e = searchable(t(spark, sf_dir, "embeddings"), "embedding")
-    seed_rows = e.orderBy("vec_id").limit(16).collect()
+    # total (id, vector) order: which copy of a replayed id seeds the
+    # model must not be partition-dependent (dirty-keys audit)
+    seed_rows = e.orderBy("vec_id", "embedding").limit(16).collect()
     if len(seed_rows) < 16:
         raise ValueError(
             "sim_ivf_pq_rerank: need at least 16 vectors to seed the "
