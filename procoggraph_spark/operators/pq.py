@@ -509,9 +509,17 @@ def ivf_pq_index_numpy(
 
     # same keyed-entity-store contract as ivf_pq_index: resolve
     # replayed ids deterministically at build time (one exchange,
-    # amortized); the Arrow encode stays map-only on the survivors
-    from procoggraph_spark.operators.similarity import key_unique
+    # amortized); the Arrow encode stays map-only on the survivors.
+    # NOT on the readStream face: an aggregate is illegal in an
+    # append-mode micro-batch plan, and the streaming index's
+    # duplicate handling is the stream's own arrival-order contract
+    # (dropDuplicatesWithinWatermark upstream / S16 cache upsert) —
+    # the batch build is where idempotent ingest lives.
+    src = df.select(id_col, vec_col)
+    if not df.isStreaming:
+        from procoggraph_spark.operators.similarity import key_unique
 
-    return key_unique(df.select(id_col, vec_col), id_col, [vec_col]).mapInPandas(
+        src = key_unique(src, id_col, [vec_col])
+    return src.mapInPandas(
         enc, f"{id_col} long, cell int, pq_codes array<int>"
     )
