@@ -99,7 +99,16 @@ def build_corpus(spark):
                 F.when(
                     (F.col("doc_id") % 25 == 8) & (F.col("doc_id") < 400),
                     F.lit(None).cast("string"),
-                ).otherwise(F.col("source")),
+                )
+                # empty-string label: DISTINCT from NULL (groups as its
+                # own value, joins as a real key) — a feed that emits
+                # '' where it means "unknown" must behave identically
+                # on both engines, not collapse into the NULL contract
+                .when(
+                    (F.col("doc_id") % 25 == 13) & (F.col("doc_id") < 400),
+                    F.lit(""),
+                )
+                .otherwise(F.col("source")),
             )
         if t == "events":
             # dirty telemetry: anonymous events (NULL user_id), events
@@ -452,7 +461,17 @@ def build_corpus(spark):
                 ),
             )
             exact_vec = df.filter((F.col("vec_id") >= 470) & (F.col("vec_id") < 480))
-            df = df.unionByName(dup_vec).unionByName(exact_vec)
+            # label-conflicting replay: same id, same vector, DIFFERENT
+            # label — key_unique's payload order (vector, then label)
+            # must resolve it deterministically on both engines
+            conflict_vec = df.filter(
+                (F.col("vec_id") >= 480) & (F.col("vec_id") < 485)
+            ).withColumn("label", F.col("label") + 1)
+            df = (
+                df.unionByName(dup_vec)
+                .unionByName(exact_vec)
+                .unionByName(conflict_vec)
+            )
         if t == "orders":
             dup_orders = df.filter(
                 (F.col("o_orderkey") % 89 == 73) & (F.col("o_orderkey") < 2000)
