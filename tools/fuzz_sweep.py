@@ -448,6 +448,27 @@ def build_corpus(spark):
                 F.concat_ws(" ", F.col("text"), F.lit("duplicate feed copy")),
             )
             df = df.unionByName(dup_docs)
+            # boilerplate blanket: one shared footer on ~20% of docs —
+            # a crawl's licence/navigation chrome. Its shingles become
+            # corpus-hot, stressing every document-frequency guard
+            # (max_shingle_df drops, strip_boilerplate excises) at
+            # realistic hotness instead of the clean corpus's near-zero
+            df = df.withColumn(
+                "text",
+                F.when(
+                    (F.col("doc_id") % 5 == 4)
+                    & (F.col("doc_id") >= 500)
+                    & F.col("text").isNotNull(),
+                    F.concat_ws(
+                        " ",
+                        F.col("text"),
+                        F.lit(
+                            "copyright footer all rights reserved"
+                            " by the example corpus consortium"
+                        ),
+                    ),
+                ).otherwise(F.col("text")),
+            )
         if t == "embeddings":
             # same vec_id, perturbed vector (replayed after re-encode) +
             # bit-exact duplicate rows (redelivery)
