@@ -510,6 +510,23 @@ def build_corpus(spark):
             )
             df = df.unionByName(exact_li)
         if t == "events":
+            # event-time collisions: two DIFFERENT events for the same
+            # user at the IDENTICAL timestamp (batched emitters and
+            # second-granularity clocks produce these constantly) —
+            # every orderBy(ts) window (transitions, funnels,
+            # attribution, session lag) must be total under the tie or
+            # its output is partition-dependent
+            collide = (
+                df.filter((F.col("event_id") % 97 == 5) & (F.col("event_id") < 2000))
+                .withColumn("event_id", F.col("event_id") + F.lit(1_000_000))
+                .withColumn(
+                    "event_type",
+                    F.when(F.col("event_type") == "view", F.lit("click"))
+                    .otherwise(F.lit("view")),
+                )
+                .withColumn("value", F.col("value") * 3)
+            )
+            df = df.unionByName(collide)
             exact_ev = df.filter(
                 (F.col("event_id") % 97 == 47) & (F.col("event_id") < 2000)
             )
