@@ -8,85 +8,82 @@ Names are prefixed with the SURVEY §2 operator-family id they exercise.
 
 from __future__ import annotations
 
-# Round-9 driver window (the external correctness gate samples the
-# FIRST 50 registry keys): the precomputed rotation from the round-8
-# coverage log. Round 8 went 50/50 green, so the oldest external
-# certifications are now the 41 rows last driver-green in r05
-# (computed from the union of CORRECTNESS_r01..r08: latest green
-# round == 5) — chief among them the full streaming family, the r05
-# text/dedup/sim/mm/temporal batches, u8_sugar_chain and
-# s13_fetch_manifest. Several of these took round-8 oracle/operator
-# edits (text_fingerprint, text_token_stats, dedup_simhash_portable,
-# dedup_ngram_jaccard, dedup_cluster_canonical_jaccard) that were only
-# builder-re-verified — rotating them in certifies those edits
-# externally. The 9 remaining slots go to freshest-r06 rows touched by
-# the round-8 searchable() boundary / dirty-data fuzz fixes
-# (sim_recall_eval, sim_hard_negatives, emb_int8_quantize,
-# emb_centroid_medoid, sim_ivf_ann, sim_ivf_pq_rerank) plus the
-# portable-twin and capstone headliners (dedup_minhash_lsh_portable,
-# text_decontaminate_bloom, training_data_pipeline). After this round
-# no registry row's external certification predates r06. New query
-# registration stays FROZEN (round-7 verdict item 6). Every name here
-# must exist in the union — registry() raises on a stale entry, so a
-# rename/removal fails loudly instead of silently rotating the wrong
-# row into the window.
+# Round-10 driver window (the external correctness gate samples the
+# FIRST 50 registry keys): the precomputed rotation from the round-9
+# coverage log (round-9 verdict item 1). Round 9 went 50/50 green
+# against the FINAL round-9 tree, so the in-window round-9 edits
+# (streaming family, asof/range, ngram_jaccard, repeated_passages,
+# decontaminate x2, training_data_pipeline, sim_ivf_ann,
+# sim_ivf_pq_rerank, w_frame_moving_stats) are externally covered.
+# This window prioritizes the round-9-edited rows NOT in the r09
+# window — q4/j7 (band gates + customer-hint removal), the 12
+# events_* rows whose oracles gained the band-gated events CTE, the
+# pack/dedup/emb survivorship+band rewrites, text_gopher_rules,
+# curation_data_card, orders_cohort_ltv, f14_json_extract — so that
+# after this round no oracle edit from round 9 lacks driver
+# certification. The remaining 22 slots drain the r06 batch (latest
+# green == r06 in the CORRECTNESS_r01..r09 union) oldest-first, plus
+# basket_part_pairs from the next-oldest (r07) tier; 3 r06 rows
+# (a3_approx_count_distinct, corpus_pareto_coverage,
+# layout_zorder_stats — unedited simple aggregates/diagnostics) defer
+# to r11. New query registration stays FROZEN (round-7 verdict
+# item 6, held r8/r9/r10). Every name here must exist in the union —
+# registry() raises on a stale entry, so a rename/removal fails
+# loudly instead of silently rotating the wrong row into the window.
 _PROMOTE = (
-    # --- streaming family: the oldest certs in the registry (r05) ---
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_late_data_policy",
-    "stream_hypertable_rollup",
-    "stream_stateful_totals",
-    "stream_funnel_join",
-    "stream_static_enrich",
-    # --- r05 text batch (fingerprint/token_stats were r08-edited) ---
-    "text_fingerprint",
-    "text_token_stats",
-    "text_rolling_hash",
-    "text_langid",
-    "text_quality_score",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_scrub_pii",
-    "text_decontaminate",
-    "text_bpe_token_count",
-    # --- r05 dedup batch (three r08-edited oracles) ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical_jaccard",
-    "dedup_simhash_portable",
-    "dedup_repeated_passages",
-    # --- r05 similarity / embeddings ---
-    "sim_bruteforce_topk",
-    "sim_bruteforce_fold",
-    "sim_lsh_ann",
-    "emb_array_stats",
-    # --- r05 multimodal / temporal / sampling / misc ---
-    "mm_resize",
-    "mm_frame_sample",
-    "asof_purchase_view",
-    "range_join_signup_window",
-    "sample_exact_k_per_source",
-    "mix_weighted_sources",
-    "split_train_val_test",
-    "sketch_cms_heavy_hitters",
-    "corpus_filter_pipeline",
-    "w_frame_moving_stats",
-    "f_fuzzy_match_levenshtein",
-    "u8_sugar_chain",
-    "s13_fetch_manifest",
-    # --- 9 freshest-r06 rows: round-8 searchable()/fuzz-touched ---
-    "dedup_minhash_lsh_portable",
-    "sim_recall_eval",
-    "sim_hard_negatives",
-    "sim_ivf_ann",
-    "sim_ivf_pq_rerank",
-    "emb_int8_quantize",
-    "emb_centroid_medoid",
-    "text_decontaminate_bloom",
-    "training_data_pipeline",
+    # --- round-9-edited rows not in the r09 window ---
+    "q4_report_card",
+    "j7_star_join_rollup",
+    "orders_cohort_ltv",
+    "text_gopher_rules",
+    "curation_data_card",
+    "pack_token_budget",
+    "pack_concat_context",
+    "dedup_containment",
+    "dedup_incremental_ingest",
+    "dedup_substring_pairs",
+    "dedup_strip_boilerplate",
+    "dedup_crawl_novelty",
+    "dedup_embedding_cosine",
+    "emb_knn_label_vote",
+    "emb_outlier_zscore",
+    "f14_json_extract",
+    # --- the 12 events_* rows: oracles gained the band-gated CTE ---
+    "events_sessionize",
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_dau_stickiness",
+    "events_weekly_streaks",
+    "events_user_pareto",
+    "events_activity_heatmap",
+    "events_top_transitions",
+    "events_last_touch_attribution",
+    "events_time_to_conversion",
+    "events_volume_anomaly",
+    "events_recency_engagement",
+    # --- r06 batch drain (oldest external certs after r09) ---
+    "curation_curriculum_order",
+    "curation_dsir_selection",
+    "curation_epoch_plan",
+    "curation_perplexity_buckets",
+    "curation_quality_drift",
+    "curation_source_cap",
+    "curation_source_overlap",
+    "mix_temperature_sources",
+    "mm_asset_metadata",
+    "mm_feature_extract",
+    "sample_weighted_priority",
+    "shuffle_training_order",
+    "sim_filtered_topk",
+    "sim_matryoshka_topk",
+    "sketch_hll_distinct",
+    "split_leakage_safe",
+    "split_leakage_safe_neardup",
+    "text_bigram_logprob",
+    "text_chunk_overlap",
+    "text_tokenizer_fertility",
+    "text_zipf_slope",
+    "basket_part_pairs",
 )
 
 

@@ -152,14 +152,15 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 9 lands the precomputed rotation: the 41 rows last
-    driver-green in r05 (full streaming family, the r05
-    text/dedup/sim/mm/temporal batches) plus 9 freshest-r06 rows
-    touched by the round-8 searchable()/fuzz fixes. After this window
-    no registry row's external cert predates r06. This pin makes any
-    addition or reorder fail HERE, loudly, instead of silently
-    pushing a stale row past the gate; when a future round re-rotates,
-    update deliberately."""
+    Round 10 lands the precomputed rotation (round-9 verdict item 1):
+    the 28 round-9-edited rows NOT in the r09 window (q4/j7 band
+    gates + hint removal, the 12 band-gated events_* oracles, the
+    pack/dedup/emb survivorship rewrites, f14_json_extract) plus a
+    22-row drain of the r06 batch oldest-first. After this window no
+    oracle edit from round 9 lacks driver certification. This pin
+    makes any addition or reorder fail HERE, loudly, instead of
+    silently pushing a stale row past the gate; when a future round
+    re-rotates, update deliberately."""
     from procoggraph_spark.queries import _PROMOTE
 
     keys = list(QUERIES.keys())

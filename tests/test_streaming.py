@@ -803,3 +803,63 @@ def test_streaming_equals_batch_tumbling_dirty_ts(spark, tmp_path):
     assert any(ws.year == 1970 for ws, _ in batch_rows)
     n_total = dirty.filter(F.col("ts").isNotNull()).count()
     assert sum(n for n, _ in batch_rows.values()) == n_total
+
+
+def test_streaming_tumbling_corrupted_clock_band(spark, tmp_path):
+    """The r09 event-time BAND contract holds on the STREAMING face too
+    (round-9 verdict item 7): a raw parquet inbox carrying year-9999
+    sentinels and pre-band (year-1500) clocks — timestamps that, left
+    ungated, crash F.window's bucket arithmetic at year 10000 and the
+    Arrow hop beyond datetime64[ns] — drains through readStream (whose
+    _events_stream applies valid_ts at the load) to exactly the counts
+    of the batch twin gated with the same valid_ts band. The fuzz
+    corpus's extreme-date leg exercises only the batch t() face; this
+    pins the symmetric streaming gate."""
+    from procoggraph_spark.queries.common import valid_ts
+
+    ev = t(spark, SF_SMOKE, "events")
+    ts_type = ev.schema["ts"].dataType
+    raw = ev.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 13 == 3,
+            F.lit("9999-12-31 23:59:59").cast(ts_type),  # sentinel clock
+        )
+        .when(
+            F.col("event_id") % 13 == 7,
+            F.lit("1500-01-01 00:00:00").cast(ts_type),  # pre-band clock
+        )
+        .when(
+            F.col("event_id") % 13 == 9,
+            F.lit("1677-09-22 00:00:00").cast(ts_type),  # band floor: kept
+        )
+        .otherwise(F.col("ts")),
+    )
+    path = str(tmp_path / "events_corrupted_clock")
+    raw.write.mode("overwrite").parquet(path)
+
+    agg = streaming_tumbling_counts(spark, path, raw.schema, duration="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumb_clock")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumb_clock").collect()
+    }
+    gated = spark.read.parquet(path).withColumn("ts", valid_ts(F.col("ts")))
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(gated, duration="1 hour").collect()
+    }
+    assert stream_rows == batch_rows
+    # out-of-band clocks degraded to NULL and fell out of the windows;
+    # the band-floor rows stayed (a 1677 bucket exists in both faces)
+    n_in_band = gated.filter(F.col("ts").isNotNull()).count()
+    assert n_in_band < raw.count()
+    assert sum(n for n, _ in batch_rows.values()) == n_in_band
+    assert any(ws.year == 1677 for ws, _ in batch_rows)

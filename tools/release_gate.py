@@ -14,10 +14,15 @@ Stages (each a subprocess, same interpreter):
   7. skew_probe                          — whale-key join: AQE skew-join, naive,
                                            and salted strategies must agree
   8. bench.py at $SPARK_GRAFT_SF_DIR     — must emit its JSON line with rc=0
+  9. duckdb_gate (opt-in, --with-duckdb) — interleaved Spark-vs-DuckDB on the
+                                           oracled headliners at sf0.1; exit
+                                           non-zero if the AGGREGATE ratio
+                                           exceeds the BASELINE.json 2x gate
 
 Usage:
     python tools/release_gate.py            # all stages (~40 min)
     python tools/release_gate.py --quick    # skip stage 2 + run bench at sf0.01
+    python tools/release_gate.py --with-duckdb     # + stage 9 (judge's bench)
     python tools/release_gate.py -s fuzz -s bench   # named stages only
 """
 
@@ -32,7 +37,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def stages(quick: bool) -> list[tuple[str, list[str], dict[str, str]]]:
+def stages(
+    quick: bool, with_duckdb: bool = False
+) -> list[tuple[str, list[str], dict[str, str]]]:
     py = sys.executable
     out: list[tuple[str, list[str], dict[str, str]]] = [
         ("pytest", [py, "-m", "pytest", "tests/", "-q"], {}),
@@ -57,12 +64,19 @@ def stages(quick: bool) -> list[tuple[str, list[str], dict[str, str]]]:
             {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01"} if quick else {},
         ),
     ]
+    if with_duckdb:
+        out.append(("duckdb", [py, "tools/duckdb_gate.py"], {}))
     return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="sf0.01 bench, skip dual-SF parity")
+    ap.add_argument(
+        "--with-duckdb",
+        action="store_true",
+        help="add stage 9: interleaved DuckDB aggregate-ratio gate at sf0.1",
+    )
     ap.add_argument(
         "-s",
         "--stage",
@@ -73,7 +87,8 @@ def main() -> int:
     args = ap.parse_args()
 
     results: list[tuple[str, int, float]] = []
-    for name, cmd, env_extra in stages(args.quick):
+    with_duckdb = args.with_duckdb or "duckdb" in args.stage
+    for name, cmd, env_extra in stages(args.quick, with_duckdb):
         if args.stage and name not in args.stage:
             continue
         print(f"=== release_gate: {name}: {' '.join(cmd)}", flush=True)
