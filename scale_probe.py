@@ -5,6 +5,9 @@ next to sf0.1, to check the scaling exponent empirically.
 Not part of the driver bench contract (`bench.py` is). Usage:
 
     python3 scale_probe.py            # generates to /tmp/procoggraph_sfprobe once
+    python3 scale_probe.py fullsuite  # whole headline suite vs DuckDB
+    SPARK_GRAFT_PROBE_SCALE=40 SPARK_GRAFT_PROBE_DIR=/tmp/procoggraph_sfprobe40 \
+        python3 scale_probe.py structural   # floor-bound rows at 30-50x
 
 The synthetic tables use the generic multi-file path (no single-file
 staging, no bucketing) — i.e. the layout/plan a real cluster run has.
@@ -327,19 +330,36 @@ def crossover_probe(spark) -> dict:
     return out
 
 
-def fullsuite_probe(spark) -> dict:
+STRUCTURAL = [
+    # the persistent >2x-at-sf0.1 rows (single-node scan-agg floors /
+    # deliberate exchange-free plans) + q4, whose 10x ratio was the only
+    # one creeping in the round-9 record — the round-9 verdict's item 3:
+    # prove growth stays <= linear at 30-50x, the last unproven span
+    # between "sub-linear at 10x" and the 100x claim
+    "a1_pricing_summary",
+    "dedup_exact",
+    "j7_star_join_rollup",
+    "sim_bruteforce_topk",
+    "q4_report_card",
+]
+
+
+def fullsuite_probe(spark, names=None) -> dict:
     """The ENTIRE headline suite at the probe scale (sf≈1 at SCALE=10),
     Spark vs DuckDB executing the SAME oracle SQL on the SAME probe
     parquet, best-of-3 interleaved in one process (the round-4 verdict's
     top-next item: the crossover record covered only 4 queries; this
     answers the per-query 2× question at sf1 for all of them).
-    ``dedup_minhash_lsh`` has no SQL oracle — Spark timing only."""
+    ``dedup_minhash_lsh`` has no SQL oracle — Spark timing only.
+    ``names`` narrows the suite (the ``structural`` mode runs just the
+    floor-bound rows at SCALE=30-50)."""
     import duckdb
 
     from bench import HEADLINE
     from procoggraph_spark.queries import registry as _registry
     from procoggraph_spark.session import apply_adaptive_policy
 
+    names = list(names or HEADLINE)
     apply_adaptive_policy(spark, PROBE_DIR)
     qs, oracles = _registry()
     con = duckdb.connect()
@@ -352,14 +372,14 @@ def fullsuite_probe(spark) -> dict:
                 f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{loc}/*.parquet')"
             )
     # warmup both engines once per query
-    for n in HEADLINE:
+    for n in names:
         qs[n](spark, PROBE_DIR).write.format("noop").mode("overwrite").save()
         if n in oracles:
             con.execute(oracles[n]).fetchall()
-    spark_best = {n: float("inf") for n in HEADLINE}
-    duck_best = {n: float("inf") for n in HEADLINE}
+    spark_best = {n: float("inf") for n in names}
+    duck_best = {n: float("inf") for n in names}
     for _ in range(3):
-        for n in HEADLINE:
+        for n in names:
             df = qs[n](spark, PROBE_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
@@ -369,7 +389,7 @@ def fullsuite_probe(spark) -> dict:
                 con.execute(oracles[n]).fetchall()
                 duck_best[n] = min(duck_best[n], time.perf_counter() - t0)
     out = {}
-    for n in HEADLINE:
+    for n in names:
         row = {"spark_sec": round(spark_best[n], 3)}
         if n in oracles:
             row["duckdb_sec"] = round(duck_best[n], 3)
@@ -405,6 +425,18 @@ def main() -> None:
 
     if mode == "fullsuite":
         print(json.dumps({"fullsuite_vs_duckdb": fullsuite_probe(spark), "xdata": SCALE}))
+        spark.stop()
+        return
+
+    if mode == "structural":
+        # round-9 verdict item 3: the floor-bound rows at SCALE=30-50
+        # (set SPARK_GRAFT_PROBE_SCALE / SPARK_GRAFT_PROBE_DIR), vs
+        # DuckDB on the same probe parquet, interleaved best-of-3
+        print(json.dumps({
+            "structural_vs_duckdb": fullsuite_probe(spark, names=STRUCTURAL),
+            "xdata": SCALE,
+            "loadavg": os.getloadavg()[0],
+        }))
         spark.stop()
         return
 

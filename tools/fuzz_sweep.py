@@ -8,7 +8,12 @@ clones the sf0.01 tables and rewrites ``documents.text`` for a slice
 of doc_ids with the degenerate shapes a real crawl corpus contains:
 empty strings, whitespace-only (space/tab/newline runs), embedded
 newlines and tabs, unicode (accents, CJK, emoji), quotes/backslashes,
-and 500-char single-token repeats. Everything else is copied
+and 500-char single-token repeats. Star/event tables get their own
+legs (NULL keys/measures/timestamps, non-finite + out-of-band
+magnitudes, corrupted clocks, extreme dates, replayed/duplicate/
+sentinel/2^61 keys, event-time collisions, boilerplate blankets, and
+negative measures — refunds/chargebacks with exact cancellation pairs,
+planted -0.0, and half-cent negatives). Everything else is copied
 unchanged.
 
 Usage:
@@ -188,6 +193,27 @@ def build_corpus(spark):
                     .otherwise(F.col("ts")),
                 )
                 .withColumn(
+                    "value",
+                    # negative-measures leg: refunds/chargebacks — real
+                    # ledgers carry sign-flipped rows. Sign-flip one
+                    # slice and plant literal -0.0 on another: a float
+                    # fold that emits -0.0 renders "-0.000000" in the
+                    # driver's hash normalization while the other
+                    # engine's +0.0 renders "0.000000" — the contract
+                    # (normalize at output boundaries) is what this
+                    # probes. Applied AFTER the NaN/1e300 whens above
+                    # (first match wins; slots are disjoint anyway).
+                    F.when(
+                        (F.col("event_id") % 97 == 43) & (F.col("event_id") < 2000),
+                        -F.col("value"),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 3) & (F.col("event_id") < 2000),
+                        F.lit(-0.0),
+                    )
+                    .otherwise(F.col("value")),
+                )
+                .withColumn(
                     "props",
                     # malformed/missing payloads: NULL, empty object,
                     # non-JSON garbage, wrong-typed field
@@ -275,7 +301,16 @@ def build_corpus(spark):
                     F.when(
                         (F.col("l_orderkey") % 89 == 43) & (F.col("l_orderkey") < 2000),
                         F.lit(1e300),
-                    ).otherwise(F.col("l_extendedprice")),
+                    )
+                    # credit memos: sign-flipped prices (negative-measures
+                    # leg). Exercises HALF_UP rounding away from zero on
+                    # negative cents and discounted-revenue folds whose
+                    # partial sums change sign.
+                    .when(
+                        (F.col("l_orderkey") % 89 == 53) & (F.col("l_orderkey") < 2000),
+                        -F.col("l_extendedprice"),
+                    )
+                    .otherwise(F.col("l_extendedprice")),
                 )
             )
         if t == "orders":
@@ -320,6 +355,17 @@ def build_corpus(spark):
                 .when(
                     (F.col("o_orderkey") % 89 == 47) & (F.col("o_orderkey") < 2000),
                     F.lit(-1e300),
+                )
+                # negative order totals (chargebacks), one sitting on a
+                # half-cent: HALF_UP must round away from zero on both
+                # engines (-1234.565 -> -1234.57 via the double path)
+                .when(
+                    (F.col("o_orderkey") % 89 == 53) & (F.col("o_orderkey") < 2000),
+                    F.lit(-1234.565),
+                )
+                .when(
+                    (F.col("o_orderkey") % 89 == 83) & (F.col("o_orderkey") < 2000),
+                    -F.col("o_totalprice"),
                 )
                 .otherwise(F.col("o_totalprice")),
             )
@@ -527,6 +573,17 @@ def build_corpus(spark):
                 .withColumn("value", F.col("value") * 3)
             )
             df = df.unionByName(collide)
+            # exact-cancellation pairs: a correction row negating an
+            # earlier event's value for the same user/type — per-group
+            # sums over these collapse to exactly zero, where a float
+            # fold's sign bit (+0.0 vs -0.0) becomes engine-visible in
+            # the driver's "%.6f" hash normalization
+            cancel = (
+                df.filter((F.col("event_id") % 97 == 13) & (F.col("event_id") < 2000))
+                .withColumn("event_id", F.col("event_id") + F.lit(3_000_000))
+                .withColumn("value", -F.col("value"))
+            )
+            df = df.unionByName(cancel)
             exact_ev = df.filter(
                 (F.col("event_id") % 97 == 47) & (F.col("event_id") < 2000)
             )
