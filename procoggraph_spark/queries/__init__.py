@@ -157,6 +157,18 @@ def registry():
         )
         for n, sql in oracles.items()
     }
+    # Same pattern for the embeddings table: the dimension-coherence
+    # gate (valid_dim on the Spark load) gets its SQL twin spliced into
+    # every oracle that reads the view, so a ragged vector degrades to
+    # NULL identically on both engines (ragged-vectors fuzz leg).
+    oracles = {
+        n: (
+            common.gate_embeddings_oracle(sql)
+            if re.search(r"\bembeddings\b", sql)
+            else sql
+        )
+        for n, sql in oracles.items()
+    }
     ordered = {n: _plan_cached(n, queries[n]) for n in _PROMOTE}
     ordered.update(
         (n, _plan_cached(n, fn)) for n, fn in queries.items()

@@ -80,6 +80,13 @@ def t(
         df = df.withColumn("ts", valid_ts(F.col("ts")))
     else:
         df = spark.read.parquet(path)
+    if name == "embeddings":
+        # Table-level dimension-coherence contract (see valid_dim): a
+        # ragged vector degrades to NULL at load so every consumer —
+        # dot folds, GEMM kernels, quantizers — inherits one boundary.
+        # The oracle twin is the registry-level embeddings CTE
+        # (gate_embeddings_oracle); the two gates must stay in lockstep.
+        df = valid_dim(df)
     df = _ntz_to_ltz(df)
     _TABLE_MEMO[key] = df
     return df
@@ -324,13 +331,72 @@ def gate_events_oracle(sql: str) -> str:
     domain ``t()`` gives every Spark-side consumer. Applied centrally
     by the registry to every oracle whose text references the table —
     a table-level load contract, not a per-query rewrite."""
+    return _splice_cte(sql, _EVENTS_GATED_CTE)
+
+
+def _splice_cte(sql: str, cte: str) -> str:
     body = sql.strip()
     upper = body.upper()
     if upper.startswith("WITH RECURSIVE"):
-        return f"WITH RECURSIVE {_EVENTS_GATED_CTE}, " + body[len("WITH RECURSIVE"):].lstrip()
+        return f"WITH RECURSIVE {cte}, " + body[len("WITH RECURSIVE"):].lstrip()
     if upper.startswith("WITH"):
-        return f"WITH {_EVENTS_GATED_CTE}, " + body[len("WITH"):].lstrip()
-    return f"WITH {_EVENTS_GATED_CTE} " + body
+        return f"WITH {cte}, " + body[len("WITH"):].lstrip()
+    return f"WITH {cte} " + body
+
+
+def valid_dim(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Dimension-coherence contract, the vector twin of ``valid_ts``:
+    a vector whose length differs from the table's dominant (modal,
+    tie -> smallest) length is ragged encoder output — a truncated
+    write, a mixed-model-version feed, an empty emission — and
+    degrades to a NULL vector at load, exactly like a missing
+    embedding (whose contract is already pinned family-wide:
+    unsearchable, excluded from populations). Without this, every
+    fixed-dimension consumer is engine-dependent: DuckDB's
+    list_inner_product RAISES on a length mismatch while Spark's
+    zip_with NULL-pads (ragged-vectors fuzz leg, 13 divergent).
+
+    The dominant length is derived lazily in-plan (size histogram ->
+    one-row global agg -> broadcast), so the gate is partition-stable,
+    adds one size-column scan, and stays a no-op plan-wise on clean
+    data. A single global agg (not limit(1) over a sort) so an empty
+    or all-NULL table yields ONE row with a NULL dim — every vector
+    then degrades, matching the SQL twin's NULL scalar subquery. At
+    production scale the dimension is declared table metadata; this
+    derives it because parquet list types carry no length. SQL twin:
+    ``_EMB_GATED_CTE`` (see ``gate_embeddings_oracle``)."""
+    sz = F.size(F.col(vec_col))
+    dim = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(sz.alias("_d"))
+        .count()
+        .agg(F.max(F.struct(F.col("count"), (-F.col("_d")).alias("_neg"))).alias("_m"))
+        .select((-F.col("_m._neg")).alias("_dom_dim"))
+    )
+    return (
+        df.crossJoin(F.broadcast(dim))
+        .withColumn(vec_col, F.when(sz == F.col("_dom_dim"), F.col(vec_col)))
+        .drop("_dom_dim")
+    )
+
+
+# DuckDB twin of the t() embeddings gate: dominant length via the same
+# count-desc, length-asc total order; an empty/all-NULL table makes the
+# scalar subquery NULL and every CASE degrade — same as the Spark side.
+_EMB_GATED_CTE = (
+    "emb_dim AS (SELECT len(embedding) AS d FROM main.embeddings "
+    "WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1), "
+    "embeddings AS (SELECT vec_id, CASE WHEN len(embedding) = "
+    "(SELECT d FROM emb_dim) THEN embedding END AS embedding, label "
+    "FROM main.embeddings)"
+)
+
+
+def gate_embeddings_oracle(sql: str) -> str:
+    """Splice the dimension-gated embeddings CTE into an oracle that
+    reads the `embeddings` view — the SQL face of ``valid_dim``,
+    applied centrally by the registry like ``gate_events_oracle``."""
+    return _splice_cte(sql, _EMB_GATED_CTE)
 
 
 def cents(c: Column, scale: int = 2) -> Column:

@@ -1,0 +1,115 @@
+"""Dimension-coherence contract pins (ragged-vectors fuzz campaign,
+round 10): a vector whose length differs from the table's dominant
+(modal, tie -> smallest) length — truncated writes, mixed model
+versions, empty emissions — degrades to a NULL vector at the
+``t()``-level load boundary (``queries.common.valid_dim``), on BOTH
+engines (SQL twin ``_EMB_GATED_CTE`` via ``gate_embeddings_oracle``).
+
+Without the gate the family is engine-dependent: DuckDB's
+list_inner_product RAISES on a length mismatch while Spark's zip_with
+NULL-pads (13 divergent on the fuzz sweep when the leg landed).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from procoggraph_spark.queries.common import (
+    _EMB_GATED_CTE,
+    gate_embeddings_oracle,
+    valid_dim,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0], 1),   # coherent
+        (1, [5.0, 6.0, 7.0, 8.0], 2),   # coherent
+        (2, [1.0, 2.0], 1),             # truncated
+        (3, [1.0] * 6, 2),              # over-long
+        (4, [], 1),                     # empty emission
+        (5, None, 2),                   # NULL (already-pinned contract)
+        (6, [9.0, 8.0, 7.0, 6.0], 3),   # coherent
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_valid_dim_degrades_ragged_to_null(spark):
+    df = _corpus(spark)
+    out = valid_dim(df)
+    got = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    # every row survives (the gate nulls the vector, never drops rows)
+    assert set(got) == set(range(7))
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] is None
+    assert [round(x) for x in got[0]] == [1, 2, 3, 4]
+    assert [round(x) for x in got[6]] == [9, 8, 7, 6]
+
+
+def test_valid_dim_modal_tie_breaks_smallest(spark):
+    # two lengths with equal support: the dominant dim is the SMALLER
+    # (deterministic on both engines; _dominant_dim agrees driver-side)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [1.0] * 3), (3, [2.0] * 3)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["embedding"] for r in valid_dim(df).collect()}
+    assert got[0] is not None and got[1] is not None
+    assert got[2] is None and got[3] is None
+
+
+def test_valid_dim_all_null_table_keeps_rows(spark):
+    # NULL-payload sweep shape: no non-NULL vector exists, the dominant
+    # dim is NULL, every embedding stays NULL — and NO row is lost to
+    # the broadcast join (the global agg emits exactly one NULL row)
+    df = spark.createDataFrame(
+        [(0, None, 1), (1, None, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = valid_dim(df).collect()
+    assert len(out) == 2
+    assert all(r["embedding"] is None for r in out)
+
+
+def test_valid_dim_matches_sql_twin(spark, tmp_path):
+    # the two faces of the contract must agree row-for-row on the same
+    # parquet — including which ids keep a vector and which degrade
+    df = _corpus(spark)
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    spark_kept = {
+        r["vec_id"]
+        for r in valid_dim(spark.read.parquet(path))
+        .filter(F.col("embedding").isNotNull())
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW main.embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    sql = gate_embeddings_oracle(
+        "SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL"
+    )
+    assert sql.startswith("WITH emb_dim")
+    assert _EMB_GATED_CTE in sql
+    duck_kept = {r[0] for r in con.execute(sql).fetchall()}
+    con.close()
+    assert spark_kept == duck_kept == {0, 1, 6}
+
+
+def test_valid_dim_partition_invariant(spark):
+    df = _corpus(spark)
+    a = sorted(
+        (r["vec_id"], r["embedding"] is None)
+        for r in valid_dim(df.repartition(7)).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["embedding"] is None)
+        for r in valid_dim(df.coalesce(1)).collect()
+    )
+    assert a == b

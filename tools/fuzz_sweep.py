@@ -471,6 +471,27 @@ def build_corpus(spark):
                     # beyond any integer-quantization domain
                     poisoned(3.4e38),
                 )
+                # ragged-vectors leg: wrong-LENGTH embeddings (a
+                # truncated write, a mixed-model-version feed, an
+                # encoder that emitted nothing). The numpy kernels
+                # gained rows_of_dim guards in r09 via a probe; riding
+                # the standing corpus makes every oracle face them on
+                # every sweep — the length contract must hold on BOTH
+                # engines, not just survive np.stack.
+                .when(
+                    (F.col("vec_id") % 50 == 5) & (F.col("vec_id") < 400),
+                    F.slice(F.col("embedding"), 1, dim // 2),  # truncated
+                )
+                .when(
+                    (F.col("vec_id") % 50 == 29) & (F.col("vec_id") < 400),
+                    F.concat(  # over-long (model-version drift)
+                        F.col("embedding"), F.slice(F.col("embedding"), 1, 2)
+                    ),
+                )
+                .when(
+                    (F.col("vec_id") % 50 == 47) & (F.col("vec_id") < 400),
+                    F.slice(F.col("embedding"), 1, 0),  # zero-length []
+                )
                 .otherwise(F.col("embedding")),
             )
         # ---- dirty-keys leg: the corruption shapes a real ingest sees
