@@ -364,6 +364,33 @@ def streaming_enriched_counts(
     )
 
 
+_WM_FLOOR = "1970-01-01 00:00:01"
+
+
+def _wm_admissible(df: DataFrame, ts_col: str) -> DataFrame:
+    """Event-time column safe for watermark ADMISSION, as ``_wm_ts``:
+    Spark's initial watermark is epoch zero and
+    ``dropDuplicatesWithinWatermark`` treats event time <= watermark as
+    late, so an in-band pre-epoch timestamp (a 1969/epoch-zero
+    corrupted clock — inside the valid_ts band, kept by every batch
+    face) would be silently LOST in the very first micro-batch: data
+    loss, not dedup (streaming-fuzz finding, round 10). The operator
+    watermarks a CLAMPED COPY (floor epoch+1s; NULL preserved — a
+    NULL event time is admitted natively); the payload ts is
+    untouched. A pre-epoch row arriving after the watermark has
+    advanced follows the standard late-data policy like any other
+    stale row."""
+    return df.withColumn(
+        "_wm_ts",
+        F.when(
+            F.col(ts_col).isNotNull(),
+            F.greatest(
+                F.col(ts_col), F.lit(_WM_FLOOR).cast("timestamp")
+            ),
+        ),
+    )
+
+
 def streaming_dedup(
     spark,
     events_path: str,
@@ -381,10 +408,15 @@ def streaming_dedup(
     State is keyed on the id ALONE via ``dropDuplicatesWithinWatermark``
     — a redelivery that arrives with a bumped event time (retry queues
     rewrite timestamps) is still a duplicate. ``dropDuplicates([key,
-    ts_col])`` would key state on (id, event-time) and admit it twice."""
-    stream = _events_stream(spark, events_path, schema)
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        [key]
+    ts_col])`` would key state on (id, event-time) and admit it twice.
+    The watermark rides the clamped ``_wm_ts`` copy (see
+    ``_wm_admissible``) so pre-epoch corrupted clocks are admitted
+    instead of silently lost."""
+    stream = _wm_admissible(_events_stream(spark, events_path, schema), ts_col)
+    return (
+        stream.withWatermark("_wm_ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+        .drop("_wm_ts")
     )
 
 
@@ -544,11 +576,15 @@ def streaming_incremental_ingest(
         # twice with different event times inside the watermark is
         # admitted once. dropDuplicates(["_k", ts_col]) would key on
         # (content, event-time) and re-admit re-crawls with fresh
-        # timestamps, breaking the admitted-key-set invariant.
-        keyed = keyed.withWatermark(ts_col, watermark)
+        # timestamps, breaking the admitted-key-set invariant. The
+        # watermark rides the clamped _wm_ts copy (_wm_admissible) so a
+        # pre-epoch crawl timestamp is admitted, not silently lost.
+        keyed = _wm_admissible(keyed, ts_col).withWatermark(
+            "_wm_ts", watermark
+        )
         fresh = keyed.join(hkeys, "_k", "left").filter(
             F.col("_in_hist").isNull()
-        ).dropDuplicatesWithinWatermark(["_k"])
+        ).dropDuplicatesWithinWatermark(["_k"]).drop("_wm_ts")
     else:
         fresh = keyed.join(hkeys, "_k", "left").filter(
             F.col("_in_hist").isNull()

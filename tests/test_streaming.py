@@ -863,3 +863,54 @@ def test_streaming_tumbling_corrupted_clock_band(spark, tmp_path):
     assert n_in_band < raw.count()
     assert sum(n for n, _ in batch_rows.values()) == n_in_band
     assert any(ws.year == 1677 for ws, _ in batch_rows)
+
+
+def test_streaming_dedup_admits_pre_epoch_clocks(spark, tmp_path):
+    """Epoch-floor admission contract (streaming-fuzz finding, r10):
+    Spark's initial watermark is epoch zero and
+    dropDuplicatesWithinWatermark treats event time <= watermark as
+    late, so an in-band pre-epoch/epoch-zero corrupted clock — which
+    every batch face KEEPS (valid_ts floor is 1677) — was silently
+    lost, not deduped. The gate now watermarks a clamped _wm_ts copy:
+    such events are admitted exactly once, redeliveries still drop,
+    and the payload ts is untouched."""
+    from procoggraph_spark.streaming.windows import streaming_dedup
+
+    ev = t(spark, SF_SMOKE, "events")
+    ts_type = ev.schema["ts"].dataType
+    dirty = ev.withColumn(
+        "ts",
+        F.when(F.col("event_id") % 13 == 3, F.lit("1970-01-01 00:00:00").cast(ts_type))
+        .when(F.col("event_id") % 13 == 7, F.lit("1969-06-01 12:00:00").cast(ts_type))
+        .when(F.col("event_id") % 13 == 9, F.lit(None).cast(ts_type))
+        .otherwise(F.col("ts")),
+    )
+    inbox = str(tmp_path / "pre_epoch_inbox")
+    dirty.coalesce(1).write.mode("append").parquet(inbox)
+    # bit-exact redelivery of the pre-epoch slice: must still dedup
+    dirty.filter(F.col("event_id") % 13 == 7).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+
+    q = (
+        streaming_dedup(spark, inbox, dirty.schema)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_pre_epoch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM dedup_pre_epoch").collect()
+    ]
+    assert len(got) == len(set(got)) == dirty.count()
+    # payload event time is NOT clamped — the 1969/epoch rows keep it
+    kept = {
+        r["event_id"]: r["ts"]
+        for r in spark.sql("SELECT event_id, ts FROM dedup_pre_epoch").collect()
+    }
+    pre = [v for k, v in kept.items() if k % 13 == 7]
+    assert pre and all(v.year == 1969 for v in pre)
+    assert all(v is None for k, v in kept.items() if k % 13 == 9)

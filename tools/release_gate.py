@@ -7,6 +7,8 @@ Stages (each a subprocess, same interpreter):
   1. pytest tests/ -q                    — full suite incl. sf0.001 oracle parity
   2. sf0.01 gate-fidelity parity         — driver-SF oracle re-run
   3. fuzz_sweep --regen                  — degenerate-data differential (exit = divergences)
+  3b. streaming_fuzz_sweep               — stream faces vs batch twins on the
+                                           same dirty corpus (exit = divergences)
   4. empty_input_sweep                   — zero-row robustness (exit = raw crashes)
   5. empty_input_sweep --nulls           — NULL-payload robustness
   6. partition_invariance_sweep          — results identical under an adversarial
@@ -54,6 +56,7 @@ def stages(
         )
     out += [
         ("fuzz", [py, "tools/fuzz_sweep.py", "--regen"], {}),
+        ("streamfuzz", [py, "tools/streaming_fuzz_sweep.py"], {}),
         ("empty", [py, "tools/empty_input_sweep.py"], {}),
         ("nulls", [py, "tools/empty_input_sweep.py", "--nulls"], {}),
         ("pinv", [py, "tools/partition_invariance_sweep.py"], {}),

@@ -1,0 +1,211 @@
+"""Streaming-face differential fuzz: drain every availableNow-drainable
+batch/stream twin over the SAME dirty corpus `fuzz_sweep.py` builds,
+and report divergences between the two execution faces.
+
+The batch fuzz differential (fuzz_sweep.py) proves the batch operators
+agree with their SQL oracles on degenerate data; the streaming
+equality pytests prove stream==batch on clean or hand-constructed
+data. This tool closes the remaining face: the stream twins must equal
+their batch twins on the FULL dirty corpus — NULL/out-of-band/colliding
+event times through watermarks and state stores, NaN/Inf/negative/-0.0
+values through the stateful cents fold, NULL user ids through
+session/total state keys, dirty dimension rows through the
+stream-static broadcast join, replayed ids through the dedup gate.
+
+Usage:
+    python tools/fuzz_sweep.py --regen     # build the corpus first
+    python tools/streaming_fuzz_sweep.py   # then sweep the stream faces
+
+Exit status is the number of divergent twins (0 == converged).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.fuzz_sweep import FUZZ_DIR, normalize  # noqa: E402
+
+
+def _drain(df, name: str, mode: str, spark):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df):
+    return normalize(
+        [tuple(r) for r in df.collect()], df.columns
+    )
+
+
+def sweep(spark) -> int:
+    from pyspark.sql import functions as F
+
+    from procoggraph_spark.queries.common import t
+    from procoggraph_spark.streaming import windows as W
+
+    ev = t(spark, FUZZ_DIR, "events")
+    # The corpus parquet stores TIMESTAMP_NTZ (written raw, outside
+    # t()'s ntz normalization) and watermarks demand TIMESTAMP — restage
+    # with a value-preserving NTZ->LTZ cast (UTC session), keeping the
+    # dirty clocks INTACT so the stream-side valid_ts gate is the one
+    # that handles them.
+    raw_path = os.path.join(FUZZ_DIR, "events_stream_inbox.parquet")
+    raw = spark.read.parquet(os.path.join(FUZZ_DIR, "events.parquet"))
+    raw = raw.withColumn("ts", raw["ts"].cast("timestamp"))
+    raw.write.mode("overwrite").parquet(raw_path)
+    raw_schema = spark.read.parquet(raw_path).schema
+
+    divergent: list[str] = []
+
+    def check(name: str, stream_df, batch_df, *, last_wins_key=None):
+        try:
+            got_df = _drain(stream_df, f"sfz_{name}", MODES[name], spark)
+            if last_wins_key:
+                # keep the key exact through pandas: a nullable int64
+                # key goes float64 and collapses 2^61-scale ids
+                got_df = got_df.withColumn(
+                    last_wins_key, F.col(last_wins_key).cast("string")
+                )
+                batch_df = batch_df.withColumn(
+                    last_wins_key, F.col(last_wins_key).cast("string")
+                )
+                pdf = got_df.toPandas().drop_duplicates(
+                    last_wins_key, keep="last"
+                )
+                got = normalize(
+                    [tuple(r) for r in pdf.itertuples(index=False, name=None)],
+                    list(pdf.columns),
+                )
+                # batch through the same pandas hop (NULL double -> NaN
+                # identically on both sides)
+                bdf = batch_df.toPandas()
+                want = normalize(
+                    [tuple(r) for r in bdf.itertuples(index=False, name=None)],
+                    list(bdf.columns),
+                )
+            else:
+                got = _rows(got_df)
+                want = _rows(batch_df)
+        except Exception as e:  # noqa: BLE001 — a crash IS a divergence
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:140]}")
+            divergent.append(name)
+            return
+        if got != want:
+            diffs = [(a, b) for a, b in zip(got, want) if a != b][:3]
+            print(f"MISMATCH {name} {len(got)} vs {len(want)} rows; {diffs}")
+            divergent.append(name)
+        else:
+            print(f"ok {name} ({len(got)} rows)")
+
+    MODES = {
+        "tumbling": "complete",
+        "session": "complete",
+        "stateful_totals": "update",
+        "funnel_join": "append",
+        "static_enrich": "complete",
+        "dedup_gate": "append",
+    }
+
+    check(
+        "tumbling",
+        W.streaming_tumbling_counts(spark, raw_path, raw_schema),
+        W.tumbling_counts(ev),
+    )
+    # session windows: the native streaming formulation (state-store
+    # merged windows, watermark required) vs the gaps-and-islands batch
+    # twin — one availableNow batch, so the watermark drops nothing
+    sess_stream = (
+        W._events_stream(spark, raw_path, raw_schema)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    # the batch twin reports [min_ts, max_ts]; the native form reports
+    # [min_ts, max_ts + gap) — align on the session key fields
+    sess_batch = W.session_windows_batch(ev).select(
+        "session_start",
+        (F.col("session_end") + F.expr("INTERVAL 30 MINUTES")).alias(
+            "session_end"
+        ),
+        "user_id",
+        "n_events",
+    )
+    check("session", sess_stream, sess_batch)
+    check(
+        "stateful_totals",
+        W.stateful_user_totals(
+            W._events_stream(spark, raw_path, raw_schema)
+        ),
+        W.batch_user_totals(ev),
+        last_wins_key="user_id",
+    )
+    check(
+        "funnel_join",
+        W.streaming_funnel_join(spark, raw_path, raw_schema),
+        W.funnel_join_batch(ev).select("first_id", "then_id", "user_id"),
+    )
+    cust = t(spark, FUZZ_DIR, "customer")
+    check(
+        "static_enrich",
+        W.streaming_enriched_counts(spark, raw_path, raw_schema, cust),
+        W.enriched_counts_batch(ev, cust),
+    )
+    # dedup gate: replayed event ids (the corpus carries bit-exact and
+    # payload-edited replays) must each survive exactly once — compare
+    # the admitted id SET and its size against the batch distinct
+    dedup_stream = W.streaming_dedup(spark, raw_path, raw_schema).select(
+        "event_id"
+    )
+    check(
+        "dedup_gate",
+        dedup_stream,
+        ev.select("event_id").distinct(),
+        last_wins_key="event_id",
+    )
+
+    print(f"STREAMING-FUZZ divergent: {len(divergent)} of {len(MODES)}")
+    for n in divergent:
+        print(f"   {n}")
+    return len(divergent)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    if not os.path.isdir(os.path.join(FUZZ_DIR, "events.parquet")):
+        print("fuzz corpus missing — run tools/fuzz_sweep.py --regen first")
+        return 2
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("streaming_fuzz_sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return sweep(spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
