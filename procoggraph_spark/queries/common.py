@@ -62,6 +62,9 @@ def t(
     if widen_on and name != "events":
         df = _bucketed_table(spark, src, widen_on)
         if df is not None:
+            if name == "embeddings":
+                # the load contract must hold on EVERY path out of t()
+                df = valid_dim(df)
             _BUCKETED[id(df)] = widen_on
             _TABLE_MEMO[key] = df
             return df
