@@ -359,27 +359,33 @@ def valid_dim(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     list_inner_product RAISES on a length mismatch while Spark's
     zip_with NULL-pads (ragged-vectors fuzz leg, 13 divergent).
 
-    The dominant length is derived lazily in-plan (size histogram ->
-    one-row global agg -> broadcast), so the gate is partition-stable,
-    adds one size-column scan, and stays a no-op plan-wise on clean
-    data. A single global agg (not limit(1) over a sort) so an empty
-    or all-NULL table yields ONE row with a NULL dim — every vector
-    then degrades, matching the SQL twin's NULL scalar subquery. At
-    production scale the dimension is declared table metadata; this
+    The dominant length is derived EAGERLY, once per memoized ``t()``
+    load (one size-column aggregate with a deterministic total order —
+    count desc, length asc), and embedded as a literal: the gate is
+    then pure map-side column algebra, so the family's pinned plan
+    shapes (map-only quantize, single-broadcast z-score, no nested-loop
+    joins) are untouched — a lazy in-plan derivation costs a global-agg
+    Exchange plus a broadcast join on EVERY execution. An empty or
+    all-NULL table has no dominant length; every vector then degrades,
+    matching the SQL twin's NULL scalar subquery, and no row is lost.
+    At production scale the dimension is declared table metadata; this
     derives it because parquet list types carry no length. SQL twin:
     ``_EMB_GATED_CTE`` (see ``gate_embeddings_oracle``)."""
     sz = F.size(F.col(vec_col))
-    dim = (
+    row = (
         df.filter(F.col(vec_col).isNotNull())
         .groupBy(sz.alias("_d"))
         .count()
-        .agg(F.max(F.struct(F.col("count"), (-F.col("_d")).alias("_neg"))).alias("_m"))
-        .select((-F.col("_m._neg")).alias("_dom_dim"))
+        .orderBy(F.col("count").desc(), F.col("_d").asc())
+        .select("_d")
+        .first()
     )
-    return (
-        df.crossJoin(F.broadcast(dim))
-        .withColumn(vec_col, F.when(sz == F.col("_dom_dim"), F.col(vec_col)))
-        .drop("_dom_dim")
+    if row is None:
+        return df.withColumn(
+            vec_col, F.lit(None).cast(df.schema[vec_col].dataType)
+        )
+    return df.withColumn(
+        vec_col, F.when(sz == F.lit(row["_d"]), F.col(vec_col))
     )
 
 
