@@ -114,6 +114,10 @@ def sweep(spark) -> int:
         "funnel_join": "append",
         "static_enrich": "complete",
         "dedup_gate": "append",
+        "chunker": "append",
+        "classifier_scoring": "append",
+        "bloom_gate": "append",
+        "ingest_gate": "append",
     }
 
     check(
@@ -177,6 +181,94 @@ def sweep(spark) -> int:
         dedup_stream,
         ev.select("event_id").distinct(),
         last_wins_key="event_id",
+    )
+
+    # ---- document-family twins over the dirty documents table (empty/
+    # NULL/unicode/multi-MB texts, replayed ids, boilerplate blankets,
+    # 2^61 ids) — stateless column algebra plus the stateful ingest gate
+    from procoggraph_spark.operators.classifier import (
+        featurize,
+        score,
+        train_logreg,
+    )
+    from procoggraph_spark.operators.dedup import incremental_ingest_dedup
+    from procoggraph_spark.operators.sketches import bloom_build, bloom_probe
+    from procoggraph_spark.operators.text import (
+        chunk_documents,
+        corpus_keep_decision,
+    )
+
+    docs = t(spark, FUZZ_DIR, "documents")
+    docs_path = os.path.join(FUZZ_DIR, "documents.parquet")
+    docs_schema = spark.read.parquet(docs_path).schema
+
+    def doc_stream():
+        return spark.readStream.schema(docs_schema).parquet(docs_path)
+
+    check(
+        "chunker",
+        chunk_documents(
+            doc_stream(), id_col="doc_id", text_col="text",
+            chunk_size=60, overlap=10,
+        ),
+        chunk_documents(
+            docs, id_col="doc_id", text_col="text",
+            chunk_size=60, overlap=10,
+        ),
+    )
+    labeled = featurize(
+        docs.withColumn(
+            "label", corpus_keep_decision(F.col("text")).cast("int")
+        )
+    ).localCheckpoint(eager=True)
+    wts, bias = train_logreg(labeled, iters=5, lr=2.0)
+    check(
+        "classifier_scoring",
+        score(featurize(doc_stream()), wts, bias).select(
+            "doc_id", F.round("prob", 6).alias("prob")
+        ),
+        score(featurize(docs), wts, bias).select(
+            "doc_id", F.round("prob", 6).alias("prob")
+        ),
+        # stateless append op over a bag table (replayed ids carry
+        # EDITED texts): full bag equality, no keyed dedup
+    )
+    blocklist = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    check(
+        "bloom_gate",
+        W.streaming_bloom_gate(
+            spark, docs_path, docs_schema, blocklist
+        ).select("doc_id", "blocked"),
+        # batch face: same bitmap, same probe
+        bloom_probe(
+            docs, "text", bloom_build(blocklist, "text"), flag_col="blocked"
+        ).select("doc_id", "blocked"),
+    )
+    # ingest gate: admitted content-KEY set equality (which duplicate
+    # survives is the stream's documented arrival-order contract)
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    arrivals = docs.filter(F.col("doc_id") % 3 != 0)
+    arrivals_path = os.path.join(FUZZ_DIR, "ingest_inbox.parquet")
+    arrivals.write.mode("overwrite").parquet(arrivals_path)
+    ingest_key = F.coalesce(F.md5(F.col("text")), F.lit("__NULL_TEXT__"))
+    batch_new = (
+        incremental_ingest_dedup(history, arrivals)
+        .filter(F.col("decision") == "new")
+        .select("doc_id")
+        .join(arrivals, "doc_id")
+        .select(ingest_key.alias("_k"))
+        .distinct()
+    )
+    check(
+        "ingest_gate",
+        W.streaming_incremental_ingest(
+            spark,
+            arrivals_path,
+            spark.read.parquet(arrivals_path).schema,
+            history,
+        ).select("_k"),
+        batch_new,
+        last_wins_key="_k",
     )
 
     print(f"STREAMING-FUZZ divergent: {len(divergent)} of {len(MODES)}")
