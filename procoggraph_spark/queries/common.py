@@ -55,10 +55,15 @@ def t(
     # Pin UTC at query time: the caller's session may not have it, and
     # timestamp values otherwise collect tz-shifted vs the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(sf_dir, f"{name}.parquet")
     key = (id(spark), sf_dir, name, widen_on)
+    if name == "embeddings":
+        # the memoized handle embeds an EAGERLY derived dominant-dim
+        # literal (valid_dim) — a rewrite under the same path must
+        # invalidate, unlike the other tables' purely lazy scans
+        key = key + (_src_signature(src),)
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
-    src = os.path.join(sf_dir, f"{name}.parquet")
     if widen_on and name != "events":
         df = _bucketed_table(spark, src, widen_on)
         if df is not None:
@@ -345,6 +350,23 @@ def _splice_cte(sql: str, cte: str) -> str:
     if upper.startswith("WITH"):
         return f"WITH {cte}, " + body[len("WITH"):].lstrip()
     return f"WITH {cte} " + body
+
+
+def _src_signature(src: str):
+    """Mtime/size signature of a parquet file or directory (one stat or
+    scandir, ~1 ms) — memo-key component for loads that embed
+    eagerly-derived state."""
+    try:
+        if os.path.isdir(src):
+            with os.scandir(src) as it:
+                return tuple(sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                ))
+        st = os.stat(src)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def valid_dim(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
