@@ -63,11 +63,23 @@ def assign_ownership(
 
     total = F.sum(F.col(contact_count)).over(w)
     df = df.withColumn("total_contact_counts", total)
-    perc = F.col(contact_count) / F.col("total_contact_counts")
+
+    # Share-of-nothing contract (domain-violations fuzz, round 10): an
+    # entity whose counts sum to ZERO (all lines voided/zeroed) has
+    # undefined ownership percentages — NULL share instead of an ANSI
+    # DIVIDE_BY_ZERO, and with NULL perc the ownership class falls
+    # through every `when` to NULL ("no contacts, no ownership").
+    # SQL twin: `cnt / NULLIF(total, 0)`.
+    def _share(cnt: str) -> Column:
+        return F.when(
+            F.col("total_contact_counts") != 0,
+            F.col(cnt) / F.col("total_contact_counts"),
+        )
+
     df = (
-        df.withColumn("domain_contact_perc", perc)
-        .withColumn("domain_hbond_perc", F.col(hbond_count) / F.col("total_contact_counts"))
-        .withColumn("domain_covalent_perc", F.col(covalent_count) / F.col("total_contact_counts"))
+        df.withColumn("domain_contact_perc", _share(contact_count))
+        .withColumn("domain_hbond_perc", _share(hbond_count))
+        .withColumn("domain_covalent_perc", _share(covalent_count))
         .withColumn(
             "num_non_minor_domains",
             F.sum(F.when(F.col("domain_contact_perc") > 0.1, 1).otherwise(0)).over(w),

@@ -679,8 +679,10 @@ def q16_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1_group_share",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_quantity * 100.0 /
-                 SUM(l_quantity) OVER (PARTITION BY l_orderkey), 4) AS qty_pct
+           -- share-of-nothing contract: NULL share when the group
+           -- total is zero (domain-violations fuzz, round 10)
+           ROUND(l_quantity * 100.0 / NULLIF(
+                 SUM(l_quantity) OVER (PARTITION BY l_orderkey), 0), 4) AS qty_pct
     FROM lineitem
     """,
 )
@@ -688,10 +690,15 @@ def w1_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: each row's share of its group total via a windowed sum."""
     l = t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey")
+    total = F.sum("l_quantity").over(w)
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_quantity") * 100.0 / F.sum("l_quantity").over(w), 4).alias("qty_pct"),
+        # share-of-nothing contract: NULL when the group total is zero
+        # (a voided order's lines) — ANSI-safe on both engines
+        F.round(
+            F.when(total != 0, F.col("l_quantity") * 100.0 / total), 4
+        ).alias("qty_pct"),
     )
 
 
@@ -880,7 +887,10 @@ def a8_inscode_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT l_orderkey, l_linenumber, l_quantity,
              SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS total,
-             l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS perc
+             -- share-of-nothing contract: NULL share when the group
+             -- total is zero (see operators/ownership.py)
+             l_quantity / NULLIF(
+                 SUM(l_quantity) OVER (PARTITION BY l_orderkey), 0) AS perc
       FROM lineitem
     ),
     cls AS (

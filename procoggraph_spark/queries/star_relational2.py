@@ -650,7 +650,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM li GROUP BY l_orderkey, l_partkey
     )
     SELECT g.l_orderkey, p_name,
-           ROUND(CAST(g.qty AS DOUBLE) * 100.0 / CAST(t.total_qty AS DOUBLE), 2)
+           -- share-of-nothing contract: NULL when the order's total is
+           -- zero (domain-violations fuzz, round 10)
+           ROUND(CAST(g.qty AS DOUBLE) * 100.0 /
+                 NULLIF(CAST(t.total_qty AS DOUBLE), 0), 2)
                AS contact_pct,
            len(interface) AS n_interface,
            interface[1] AS min_interface,
@@ -681,7 +684,12 @@ def q5_interaction_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "p_name",
             F.round(
-                (F.col("_qty_c") / 100.0) * 100.0 / (F.col("_tot_c") / 100.0),
+                F.when(
+                    F.col("_tot_c") != 0,
+                    (F.col("_qty_c") / 100.0)
+                    * 100.0
+                    / (F.col("_tot_c") / 100.0),
+                ),
                 2,
             ).alias("contact_pct"),
             F.size("interface").alias("n_interface"),

@@ -622,3 +622,35 @@ def test_pfam_clan_survives_missing_info_row(spark, tmp_path):
     assert [(m["groupAccession"], m["pfamClan"]) for m in mapping] == [
         ("PF12345", "CL0999")
     ]
+
+
+def test_ownership_zero_total_is_null(spark):
+    """Share-of-nothing contract (domain-violations fuzz, r10): an
+    entity whose contact counts sum to ZERO — every line voided — has
+    undefined ownership percentages. NULL share (no ANSI
+    DIVIDE_BY_ZERO) and NULL ownership class on both engines (SQL twin
+    divides by NULLIF(total, 0))."""
+    rows = [
+        ("z1", "db", "d1", 0.0, 0.0, 0.0),
+        ("z1", "db", "d2", 0.0, 0.0, 0.0),
+        ("ok", "db", "d1", 3.0, 1.0, 0.0),
+        ("ok", "db", "d2", 1.0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "uniqueID string, xref_db string, domain_accession string, "
+        "domain_contact_counts double, domain_hbond_counts double, "
+        "domain_covalent_counts double",
+    )
+    out = assign_ownership(df, unique_id="uniqueID", database_type="xref_db")
+    got = {
+        (r["uniqueID"], r["domain_accession"]): (
+            r["domain_contact_perc"],
+            r["domain_ownership"],
+        )
+        for r in out.collect()
+    }
+    assert got[("z1", "d1")] == (None, None)
+    assert got[("z1", "d2")] == (None, None)
+    assert got[("ok", "d1")] == (0.75, "major_partner")
+    assert got[("ok", "d2")] == (0.25, "partner")

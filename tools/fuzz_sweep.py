@@ -148,7 +148,25 @@ def build_corpus(spark):
                     F.when(
                         (F.col("event_id") % 97 == 37) & (F.col("event_id") < 2000),
                         F.lit(None).cast("string"),
-                    ).otherwise(F.col("event_type")),
+                    )
+                    # label hygiene violations: padded and case-variant
+                    # type strings from sloppy emitters. Exact string
+                    # matching means these fall OUT of 'click' funnels —
+                    # identically on both engines, and as their own
+                    # groups in type rollups (no silent trim/casefold)
+                    .when(
+                        (F.col("event_id") % 97 == 7) & (F.col("event_id") < 2000),
+                        F.lit(" click"),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 17) & (F.col("event_id") < 2000),
+                        F.lit("CLICK"),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 19) & (F.col("event_id") < 2000),
+                        F.lit(""),
+                    )
+                    .otherwise(F.col("event_type")),
                 )
                 .withColumn(
                     "ts",
@@ -266,14 +284,33 @@ def build_corpus(spark):
                     F.when(
                         (F.col("l_orderkey") % 89 == 13) & (F.col("l_orderkey") < 2000),
                         F.lit(None).cast(df.schema["l_discount"].dataType),
-                    ).otherwise(F.col("l_discount")),
+                    )
+                    # domain-violating rates: a discount above 1 flips
+                    # the sign of discounted revenue, a negative one
+                    # inflates it — spec says [0,1], reality disagrees;
+                    # the arithmetic must stay engine-identical
+                    .when(
+                        (F.col("l_orderkey") % 89 == 3) & (F.col("l_orderkey") < 2000),
+                        F.lit(1.5),
+                    )
+                    .when(
+                        (F.col("l_orderkey") % 89 == 11) & (F.col("l_orderkey") < 2000),
+                        F.lit(-0.25),
+                    )
+                    .otherwise(F.col("l_discount")),
                 )
                 .withColumn(
                     "l_quantity",
                     F.when(
                         (F.col("l_orderkey") % 89 == 17) & (F.col("l_orderkey") < 2000),
                         F.lit(None).cast(df.schema["l_quantity"].dataType),
-                    ).otherwise(F.col("l_quantity")),
+                    )
+                    # zero-quantity line (a voided item kept for audit)
+                    .when(
+                        (F.col("l_orderkey") % 89 == 19) & (F.col("l_orderkey") < 2000),
+                        F.lit(0.0),
+                    )
+                    .otherwise(F.col("l_quantity")),
                 )
                 # non-finite measures: fp decode garbage / overflowed
                 # upstream computations — an exact-cents fold must not
