@@ -36,11 +36,14 @@ def _finite_num(c: Column) -> Column:
 def _valid_ts(c: Column) -> Column:
     """queries.common.valid_ts's operator-layer twin (local for the
     same no-query-layer-import reason as ``_finite_num``): a timestamp
-    outside the portable representation window — Arrow/pandas
-    datetime64[ns] bounds with whole-day margins — is corrupted-clock
-    data and degrades to NULL like a missing event time."""
-    lo = F.lit("1677-09-22 00:00:00").cast("timestamp")
-    hi = F.lit("2262-04-11 00:00:00").cast("timestamp")
+    outside the portable representation window — the intersection of
+    Arrow/pandas datetime64[ns], F.window arithmetic, and Spark
+    streaming's epoch-zero watermark admission domain, with a
+    calendar-grain-closed ceiling (see queries.common.TS_BAND_MIN/MAX;
+    the two must stay in lockstep) — is corrupted-clock data and
+    degrades to NULL like a missing event time."""
+    lo = F.lit("1970-01-01 00:00:01").cast("timestamp")
+    hi = F.lit("2262-01-01 00:00:00").cast("timestamp")
     return F.when((c >= lo) & (c <= hi), c)
 
 

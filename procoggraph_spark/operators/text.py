@@ -648,9 +648,17 @@ def perplexity_buckets(
     joined = lp.join(df.select(id_col, source_col), id_col)
     w = Window.partitionBy(source_col).orderBy("avg_neg_logprob", id_col)
     b = joined.withColumn("bucket", F.ntile(n_buckets).over(w))
+    # Band mean via exact micro-unit integers, not a float AVG: the
+    # per-doc scores are 1e-6-grid doubles, but a float sum's order
+    # differs between engines and a last-ulp difference straddles the
+    # ROUND(...,6) display grid (unicode-whitespace fuzz leg caught a
+    # live 3.629449-vs-3.629450 band). Long sums are order-free.
+    micro = F.round(F.col("avg_neg_logprob") * 1e6).cast("long")
     return b.groupBy(source_col, "bucket").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("avg_neg_logprob"), 6).alias("avg_score"),
+        F.round(
+            F.sum(micro) / (F.count("*") * F.lit(1e6)), 6
+        ).alias("avg_score"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
 

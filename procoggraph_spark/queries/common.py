@@ -294,15 +294,27 @@ def finite_num(c: Column, bound: float = 9.0e15) -> Column:
 
 
 # Portable event-time window: the intersection of every temporal
-# representation a value crosses between the JVM and the client —
-# Arrow/pandas datetime64[ns] is the narrowest ([1677-09-21 00:12,
-# 2262-04-11 23:47]; int64 nanoseconds since epoch), and it sits on
-# EVERY Python-facing path: toPandas, Pandas UDFs, applyInPandas
-# stateful folds. Spark's own F.window() additionally overflows at
-# year 10000 computing a bucket end. Whole-day margins inside the ns
-# bounds keep the band timezone-proof.
-TS_BAND_MIN = "1677-09-22 00:00:00"
-TS_BAND_MAX = "2262-04-11 00:00:00"
+# representation a value crosses between engines and execution faces —
+# (a) Arrow/pandas datetime64[ns] ([1677-09-21 00:12, 2262-04-11
+# 23:47]; int64 ns since epoch), on EVERY Python-facing path:
+# toPandas, Pandas UDFs, applyInPandas stateful folds; (b) Spark's
+# F.window() bucket arithmetic (overflows at year 10000); (c) Spark
+# Structured Streaming's WATERMARK ADMISSION DOMAIN — the initial
+# watermark is EPOCH ZERO, so stateful streaming operators (session
+# windows, dropDuplicatesWithinWatermark) treat any pre-1970 event
+# time as already-late and silently drop it in the very first
+# micro-batch (r10 streaming-fuzz finding: in-band 1678 sessions
+# vanished from the stream face while 1970 sessions survived). A
+# pre-epoch "event time" in an event pipeline is a zeroed/corrupted
+# clock; admitting it on one face and losing it on another is worse
+# than one shared floor. The ceiling is CALENDAR-GRAIN CLOSED (r10
+# edge fuzz: an in-band edge event month-truncated/bucketed past the
+# ns bound crashes the Arrow hop): any window/bucket END up to MONTH
+# grain of a <= 2262-01-01 event stays far below the ns ceiling, and
+# every calendar truncation of a post-epoch event stays >= epoch
+# (ns-representable).
+TS_BAND_MIN = "1970-01-01 00:00:01"
+TS_BAND_MAX = "2262-01-01 00:00:00"
 
 
 def valid_ts(c: Column) -> Column:
@@ -316,8 +328,8 @@ def valid_ts(c: Column) -> Column:
     arithmetic (ValueError at year 10000). NULL event time already has
     a pinned contract (NULL window group / excluded from sessions), so
     the degrade rides it. SQL twin: ``CASE WHEN x BETWEEN TIMESTAMP
-    '1677-09-22 00:00:00' AND TIMESTAMP '2262-04-11 00:00:00' THEN x
-    END`` (see ``gate_events_oracle``)."""
+    TS_BAND_MIN AND TIMESTAMP TS_BAND_MAX THEN x END`` (see
+    ``gate_events_oracle``)."""
     lo = F.lit(TS_BAND_MIN).cast("timestamp")
     hi = F.lit(TS_BAND_MAX).cast("timestamp")
     return F.when((c >= lo) & (c <= hi), c)

@@ -150,7 +150,11 @@ _PPL_BUCKETS_SQL = """
       FROM j
     )
     SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(avg_neg_logprob), 6) AS avg_score,
+           -- exact micro-unit mean (order-free long sum), matching the
+           -- Spark face — a float AVG's summation order straddles the
+           -- 1e-6 display grid between engines
+           ROUND(SUM(CAST(ROUND(avg_neg_logprob * 1e6) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 1e6), 6) AS avg_score,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM b GROUP BY source, bucket
     """

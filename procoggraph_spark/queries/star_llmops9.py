@@ -166,8 +166,8 @@ _LTV_SQL = """
       FROM orders
       WHERE o_orderdate IS NOT NULL
         AND CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
-            BETWEEN TIMESTAMP '1677-09-22 00:00:00'
-                AND TIMESTAMP '2262-04-11 00:00:00'
+            BETWEEN TIMESTAMP '1970-01-01 00:00:01'
+                AND TIMESTAMP '2262-01-01 00:00:00'
     ),
     f AS (
       SELECT o_custkey, MIN(m) AS cohort_month FROM o1 GROUP BY o_custkey

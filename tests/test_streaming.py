@@ -764,17 +764,19 @@ def test_streaming_srm_monitor_matches_batch(spark, tmp_path):
 
 def test_streaming_equals_batch_tumbling_dirty_ts(spark, tmp_path):
     """The NULL-event-time contract holds across BOTH execution faces:
-    a corpus with NULL and epoch-zero timestamps drains to the same
-    windowed counts under readStream (where Spark's TimeWindow drops
-    NULL-ts rows natively) as the batch twin (which excludes them via
-    the explicit _with_event_time boundary) — and neither crashes."""
+    a corpus with NULL and band-floor (epoch+1s — epoch zero itself is
+    OUT of band since r10: streaming watermark admission cannot
+    represent it) timestamps drains to the same windowed counts under
+    readStream (where Spark's TimeWindow drops NULL-ts rows natively)
+    as the batch twin (which excludes them via the explicit
+    _with_event_time boundary) — and neither crashes."""
     ev = t(spark, SF_SMOKE, "events")
     dirty = ev.withColumn(
         "ts",
         F.when(F.col("event_id") % 11 == 3, F.lit(None).cast(ev.schema["ts"].dataType))
         .when(
             F.col("event_id") % 11 == 7,
-            F.lit("1970-01-01 00:00:00").cast(ev.schema["ts"].dataType),
+            F.lit("1970-01-01 00:00:01").cast(ev.schema["ts"].dataType),
         )
         .otherwise(F.col("ts")),
     )
@@ -798,7 +800,7 @@ def test_streaming_equals_batch_tumbling_dirty_ts(spark, tmp_path):
         for r in tumbling_counts(dirty, duration="1 hour").collect()
     }
     assert stream_rows == batch_rows
-    # the epoch-zero events ARE windowed (a 1970 bucket exists); the
+    # the band-floor events ARE windowed (a 1970 bucket exists); the
     # NULL-ts events are in neither face's output
     assert any(ws.year == 1970 for ws, _ in batch_rows)
     n_total = dirty.filter(F.col("ts").isNotNull()).count()
@@ -831,7 +833,7 @@ def test_streaming_tumbling_corrupted_clock_band(spark, tmp_path):
         )
         .when(
             F.col("event_id") % 13 == 9,
-            F.lit("1677-09-22 00:00:00").cast(ts_type),  # band floor: kept
+            F.lit("1970-01-01 00:00:01").cast(ts_type),  # band floor: kept
         )
         .otherwise(F.col("ts")),
     )
@@ -858,22 +860,23 @@ def test_streaming_tumbling_corrupted_clock_band(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     # out-of-band clocks degraded to NULL and fell out of the windows;
-    # the band-floor rows stayed (a 1677 bucket exists in both faces)
+    # the band-floor rows stayed (a 1970 bucket exists in both faces)
     n_in_band = gated.filter(F.col("ts").isNotNull()).count()
     assert n_in_band < raw.count()
     assert sum(n for n, _ in batch_rows.values()) == n_in_band
-    assert any(ws.year == 1677 for ws, _ in batch_rows)
+    assert any(ws.year == 1970 for ws, _ in batch_rows)
 
 
 def test_streaming_dedup_admits_pre_epoch_clocks(spark, tmp_path):
     """Epoch-floor admission contract (streaming-fuzz finding, r10):
     Spark's initial watermark is epoch zero and
     dropDuplicatesWithinWatermark treats event time <= watermark as
-    late, so an in-band pre-epoch/epoch-zero corrupted clock — which
-    every batch face KEEPS (valid_ts floor is 1677) — was silently
-    lost, not deduped. The gate now watermarks a clamped _wm_ts copy:
-    such events are admitted exactly once, redeliveries still drop,
-    and the payload ts is untouched."""
+    late, so a pre-epoch/epoch-zero corrupted clock would be silently
+    LOST, not deduped. Since r10 the band floor is epoch+1s: the load
+    gate degrades such clocks to NULL event time (admitted natively by
+    the dedup state), and the operator additionally watermarks a
+    clamped _wm_ts copy so even an UNGATED feed cannot lose rows.
+    Every event is admitted exactly once; redeliveries still drop."""
     from procoggraph_spark.streaming.windows import streaming_dedup
 
     ev = t(spark, SF_SMOKE, "events")
@@ -906,11 +909,12 @@ def test_streaming_dedup_admits_pre_epoch_clocks(spark, tmp_path):
         for r in spark.sql("SELECT event_id FROM dedup_pre_epoch").collect()
     ]
     assert len(got) == len(set(got)) == dirty.count()
-    # payload event time is NOT clamped — the 1969/epoch rows keep it
+    # pre-epoch clocks degraded to NULL event time at the load gate —
+    # the EVENTS survive (admitted once), their corrupt clocks do not
     kept = {
         r["event_id"]: r["ts"]
         for r in spark.sql("SELECT event_id, ts FROM dedup_pre_epoch").collect()
     }
-    pre = [v for k, v in kept.items() if k % 13 == 7]
-    assert pre and all(v.year == 1969 for v in pre)
+    pre = [v for k, v in kept.items() if k % 13 in (3, 7)]
+    assert pre and all(v is None for v in pre)
     assert all(v is None for k, v in kept.items() if k % 13 == 9)

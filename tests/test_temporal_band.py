@@ -1,14 +1,15 @@
 """Portable event-time band (valid_ts) contract pins.
 
-A timestamp outside [1677-09-22, 2262-04-11] cannot cross the
-Arrow/pandas datetime64[ns] boundary every Python-facing path uses
-(toPandas, Pandas UDFs, applyInPandasWithState), and F.window's bucket
-arithmetic overflows at year 10000 — so the engine degrades it to NULL
-at load, on both the batch face (queries.common.t) and the readStream
-face (streaming.windows._events_stream), with the DuckDB oracle twin
-spliced centrally by the registry (gate_events_oracle). These tests
-pin the band's edges, the crash-free pipeline behavior, and the
-registry splice so none of the three gates can silently drift.
+A timestamp outside [1970-01-01 00:00:01, 2262-01-01] — the
+intersection of the Arrow/pandas datetime64[ns] window, F.window's
+bucket arithmetic (overflows at year 10000), and Spark streaming's
+epoch-zero watermark admission domain, with a calendar-grain-closed
+ceiling — cannot cross every execution face, so the engine degrades it
+to NULL at load, on both the batch face (queries.common.t) and the
+readStream face (streaming.windows._events_stream), with the DuckDB
+oracle twin spliced centrally by the registry (gate_events_oracle).
+These tests pin the band's edges, the crash-free pipeline behavior,
+and the registry splice so none of the three gates can silently drift.
 """
 
 from __future__ import annotations
@@ -62,7 +63,7 @@ def test_valid_ts_band_edges(spark):
     beyond either edge degrades to NULL."""
     df = spark.createDataFrame(
         [(1, "2024-05-05 12:00:00"), (2, TS_BAND_MIN), (3, TS_BAND_MAX),
-         (4, "1677-09-21 23:59:59"), (5, "2262-04-11 00:00:01"),
+         (4, "1970-01-01 00:00:00"), (5, "2262-01-01 00:00:01"),
          (6, "9999-12-31 23:59:59"), (7, None)],
         "id long, s string",
     ).select("id", F.col("s").cast("timestamp").alias("ts"))
@@ -86,7 +87,7 @@ def test_events_load_gate_makes_pipeline_crash_free(spark, tmp_path):
     windowed = tumbling_counts(ev, duration="1 hour").collect()
     assert sum(r["n"] for r in windowed) == 3
     years = {r["window_start"].year for r in windowed}
-    assert years == {2024, 1677, 2262}
+    assert years == {2024, 1970, 2262}
 
 
 def test_streaming_face_shares_the_band(spark, tmp_path):

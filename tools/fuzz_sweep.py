@@ -62,6 +62,14 @@ DEGENERATE = {
     17: "word " * 100,  # 100 repeats of one word
     22: "a",  # single char, shorter than any shingle
     3: None,  # NULL text
+    # exotic unicode whitespace (real crawls are full of these): the
+    # single-tokenize discipline must agree across engines on what IS
+    # whitespace — Java regex \s and RE2 \s both exclude NBSP/U+2028/
+    # zero-width space, so these glue tokens together identically
+    4: "non breaking space glued",
+    9: "line separator and paragraph",
+    14: "zero​width​space one token",
+    19: "full　width　ideographic",
 }
 
 
@@ -171,10 +179,13 @@ def build_corpus(spark):
                 .withColumn(
                     "ts",
                     # dirty event-time: a missing timestamp (decoder
-                    # dropped it) and an epoch-zero timestamp (corrupted
-                    # clock) — the streaming family's windows must agree
-                    # with their SQL twins on both (NULL window group /
-                    # a 1970 bucket), not crash or silently drop
+                    # dropped it) and an epoch-zero timestamp (the
+                    # canonical zeroed clock — BELOW the band floor
+                    # since r10: streaming stateful operators treat
+                    # pre-epoch event time as already-late against the
+                    # initial watermark, so both engines degrade it to
+                    # NULL at load rather than keep it on one face and
+                    # lose it on the other)
                     F.when(
                         (F.col("event_id") % 97 == 67) & (F.col("event_id") < 2000),
                         F.lit(None).cast(df.schema["ts"].dataType),
@@ -202,11 +213,38 @@ def build_corpus(spark):
                         (F.col("event_id") % 97 == 83) & (F.col("event_id") < 2000),
                         F.lit("1600-01-01 00:00:00").cast(df.schema["ts"].dataType),
                     )
-                    # in-band edge: one day inside the window — must
-                    # SURVIVE the gate (the band must not over-drop)
+                    # in-band edge near the ceiling — must SURVIVE the
+                    # gate (the band must not over-drop), and its
+                    # window/month buckets stay ns-representable
                     .when(
                         (F.col("event_id") % 97 == 89) & (F.col("event_id") < 2000),
-                        F.lit("2262-04-10 00:00:00").cast(df.schema["ts"].dataType),
+                        F.lit("2261-12-31 23:00:00").cast(df.schema["ts"].dataType),
+                    )
+                    # exact band-edge pairs: one second OUTSIDE each
+                    # edge degrades, the edge itself survives — and the
+                    # surviving edges' calendar truncations (year/week/
+                    # month buckets in the cohort family) must not
+                    # escape datetime64[ns] (the r10 finding that moved
+                    # the band to calendar-grain-closed margins)
+                    .when(
+                        (F.col("event_id") % 97 == 91) & (F.col("event_id") < 2000),
+                        # one second below the floor == epoch zero (the
+                        # canonical zeroed clock): degrades — streaming
+                        # stateful operators cannot admit it anyway
+                        # (initial watermark is epoch zero)
+                        F.lit("1970-01-01 00:00:00").cast(df.schema["ts"].dataType),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 93) & (F.col("event_id") < 2000),
+                        F.lit("1970-01-01 00:00:01").cast(df.schema["ts"].dataType),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 95) & (F.col("event_id") < 2000),
+                        F.lit("2262-01-01 00:00:00").cast(df.schema["ts"].dataType),
+                    )
+                    .when(
+                        (F.col("event_id") % 97 == 96) & (F.col("event_id") < 2000),
+                        F.lit("2262-01-01 00:00:01").cast(df.schema["ts"].dataType),
                     )
                     .otherwise(F.col("ts")),
                 )
