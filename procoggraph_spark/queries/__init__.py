@@ -8,82 +8,87 @@ Names are prefixed with the SURVEY §2 operator-family id they exercise.
 
 from __future__ import annotations
 
-# Round-10 driver window (the external correctness gate samples the
-# FIRST 50 registry keys): the precomputed rotation from the round-9
-# coverage log (round-9 verdict item 1). Round 9 went 50/50 green
-# against the FINAL round-9 tree, so the in-window round-9 edits
-# (streaming family, asof/range, ngram_jaccard, repeated_passages,
-# decontaminate x2, training_data_pipeline, sim_ivf_ann,
-# sim_ivf_pq_rerank, w_frame_moving_stats) are externally covered.
-# This window prioritizes the round-9-edited rows NOT in the r09
-# window — q4/j7 (band gates + customer-hint removal), the 12
-# events_* rows whose oracles gained the band-gated events CTE, the
-# pack/dedup/emb survivorship+band rewrites, text_gopher_rules,
-# curation_data_card, orders_cohort_ltv, f14_json_extract — so that
-# after this round no oracle edit from round 9 lacks driver
-# certification. The remaining 22 slots drain the r06 batch (latest
-# green == r06 in the CORRECTNESS_r01..r09 union) oldest-first, plus
-# basket_part_pairs from the next-oldest (r07) tier; 3 r06 rows
-# (a3_approx_count_distinct, corpus_pareto_coverage,
-# layout_zorder_stats — unedited simple aggregates/diagnostics) defer
-# to r11. New query registration stays FROZEN (round-7 verdict
-# item 6, held r8/r9/r10). Every name here must exist in the union —
-# registry() raises on a stale entry, so a rename/removal fails
-# loudly instead of silently rotating the wrong row into the window.
+# Round-11 driver window (the external correctness gate samples the
+# FIRST 50 registry keys): the precomputed rotation from the round-10
+# coverage log (round-10 verdict item 1). Round 10 went 50/50 green,
+# so the in-window round-10 edits (the 12 band-gated events_* rows,
+# q4/j7, the pack/dedup/emb survivorship rewrites, f14,
+# curation_perplexity_buckets' micro-unit means) are externally
+# covered. This window certifies the round-10 oracle edits NOT in the
+# r10 window: the 15 sim/emb rows whose oracle text gained the
+# dimension-coherence _EMB_GATED_CTE, the 11 events-reading rows
+# (asof, range-join, w_frame_moving_stats, the 8 stream_* twins)
+# whose events CTE migrated to the [epoch+1s, 2262-01-01) band after
+# their r09 certification, and the two NULLIF share-guard edits
+# (w1_group_share, q5_interaction_detail), plus the 3 rows deferred
+# from the r06 drain (a3_approx_count_distinct,
+# corpus_pareto_coverage, layout_zorder_stats). The remaining 19
+# slots drain the r07 batch (latest green == r07 in the
+# CORRECTNESS_r01..r10 union): p6_ownership_classify first (its
+# share-guard edit rides this batch), then alphabetical; the 9 r07
+# rows that don't fit (rag_index_pipeline, scd2 x2, serve_*,
+# sketch_quantile_bins, text_langid_confusion, text_oov_rate, u7)
+# defer to r12. New query registration stays FROZEN (round-7 verdict
+# item 6, held r8/r9/r10/r11). Every name here must exist in the
+# union — registry() raises on a stale entry, so a rename/removal
+# fails loudly instead of silently rotating the wrong row into the
+# window.
 _PROMOTE = (
-    # --- round-9-edited rows not in the r09 window ---
-    "q4_report_card",
-    "j7_star_join_rollup",
-    "orders_cohort_ltv",
-    "text_gopher_rules",
-    "curation_data_card",
-    "pack_token_budget",
-    "pack_concat_context",
-    "dedup_containment",
-    "dedup_incremental_ingest",
-    "dedup_substring_pairs",
-    "dedup_strip_boilerplate",
-    "dedup_crawl_novelty",
-    "dedup_embedding_cosine",
-    "emb_knn_label_vote",
-    "emb_outlier_zscore",
-    "f14_json_extract",
-    # --- the 12 events_* rows: oracles gained the band-gated CTE ---
-    "events_sessionize",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "events_dau_stickiness",
-    "events_weekly_streaks",
-    "events_user_pareto",
-    "events_activity_heatmap",
-    "events_top_transitions",
-    "events_last_touch_attribution",
-    "events_time_to_conversion",
-    "events_volume_anomaly",
-    "events_recency_engagement",
-    # --- r06 batch drain (oldest external certs after r09) ---
-    "curation_curriculum_order",
-    "curation_dsir_selection",
-    "curation_epoch_plan",
-    "curation_perplexity_buckets",
-    "curation_quality_drift",
-    "curation_source_cap",
-    "curation_source_overlap",
-    "mix_temperature_sources",
-    "mm_asset_metadata",
-    "mm_feature_extract",
-    "sample_weighted_priority",
-    "shuffle_training_order",
-    "sim_filtered_topk",
-    "sim_matryoshka_topk",
-    "sketch_hll_distinct",
-    "split_leakage_safe",
-    "split_leakage_safe_neardup",
-    "text_bigram_logprob",
-    "text_chunk_overlap",
-    "text_tokenizer_fertility",
-    "text_zipf_slope",
-    "basket_part_pairs",
+    # --- 15 sim/emb rows: oracles gained the _EMB_GATED_CTE in r10 ---
+    "emb_array_stats",
+    "emb_centroid_drift",
+    "emb_centroid_medoid",
+    "emb_dim_covariance",
+    "emb_int8_quantize",
+    "sim_bruteforce_fold",
+    "sim_bruteforce_topk",
+    "sim_hard_negatives",
+    "sim_ivf_ann",
+    "sim_ivf_pq_rerank",
+    "sim_lsh_ann",
+    "sim_mmr_diversify",
+    "sim_pairwise_diversity",
+    "sim_recall_eval",
+    "sim_rocchio_feedback",
+    # --- 11 events-band-migration rows certified r09 under the OLD band ---
+    "asof_purchase_view",
+    "range_join_signup_window",
+    "w_frame_moving_stats",
+    "stream_funnel_join",
+    "stream_hypertable_rollup",
+    "stream_late_data_policy",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_tumbling_window",
+    # --- NULLIF share-guard oracle edits (r10) not in the r10 window ---
+    "w1_group_share",
+    "q5_interaction_detail",
+    # --- the 3 rows deferred from the r06 drain ---
+    "a3_approx_count_distinct",
+    "corpus_pareto_coverage",
+    "layout_zorder_stats",
+    # --- r07 batch drain: p6 (share-guard edit) first, then A-Z ---
+    "p6_ownership_classify",
+    "a1_pricing_summary",
+    "a7_range_compress",
+    "ab_assignment_srm",
+    "agg_incremental_refresh",
+    "corpus_release_diff",
+    "curation_gate_sensitivity",
+    "dedup_cluster_sizes",
+    "dedup_normalized_exact",
+    "diag_key_skew",
+    "diag_table_profile",
+    "feat_class_weights",
+    "feat_hash_buckets",
+    "feat_psi_drift",
+    "feat_robust_scale",
+    "feat_target_encode",
+    "j_salted_skew_join",
+    "orders_repurchase_gaps",
+    "orders_rfm_segments",
 )
 
 

@@ -152,12 +152,14 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 10 lands the precomputed rotation (round-9 verdict item 1):
-    the 28 round-9-edited rows NOT in the r09 window (q4/j7 band
-    gates + hint removal, the 12 band-gated events_* oracles, the
-    pack/dedup/emb survivorship rewrites, f14_json_extract) plus a
-    22-row drain of the r06 batch oldest-first. After this window no
-    oracle edit from round 9 lacks driver certification. This pin
+    Round 11 lands the precomputed rotation (round-10 verdict item 1):
+    the 31 priority rows — 15 sim/emb oracles that gained the
+    _EMB_GATED_CTE in r10, the 11 events-band-migration rows
+    (asof/range/w_frame + the 8 stream_* twins, all r09-certified
+    under the OLD band), the two NULLIF share-guard edits
+    (w1/q5), and the 3 deferred r06 rows — plus a 19-row drain of the
+    r07 batch (p6 first, then alphabetical). After this window no
+    oracle edit from round 10 lacks driver certification. This pin
     makes any addition or reorder fail HERE, loudly, instead of
     silently pushing a stale row past the gate; when a future round
     re-rotates, update deliberately."""
