@@ -830,7 +830,17 @@ def streaming_volume_monitor(
 
     from pyspark.sql import functions as F
 
-    stream = _events_stream(spark, events_path, schema)
+    # NULL event-time contract at the ingest boundary (same filter as
+    # the batch op): a timestamp-less event — including a corrupted
+    # clock degraded by the valid_ts band — belongs to no hourly bucket
+    # and must not reach the state merge. Without this, ONE dirty clock
+    # in ANY micro-batch plants a permanent NULL bucket_start row that
+    # sorts first in the trailing window and silently shifts every
+    # z-score after it (streaming-face fuzz, round 11: 5 phantom rows +
+    # drifted trail means on the dirty corpus).
+    stream = _with_event_time(
+        _events_stream(spark, events_path, schema, ts_col=ts_col), ts_col
+    )
 
     def merge(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -964,21 +974,21 @@ def read_srm_monitor(spark, state_dir: str, *, n_arms: int = 2):
 
     crit = chi2_crit_95(n_arms)
     raw = spark.read.parquet(state_dir)
-    grid = raw.select("segment").distinct().crossJoin(
-        F.broadcast(
-            spark.range(n_arms).select(F.col("id").cast("int").alias("arm"))
-        )
-    )
-    counts = grid.join(raw, ["segment", "arm"], "left").select(
-        "segment", "arm", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    # bounded (segment x arm) state: pivot to one row per segment so the
-    # chi2 numerator is the same fixed-order expression as the batch op
-    seg = counts.groupBy("segment").agg(
+    # One groupBy pivots the (segment, arm) counts to per-segment arm
+    # columns — zero-unit arms fall out as coalesced 0 (their n^2 term
+    # is the worst mismatch, not an absent row), and a NULL segment
+    # stays a REAL monitored segment because groupBy matches NULL keys.
+    # The previous segment-grid formulation equi-joined the grid back
+    # to its own counts, so the NULL segment never matched itself: both
+    # arms zero-filled, _t = 0, and the served read crashed with an
+    # ANSI divide-by-zero on any assignment log carrying unattributed
+    # traffic (streaming-face fuzz, round 11) — while the batch op and
+    # the SQL twin (IS NOT DISTINCT FROM) both kept it.
+    seg = raw.groupBy("segment").agg(
         *[
-            F.sum(F.when(F.col("arm") == a, F.col("n")).otherwise(0)).alias(
-                f"_n{a}"
-            )
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == a, F.col("n"))), F.lit(0)
+            ).cast("long").alias(f"_n{a}")
             for a in range(n_arms)
         ]
     )

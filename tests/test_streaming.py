@@ -918,3 +918,83 @@ def test_streaming_dedup_admits_pre_epoch_clocks(spark, tmp_path):
     pre = [v for k, v in kept.items() if k % 13 in (3, 7)]
     assert pre and all(v is None for v in pre)
     assert all(v is None for k, v in kept.items() if k % 13 == 9)
+
+
+def test_streaming_volume_monitor_excludes_null_event_time(spark, tmp_path):
+    """One corrupted-clock event in a micro-batch (valid_ts degrades it
+    to NULL) must NOT plant a NULL bucket_start row in the monitor
+    state — a NULL bucket sorts first in the trailing window and
+    silently shifts every z-score after it (streaming-face fuzz,
+    round 11: 5 phantom rows on the dirty corpus). The served read must
+    equal the batch operator, which applies the NULL-event-time filter
+    before bucketing."""
+    from procoggraph_spark.operators.analytics import volume_anomaly
+    from procoggraph_spark.streaming.windows import (
+        read_volume_anomalies,
+        streaming_volume_monitor,
+    )
+
+    ev = t(spark, SF_SMOKE, "events")
+    dirty = ev.unionByName(
+        ev.limit(3).withColumn(
+            "ts", F.lit("9999-12-31 00:00:00").cast("timestamp")
+        )
+    )
+    inbox = str(tmp_path / "vol_inbox")
+    state = str(tmp_path / "vol_state")
+    dirty.coalesce(1).write.parquet(inbox)
+    q = streaming_volume_monitor(
+        spark, inbox, dirty.schema, state,
+        checkpoint=str(tmp_path / "vol_ckpt"),
+    )
+    q.awaitTermination(180)
+    buckets = spark.read.parquet(state)
+    assert buckets.filter(F.col("bucket_start").isNull()).count() == 0
+    got = sorted(map(tuple, read_volume_anomalies(spark, state).collect()))
+    # batch face through the same valid_ts load gate _events_stream
+    # applies (the test writes raw clocks, bypassing t())
+    from procoggraph_spark.queries.common import valid_ts
+
+    gated = dirty.withColumn("ts", valid_ts(F.col("ts")))
+    want = sorted(map(tuple, volume_anomaly(gated).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_read_srm_monitor_keeps_null_segment(spark, tmp_path):
+    """Unattributed traffic (NULL segment) is a REAL segment to
+    monitor: the served SRM read must keep it with correct arm counts,
+    exactly like the batch operator's NULL-key group and the SQL
+    twin's IS NOT DISTINCT FROM. The round-11 streaming-face fuzz
+    caught the previous grid formulation equi-joining the NULL segment
+    away — both arms zero-filled and the chi2 division crashed."""
+    from procoggraph_spark.operators.analytics import ab_assignment_srm
+    from procoggraph_spark.streaming.windows import (
+        read_srm_monitor,
+        streaming_srm_monitor,
+    )
+
+    docs = t(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    dirty = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    inbox = str(tmp_path / "srm_inbox")
+    state = str(tmp_path / "srm_state")
+    dirty.coalesce(1).write.parquet(inbox)
+    q = streaming_srm_monitor(
+        spark, inbox, dirty.schema, state,
+        checkpoint=str(tmp_path / "srm_ckpt"),
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, read_srm_monitor(spark, state).collect()),
+        key=lambda r: (str(r[0]), r[1]),
+    )
+    want = sorted(
+        map(tuple, ab_assignment_srm(dirty).collect()),
+        key=lambda r: (str(r[0]), r[1]),
+    )
+    assert got == want
+    assert any(r[0] is None for r in got)

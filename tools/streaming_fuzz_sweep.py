@@ -12,6 +12,14 @@ values through the stateful cents fold, NULL user ids through
 session/total state keys, dirty dimension rows through the
 stream-static broadcast join, replayed ids through the dedup gate.
 
+Round 11 extends the sweep to the foreachBatch monitor family
+(streaming_scd2 / data_card / volume / SRM / the IVF+PQ index feed):
+each monitor drains the dirty corpus in TWO micro-batches (so the
+versioned-state MERGE path runs on fuzzed data, not just the bootstrap
+insert), its served read must equal the batch operator over the union,
+and a third empty drain from the same checkpoint (crash-replay) must
+leave the state byte-identical.
+
 Usage:
     python tools/fuzz_sweep.py --regen     # build the corpus first
     python tools/streaming_fuzz_sweep.py   # then sweep the stream faces
@@ -271,7 +279,212 @@ def sweep(spark) -> int:
         last_wins_key="_k",
     )
 
-    print(f"STREAMING-FUZZ divergent: {len(divergent)} of {len(MODES)}")
+    # ---- foreachBatch monitor family (round-10 verdict item 2): the
+    # atomic-version-swap monitors drained over the SAME dirty corpus,
+    # in two micro-batches (so the state MERGE path runs on dirty data,
+    # not just the bootstrap insert), with a crash-replay re-drain from
+    # the checkpoint in the loop — the r10 sweep axis that caught the
+    # epoch-zero dedup loss, extended to the stateful-on-disk operators
+    # whose pytest pins only cover clean fixtures.
+    import shutil
+
+    n_base_twins = len(MODES)
+    mon_root = os.path.join(FUZZ_DIR, "_monitor_sweep")
+    if os.path.exists(mon_root):
+        shutil.rmtree(mon_root)
+    os.makedirs(mon_root)
+    n_monitors = 0
+
+    def check_monitor(name, batches, start_fn, read_fn, want_df):
+        """Drain `batches` (appended to the monitor's inbox by the
+        caller-provided start_fn closure) one availableNow run each,
+        compare the served state against the batch operator, then
+        re-drain with nothing new (crash-replay): state must not move."""
+        nonlocal n_monitors
+        n_monitors += 1
+        try:
+            for write_batch in batches:
+                write_batch()
+                q = start_fn()
+                q.awaitTermination(300)
+            got = _rows(read_fn())
+            want = _rows(want_df)
+            if got != want:
+                diffs = [(a, b) for a, b in zip(got, want) if a != b][:3]
+                print(
+                    f"MISMATCH {name} {len(got)} vs {len(want)} rows; {diffs}"
+                )
+                divergent.append(name)
+                return
+            q = start_fn()
+            q.awaitTermination(300)
+            again = _rows(read_fn())
+            if again != got:
+                print(f"REPLAY-DRIFT {name}: state moved on an empty drain")
+                divergent.append(f"{name}(replay)")
+                return
+            print(f"ok {name} ({len(got)} rows, replay-stable)")
+        except Exception as e:  # noqa: BLE001 — a crash IS a divergence
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:140]}")
+            divergent.append(name)
+
+    def appender(df, inbox):
+        return lambda: df.coalesce(1).write.mode("append").parquet(inbox)
+
+    from procoggraph_spark.operators.analytics import (
+        ab_assignment_srm,
+        volume_anomaly,
+    )
+    from procoggraph_spark.operators.temporal import (
+        scd2_apply,
+        scd2_from_snapshot,
+    )
+    from procoggraph_spark.operators.text import curation_data_card
+
+    # scd2: CDC over the dirty customer dim — batch 2 rewrites every
+    # third key's attribute to the (dirty, unicode-bearing) c_name, so
+    # changed/unchanged/insert paths all run on fuzzed strings
+    cdc1 = cust.select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("attr")
+    )
+    cdc2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("attr")
+    )
+    scd2_inbox = os.path.join(mon_root, "scd2_inbox")
+    scd2_hist = os.path.join(mon_root, "scd2_history")
+    empty_hist = scd2_from_snapshot(
+        spark.createDataFrame([], cdc1.schema), key_col="k", attr_col="attr"
+    )
+    check_monitor(
+        "scd2_monitor",
+        [appender(cdc1, scd2_inbox), appender(cdc2, scd2_inbox)],
+        lambda: W.streaming_scd2(
+            spark, scd2_inbox, cdc1.schema, scd2_hist,
+            key_col="k", attr_col="attr",
+            checkpoint=os.path.join(mon_root, "scd2_ckpt"),
+        ),
+        lambda: spark.read.parquet(scd2_hist),
+        scd2_apply(
+            scd2_apply(empty_hist, cdc1, key_col="k", attr_col="attr"),
+            cdc2, key_col="k", attr_col="attr",
+        ),
+    )
+
+    # data card: dirty documents (NULL/empty/multi-MB/unicode texts,
+    # replayed ids) split by id parity so per-source counts MERGE
+    card_inbox = os.path.join(mon_root, "card_inbox")
+    card_dir = os.path.join(mon_root, "card_state")
+    d_b1 = docs.filter(F.coalesce(F.col("doc_id") % 2 == 0, F.lit(True)))
+    d_b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    check_monitor(
+        "data_card_monitor",
+        [appender(d_b1, card_inbox), appender(d_b2, card_inbox)],
+        lambda: W.streaming_data_card(
+            spark, card_inbox, docs_schema, card_dir,
+            checkpoint=os.path.join(mon_root, "card_ckpt"),
+        ),
+        lambda: W.read_data_card(spark, card_dir),
+        curation_data_card(docs).select(
+            "source", "n_docs", "n_drop_lang", "n_drop_quality",
+            "n_drop_repetition", "n_kept", "kept_rate",
+        ),
+    )
+
+    # volume monitor: dirty event clocks through the hourly-count merge
+    # (valid_ts gates inside _events_stream on the stream face and
+    # inside t() on the batch face); id-parity split makes most hours
+    # span BOTH batches, so same-hour counts must fold, not append
+    vol_inbox = os.path.join(mon_root, "vol_inbox")
+    vol_state = os.path.join(mon_root, "vol_state")
+    e_b1 = raw.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True)))
+    e_b2 = raw.filter(F.col("event_id") % 2 == 1)
+    check_monitor(
+        "volume_monitor",
+        [appender(e_b1, vol_inbox), appender(e_b2, vol_inbox)],
+        lambda: W.streaming_volume_monitor(
+            spark, vol_inbox, raw_schema, vol_state,
+            checkpoint=os.path.join(mon_root, "vol_ckpt"),
+        ),
+        lambda: W.read_volume_anomalies(spark, vol_state),
+        volume_anomaly(ev),
+    )
+
+    # SRM monitor: dirty assignment log (replayed ids land in both
+    # batches; padded/case-variant sources group as their own segments
+    # on both faces per the r10 label-hygiene finding)
+    srm_inbox = os.path.join(mon_root, "srm_inbox")
+    srm_state = os.path.join(mon_root, "srm_state")
+    assign = docs.select("doc_id", "source")
+    check_monitor(
+        "srm_monitor",
+        [
+            appender(
+                assign.filter(
+                    F.coalesce(F.col("doc_id") % 2 == 0, F.lit(True))
+                ),
+                srm_inbox,
+            ),
+            appender(assign.filter(F.col("doc_id") % 2 == 1), srm_inbox),
+        ],
+        lambda: W.streaming_srm_monitor(
+            spark, srm_inbox, assign.schema, srm_state,
+            checkpoint=os.path.join(mon_root, "srm_ckpt"),
+        ),
+        lambda: W.read_srm_monitor(spark, srm_state),
+        ab_assignment_srm(assign),
+    )
+
+    # IVF+PQ index maintenance: stateless deterministic encode — the
+    # arriving vectors pass the family-wide ingest admission contract
+    # (valid_dim at t(), searchable()) on BOTH faces, then the streamed
+    # encode must equal the batch build row-for-row on the survivors
+    from procoggraph_spark.operators.pq import ivf_pq_index_numpy, train_pq
+    from procoggraph_spark.operators.similarity import (
+        key_unique,
+        searchable,
+        train_centroids,
+    )
+
+    try:
+        # the full ingest admission contract upstream of the index
+        # feed: valid_dim (inside t()), searchable, and the keyed
+        # id-survivorship the batch builder applies — the STREAM face
+        # documents replay handling as the upstream dedup gate's job
+        # (dropDuplicatesWithinWatermark / S16 upsert), so the sweep
+        # feeds survivors and checks the deterministic encode
+        emb = key_unique(
+            searchable(
+                t(spark, FUZZ_DIR, "embeddings").select(
+                    "vec_id", "embedding"
+                )
+            ),
+            "vec_id",
+            ["embedding"],
+        )
+        dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+        cents = train_centroids(emb, n_cells=16, iterations=2, metric="l2")
+        books = train_pq(emb, m=16, k=16, dim=dim, iterations=2)
+        idx_inbox = os.path.join(mon_root, "idx_inbox")
+        emb.coalesce(1).write.parquet(idx_inbox)
+        MODES["ivf_pq_index"] = "append"
+        n_monitors += 1
+        codes_str = F.col("pq_codes").cast("string")
+        check(
+            "ivf_pq_index",
+            W.streaming_ivf_pq_index(
+                spark, idx_inbox, emb.schema, cents, books
+            ).select("vec_id", "cell", codes_str.alias("codes")),
+            ivf_pq_index_numpy(emb, cents, books).select(
+                "vec_id", "cell", codes_str.alias("codes")
+            ),
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"ERROR ivf_pq_index: {type(e).__name__}: {str(e)[:140]}")
+        divergent.append("ivf_pq_index")
+        n_monitors += 1
+
+    n_twins = n_base_twins + n_monitors
+    print(f"STREAMING-FUZZ divergent: {len(divergent)} of {n_twins}")
     for n in divergent:
         print(f"   {n}")
     return len(divergent)
