@@ -188,7 +188,7 @@ def _bucketed_table(spark: SparkSession, path: str, key: str) -> DataFrame | Non
         return None
 
 
-_STAGE_MEMO: dict[str, str] = {}
+_STAGE_MEMO: dict[tuple, str] = {}
 _STAGE_ROOT = os.environ.get("SPARK_GRAFT_STAGE_DIR", "/tmp/procoggraph_stage")
 _STAGE_FILES = 16
 
@@ -218,8 +218,13 @@ def _staged_splittable(path: str) -> str:
     already parallelizes (multiple row groups / small / a directory),
     else a staged multi-file copy under ``$SPARK_GRAFT_STAGE_DIR``,
     written once per source mtime and reused across sessions."""
-    if path in _STAGE_MEMO:
-        return _STAGE_MEMO[path]
+    # memo keyed on (path, source signature), not path alone: a source
+    # rewritten mid-session must re-stage, or the memo hands back a
+    # stale staged copy that the _SOURCE_MTIME marker check below never
+    # gets to see (round-10 advisor finding). One stat per call.
+    memo_key = (path, _src_signature(path))
+    if memo_key in _STAGE_MEMO:
+        return _STAGE_MEMO[memo_key]
     out = path
     try:
         # Work-aware gate, because bytes are a bad proxy for work on
@@ -264,7 +269,7 @@ def _staged_splittable(path: str) -> str:
                 out = stage
     except Exception:
         out = path
-    _STAGE_MEMO[path] = out
+    _STAGE_MEMO[memo_key] = out
     return out
 
 
@@ -313,6 +318,19 @@ def finite_num(c: Column, bound: float = 9.0e15) -> Column:
 # grain of a <= 2262-01-01 event stays far below the ns ceiling, and
 # every calendar truncation of a post-epoch event stays >= epoch
 # (ns-representable).
+# PRODUCT INTENT (confirmed round 11, answering the r10 advisory): the
+# epoch+1s floor is a deliberate, lossy narrowing applied to ALL faces
+# — pre-epoch event times in this engine's event-analytics domain are
+# always treated as corrupted-clock data (zeroed/underflowed clocks),
+# never legitimate history, so the batch and oracle faces drop them in
+# lockstep with the streaming admission domain rather than keeping an
+# asymmetric wide band. Sub-second times inside (epoch, epoch+1s) fall
+# with them: one second of 1970-01-01 is noise against a whole-second
+# portable floor both engines can state literally. If a future
+# deployment ever needs pre-epoch batch retention, revert the floor to
+# the ns-representation bound (1677-09-21 00:13) and extend the
+# _wm_admissible clamp (streaming/windows.py) to every windowed
+# streaming operator instead.
 TS_BAND_MIN = "1970-01-01 00:00:01"
 TS_BAND_MAX = "2262-01-01 00:00:00"
 
