@@ -13,12 +13,15 @@ session/total state keys, dirty dimension rows through the
 stream-static broadcast join, replayed ids through the dedup gate.
 
 Round 11 extends the sweep to the foreachBatch monitor family
-(streaming_scd2 / data_card / volume / SRM / the IVF+PQ index feed):
-each monitor drains the dirty corpus in TWO micro-batches (so the
-versioned-state MERGE path runs on fuzzed data, not just the bootstrap
-insert), its served read must equal the batch operator over the union,
-and a third empty drain from the same checkpoint (crash-replay) must
-leave the state byte-identical.
+(streaming_scd2 / data_card / volume / SRM / CMS / the IVF+PQ index
+feed): each monitor drains the dirty corpus in TWO micro-batches (so
+the versioned-state MERGE path runs on fuzzed data, not just the
+bootstrap insert), its served read must equal the batch operator over
+the union, then two crash-replays must leave the state byte-identical —
+an empty re-drain, and a FORCED REDELIVERY of the last micro-batch
+(its commit marker + checksum sidecar deleted from the checkpoint, so
+Spark genuinely re-runs the merge and the version-swap skip path must
+fire).
 
 Usage:
     python tools/fuzz_sweep.py --regen     # build the corpus first
@@ -295,11 +298,14 @@ def sweep(spark) -> int:
     os.makedirs(mon_root)
     n_monitors = 0
 
-    def check_monitor(name, batches, start_fn, read_fn, want_df):
+    def check_monitor(name, batches, start_fn, read_fn, want_df, ckpt=None):
         """Drain `batches` (appended to the monitor's inbox by the
         caller-provided start_fn closure) one availableNow run each,
         compare the served state against the batch operator, then
-        re-drain with nothing new (crash-replay): state must not move."""
+        crash-replay twice: an empty re-drain, and — when `ckpt` is
+        given — a FORCED REDELIVERY of the last micro-batch (its commit
+        marker deleted, so Spark re-runs the merge and the version-swap
+        skip path must fire). State must not move either time."""
         nonlocal n_monitors
         n_monitors += 1
         try:
@@ -323,6 +329,25 @@ def sweep(spark) -> int:
                 print(f"REPLAY-DRIFT {name}: state moved on an empty drain")
                 divergent.append(f"{name}(replay)")
                 return
+            if ckpt is not None:
+                commits = os.path.join(ckpt, "commits")
+                last = max(
+                    (f for f in os.listdir(commits) if f.isdigit()), key=int
+                )
+                os.remove(os.path.join(commits, last))
+                crc = os.path.join(commits, f".{last}.crc")
+                if os.path.exists(crc):  # orphaned checksum sidecar
+                    os.remove(crc)       # blocks the re-commit rename
+                q = start_fn()
+                q.awaitTermination(300)
+                again = _rows(read_fn())
+                if again != got:
+                    print(
+                        f"REPLAY-DRIFT {name}: redelivered batch {last} "
+                        "re-applied instead of skipping"
+                    )
+                    divergent.append(f"{name}(redelivery)")
+                    return
             print(f"ok {name} ({len(got)} rows, replay-stable)")
         except Exception as e:  # noqa: BLE001 — a crash IS a divergence
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:140]}")
@@ -342,16 +367,25 @@ def sweep(spark) -> int:
     from procoggraph_spark.operators.text import curation_data_card
 
     # scd2: CDC over the dirty customer dim — batch 2 rewrites every
-    # third key's attribute to the (dirty, unicode-bearing) c_name, so
-    # changed/unchanged/insert paths all run on fuzzed strings
+    # third key's attribute to the (dirty, unicode-bearing) c_name AND
+    # carries a conflicting second row per sixth key (same key, a
+    # different attr in one delta — resolved deterministically to the
+    # greatest value on both faces), so changed/unchanged/insert and
+    # within-delta conflict paths all run on fuzzed strings
     cdc1 = cust.select(
         F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("attr")
     )
     cdc2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("attr")
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 6 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.upper(F.col("c_name")).alias("attr"),
+        )
     )
     scd2_inbox = os.path.join(mon_root, "scd2_inbox")
     scd2_hist = os.path.join(mon_root, "scd2_history")
+    scd2_ckpt = os.path.join(mon_root, "scd2_ckpt")
     empty_hist = scd2_from_snapshot(
         spark.createDataFrame([], cdc1.schema), key_col="k", attr_col="attr"
     )
@@ -360,20 +394,21 @@ def sweep(spark) -> int:
         [appender(cdc1, scd2_inbox), appender(cdc2, scd2_inbox)],
         lambda: W.streaming_scd2(
             spark, scd2_inbox, cdc1.schema, scd2_hist,
-            key_col="k", attr_col="attr",
-            checkpoint=os.path.join(mon_root, "scd2_ckpt"),
+            key_col="k", attr_col="attr", checkpoint=scd2_ckpt,
         ),
         lambda: spark.read.parquet(scd2_hist),
         scd2_apply(
             scd2_apply(empty_hist, cdc1, key_col="k", attr_col="attr"),
             cdc2, key_col="k", attr_col="attr",
         ),
+        ckpt=scd2_ckpt,
     )
 
     # data card: dirty documents (NULL/empty/multi-MB/unicode texts,
     # replayed ids) split by id parity so per-source counts MERGE
     card_inbox = os.path.join(mon_root, "card_inbox")
     card_dir = os.path.join(mon_root, "card_state")
+    card_ckpt = os.path.join(mon_root, "card_ckpt")
     d_b1 = docs.filter(F.coalesce(F.col("doc_id") % 2 == 0, F.lit(True)))
     d_b2 = docs.filter(F.col("doc_id") % 2 == 1)
     check_monitor(
@@ -381,13 +416,14 @@ def sweep(spark) -> int:
         [appender(d_b1, card_inbox), appender(d_b2, card_inbox)],
         lambda: W.streaming_data_card(
             spark, card_inbox, docs_schema, card_dir,
-            checkpoint=os.path.join(mon_root, "card_ckpt"),
+            checkpoint=card_ckpt,
         ),
         lambda: W.read_data_card(spark, card_dir),
         curation_data_card(docs).select(
             "source", "n_docs", "n_drop_lang", "n_drop_quality",
             "n_drop_repetition", "n_kept", "kept_rate",
         ),
+        ckpt=card_ckpt,
     )
 
     # volume monitor: dirty event clocks through the hourly-count merge
@@ -396,6 +432,7 @@ def sweep(spark) -> int:
     # span BOTH batches, so same-hour counts must fold, not append
     vol_inbox = os.path.join(mon_root, "vol_inbox")
     vol_state = os.path.join(mon_root, "vol_state")
+    vol_ckpt = os.path.join(mon_root, "vol_ckpt")
     e_b1 = raw.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True)))
     e_b2 = raw.filter(F.col("event_id") % 2 == 1)
     check_monitor(
@@ -403,10 +440,11 @@ def sweep(spark) -> int:
         [appender(e_b1, vol_inbox), appender(e_b2, vol_inbox)],
         lambda: W.streaming_volume_monitor(
             spark, vol_inbox, raw_schema, vol_state,
-            checkpoint=os.path.join(mon_root, "vol_ckpt"),
+            checkpoint=vol_ckpt,
         ),
         lambda: W.read_volume_anomalies(spark, vol_state),
         volume_anomaly(ev),
+        ckpt=vol_ckpt,
     )
 
     # SRM monitor: dirty assignment log (replayed ids land in both
@@ -414,6 +452,7 @@ def sweep(spark) -> int:
     # on both faces per the r10 label-hygiene finding)
     srm_inbox = os.path.join(mon_root, "srm_inbox")
     srm_state = os.path.join(mon_root, "srm_state")
+    srm_ckpt = os.path.join(mon_root, "srm_ckpt")
     assign = docs.select("doc_id", "source")
     check_monitor(
         "srm_monitor",
@@ -428,10 +467,37 @@ def sweep(spark) -> int:
         ],
         lambda: W.streaming_srm_monitor(
             spark, srm_inbox, assign.schema, srm_state,
-            checkpoint=os.path.join(mon_root, "srm_ckpt"),
+            checkpoint=srm_ckpt,
         ),
         lambda: W.read_srm_monitor(spark, srm_state),
         ab_assignment_srm(assign),
+        ckpt=srm_ckpt,
+    )
+
+    # CMS maintenance (the version-swap archetype): sketch the dirty
+    # event_type labels (padded / case-variant / empty / NULL) — the
+    # merged two-batch sketch must equal the one-shot batch sketch
+    # cell-for-cell (mergeability), survive an empty re-drain AND a
+    # forced redelivery of the last batch
+    from procoggraph_spark.operators.sketches import cms_build
+
+    cms_inbox = os.path.join(mon_root, "cms_inbox")
+    cms_state = os.path.join(mon_root, "cms_sketch")
+    cms_ckpt = os.path.join(mon_root, "cms_ckpt")
+    check_monitor(
+        "cms_monitor",
+        [appender(e_b1, cms_inbox), appender(e_b2, cms_inbox)],
+        lambda: W.streaming_cms(
+            spark, cms_inbox, raw_schema, key_col="event_type",
+            sketch_dir=cms_state, checkpoint=cms_ckpt, width=32,
+        ),
+        lambda: spark.read.parquet(cms_state),
+        cms_build(
+            ev.select(F.col("event_type").cast("string").alias("_k")),
+            "_k",
+            width=32,
+        ),
+        ckpt=cms_ckpt,
     )
 
     # IVF+PQ index maintenance: stateless deterministic encode — the
