@@ -400,7 +400,7 @@ def _src_signature(src: str):
 
 
 def valid_dim(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Dimension-coherence contract, the vector twin of ``valid_ts``:
+    """Well-formed-vector contract, the vector twin of ``valid_ts``:
     a vector whose length differs from the table's dominant (modal,
     tie -> smallest) length is ragged encoder output — a truncated
     write, a mixed-model-version feed, an empty emission — and
@@ -410,6 +410,14 @@ def valid_dim(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     fixed-dimension consumer is engine-dependent: DuckDB's
     list_inner_product RAISES on a length mismatch while Spark's
     zip_with NULL-pads (ragged-vectors fuzz leg, 13 divergent).
+
+    A right-LENGTH vector carrying NULL components (a join-assembled
+    vector with a missing feature, a JSON null mid-array) degrades the
+    same way (round-11 NULL-component fuzz leg, 17 divergent): numpy
+    silently reads a None element as NaN — rank poison — while
+    DuckDB's list_inner_product raises on NULL components, so the only
+    convergent treatment is the one incomplete encoder output deserves
+    anyway: the vector is unusable, NULL at load.
 
     The dominant length is derived EAGERLY, once per memoized ``t()``
     load (one size-column aggregate with a deterministic total order —
@@ -436,19 +444,33 @@ def valid_dim(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         return df.withColumn(
             vec_col, F.lit(None).cast(df.schema[vec_col].dataType)
         )
+    has_null_component = F.exists(F.col(vec_col), lambda x: x.isNull())
     return df.withColumn(
-        vec_col, F.when(sz == F.lit(row["_d"]), F.col(vec_col))
+        vec_col,
+        F.when((sz == F.lit(row["_d"])) & ~has_null_component, F.col(vec_col)),
     )
 
 
 # DuckDB twin of the t() embeddings gate: dominant length via the same
 # count-desc, length-asc total order; an empty/all-NULL table makes the
 # scalar subquery NULL and every CASE degrade — same as the Spark side.
+# The surviving branch REBUILDS the list via list_transform+coalesce —
+# the coalesce can never fire (the gate already excludes NULL-holed
+# lists) but the rebuild is load-bearing: DuckDB's vectorized
+# list_inner_product validates the chunk's CHILD buffer globally, so a
+# NULL element anywhere in the scanned chunk crashes every consumer
+# even when the row itself was CASE-degraded to NULL or filtered out
+# (selection vectors keep the dirty child buffer; r11 NULL-component
+# fuzz leg). coalesce's fallback is typed FLOAT so the element type —
+# and any engine float arithmetic an oracle does — is unchanged.
 _EMB_GATED_CTE = (
     "emb_dim AS (SELECT len(embedding) AS d FROM main.embeddings "
     "WHERE embedding IS NOT NULL GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1), "
     "embeddings AS (SELECT vec_id, CASE WHEN len(embedding) = "
-    "(SELECT d FROM emb_dim) THEN embedding END AS embedding, label "
+    "(SELECT d FROM emb_dim) "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+    "THEN list_transform(embedding, x -> coalesce(x, CAST(0.0 AS FLOAT))) "
+    "END AS embedding, label "
     "FROM main.embeddings)"
 )
 

@@ -113,3 +113,84 @@ def test_valid_dim_partition_invariant(spark):
         for r in valid_dim(df.coalesce(1)).collect()
     )
     assert a == b
+
+
+def test_valid_dim_degrades_null_component_vectors(spark):
+    """Round-11 NULL-component leg: a RIGHT-LENGTH vector carrying NULL
+    elements (join-assembled vector with a missing feature, JSON null
+    mid-array) degrades to a NULL vector at load, like ragged output.
+    Without the gate, numpy reads None as NaN (silent rank poison)
+    while DuckDB's list_inner_product raises (17 divergent when the
+    leg landed)."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0], 1),       # clean
+        (1, [1.0, None, 3.0, 4.0], 2),      # one NULL hole
+        (2, [None, None, None, None], 1),   # all-NULL, right length
+        (3, [5.0, 6.0, 7.0, 8.0], 2),       # clean
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["vec_id"]: r["embedding"] for r in valid_dim(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[1] is None and got[2] is None
+    assert [round(x) for x in got[0]] == [1, 2, 3, 4]
+    assert [round(x) for x in got[3]] == [5, 6, 7, 8]
+
+
+def test_emb_gate_sql_twin_protects_inner_product(spark, tmp_path):
+    """The SQL twin must not just NULL the holed row — DuckDB's
+    vectorized list_inner_product validates the chunk's CHILD buffer
+    globally, so a NULL element anywhere in the scanned chunk crashes
+    every consumer even after a CASE degrade or a row filter
+    (selection vectors keep the dirty child buffer). The CTE's
+    list_transform+coalesce rebuild is the load-bearing part: the
+    gated view must be safe to feed straight into list_inner_product,
+    and must hash-match the Spark-side valid_dim load."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0], 1),
+        (1, [1.0, None, 3.0, 4.0], 2),
+        (2, [None, None, None, None], 3),
+        (3, [5.0, 6.0, 7.0, 8.0], 4),
+        (4, [1.0, 2.0], 5),   # ragged too, same table
+        (5, None, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sql = gate_embeddings_oracle(
+        "SELECT vec_id, "
+        "list_inner_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[])) AS n2 FROM embeddings ORDER BY vec_id"
+    )
+    got = con.execute(sql).fetchall()
+    # no crash; holed/ragged/NULL rows -> NULL, clean rows -> real norms
+    assert [r[0] for r in got] == [0, 1, 2, 3, 4, 5]
+    assert got[0][1] == 30.0 and got[3][1] == 174.0
+    assert all(got[i][1] is None for i in (1, 2, 4, 5))
+    # and the gated view matches the Spark-side load value-for-value
+    spark_side = {
+        r["vec_id"]: r["embedding"] for r in valid_dim(df).collect()
+    }
+    duck_side = {
+        r[0]: r[1]
+        for r in con.execute(
+            gate_embeddings_oracle(
+                "SELECT vec_id, embedding FROM embeddings"
+            )
+        ).fetchall()
+    }
+    assert set(spark_side) == set(duck_side)
+    for k in spark_side:
+        if spark_side[k] is None:
+            assert duck_side[k] is None
+        else:
+            assert [round(float(x), 6) for x in spark_side[k]] == [
+                round(float(x), 6) for x in duck_side[k]
+            ]

@@ -567,6 +567,27 @@ def build_corpus(spark):
                     (F.col("vec_id") % 50 == 47) & (F.col("vec_id") < 400),
                     F.slice(F.col("embedding"), 1, 0),  # zero-length []
                 )
+                # NULL-component leg (round 11): a RIGHT-LENGTH vector
+                # carrying NULL elements (a join-assembled vector with a
+                # missing feature, a JSON null mid-array) — passes the
+                # length gate, then numpy silently reads None as NaN
+                # while DuckDB's list_inner_product RAISES on NULL
+                # components: silent rank-poison on one engine, a crash
+                # on the other, unless the load contract degrades it.
+                .when(
+                    (F.col("vec_id") % 50 == 31) & (F.col("vec_id") < 400),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: F.when(i != 5, x),  # one NULL hole
+                    ),
+                )
+                .when(
+                    (F.col("vec_id") % 50 == 41) & (F.col("vec_id") < 400),
+                    F.transform(  # all-NULL elements, right length
+                        "embedding",
+                        lambda x, i: F.lit(None).cast("float"),
+                    ),
+                )
                 .otherwise(F.col("embedding")),
             )
         # ---- dirty-keys leg: the corruption shapes a real ingest sees
