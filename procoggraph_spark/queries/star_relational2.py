@@ -249,22 +249,33 @@ def s13_fetch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "j_ref_integrity_check",
+    # NOT EXISTS, not NOT IN: the oracle must carry the anti-join's
+    # NULL semantics. `x NOT IN (subquery)` is UNKNOWN for a NULL x
+    # (three-valued logic silently EXCLUDES the row), while left_anti
+    # keeps it — and for an integrity CHECKER a NULL foreign key is
+    # exactly as unresolvable as an orphan one (referential-dirt fuzz
+    # leg, round 11: NULL o_custkey / l_partkey rows vanished from the
+    # NOT IN counts). Contract: unresolvable-FK counts as a violation,
+    # NULL or orphan alike.
     """
     SELECT 'orders_without_customer' AS check_name,
-           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-             (SELECT c_custkey FROM customer)) AS n_violations
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS n_violations
     UNION ALL
     SELECT 'lineitem_without_order',
-           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-             (SELECT o_orderkey FROM orders))
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
     UNION ALL
     SELECT 'lineitem_without_part',
-           (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
-             (SELECT p_partkey FROM part))
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
     """,
 )
 def j_ref_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/T7: referential-integrity anti-join — fact rows whose dimension key is missing."""
+    """J1/T7: referential-integrity anti-join — fact rows whose dimension
+    key is missing OR NULL (both unresolvable; left_anti keeps NULL-key
+    rows and the NOT EXISTS oracle states the same contract)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     l = t(spark, sf_dir, "lineitem")

@@ -208,3 +208,51 @@ def test_emb_twin_arithmetic_safe_on_huge_ids(spark):
     assert len(probed) == 2
     twins = _emb_twins(df).collect()
     assert [r["vec_id"] for r in twins] == [1005]
+
+
+def test_ref_integrity_counts_null_fk_as_violation(spark, tmp_path):
+    """Unresolvable-FK contract (referential-dirt fuzz leg, round 11):
+    a NULL foreign key is exactly as unresolvable as an orphan one, so
+    the integrity checker counts BOTH — Spark's left_anti keeps
+    NULL-key rows, and the oracle must say the same thing via NOT
+    EXISTS (the infamous `NOT IN` three-valued-logic trap silently
+    excluded NULL keys: 75 lineitem violations read as 0)."""
+    import duckdb
+
+    from procoggraph_spark.queries import registry
+
+    qs, oracles = registry()
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "c_custkey long, c_name string"
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 5, 1), (999, 5, 1), (11, None, 1), (12, 5, None)],
+        "l_orderkey long, l_partkey long, l_qty int",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(5, "p")], "p_partkey long, p_name string"
+    ).coalesce(1).write.parquet(f"{sf}/part.parquet")
+
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in qs["j_ref_integrity_check"](spark, sf).collect()
+    }
+    # orphan 99 + NULL custkey; orphan 999; NULL partkey
+    assert got == {
+        "orders_without_customer": 2,
+        "lineitem_without_order": 1,
+        "lineitem_without_part": 1,
+    }
+    con = duckdb.connect()
+    for tbl in ("customer", "orders", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{sf}/{tbl}.parquet/*.parquet')"
+        )
+    want = dict(con.execute(oracles["j_ref_integrity_check"]).fetchall())
+    assert {k: int(v) for k, v in want.items()} == got

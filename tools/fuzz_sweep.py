@@ -665,13 +665,40 @@ def build_corpus(spark):
                 F.when(
                     (F.col("o_orderkey") % 89 == 79) & (F.col("o_orderkey") < 2000),
                     F.lit(-1).cast(df.schema["o_custkey"].dataType),
-                ).otherwise(F.col("o_custkey")),
+                )
+                # referential-dirt leg (round 11): NULL customer key —
+                # the lost-FK twin of the -1 orphan above; NULL never
+                # equi-joins, so cohort/LTV/segment queries must agree
+                # on dropping (inner) or NULL-padding (left) the row
+                .when(
+                    (F.col("o_orderkey") % 89 == 83) & (F.col("o_orderkey") < 2000),
+                    F.lit(None).cast(df.schema["o_custkey"].dataType),
+                )
+                .otherwise(F.col("o_custkey")),
             )
         if t == "lineitem":
             exact_li = df.filter(
                 (F.col("l_orderkey") % 89 == 61) & (F.col("l_orderkey") < 2000)
             )
             df = df.unionByName(exact_li)
+            # referential-dirt leg (round 11): fact rows whose foreign
+            # keys resolve to NOTHING — orphan l_orderkey (a fact feed
+            # that outran the dimension load) and NULL l_partkey (a
+            # lost join key). Inner joins must drop them and left joins
+            # must NULL-pad them IDENTICALLY on both engines; no query
+            # may assume the TPC-H FK discipline the spec promises.
+            orphan_li = df.filter(
+                (F.col("l_orderkey") % 89 == 31) & (F.col("l_orderkey") < 2000)
+            ).withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(500_000_000)
+            )
+            df = df.unionByName(orphan_li).withColumn(
+                "l_partkey",
+                F.when(
+                    (F.col("l_orderkey") % 89 == 43) & (F.col("l_orderkey") < 2000),
+                    F.lit(None).cast(df.schema["l_partkey"].dataType),
+                ).otherwise(F.col("l_partkey")),
+            )
         if t == "events":
             # event-time collisions: two DIFFERENT events for the same
             # user at the IDENTICAL timestamp (batched emitters and
