@@ -664,11 +664,23 @@ def perplexity_buckets(
 
 
 def normalize_text(text: Column) -> Column:
-    """Canonical text normalization before content-keyed dedup: lower-
-    case, strip every non-alphanumeric to a space, collapse whitespace
-    runs, trim. Pure regexp algebra — scan speed, and exactly
-    replicable in any engine's regexp_replace."""
-    out = F.lower(text)
+    """Canonical text normalization before content-keyed dedup:
+    ASCII-only case fold (A-Z -> a-z via a 1:1 translate), strip every
+    non-alphanumeric to a space, collapse whitespace runs, trim. Pure
+    column algebra — scan speed, and exactly replicable in any engine.
+
+    Deliberately NOT lower(): full Unicode case mapping is
+    locale-fraught and engine-specific — Java (Spark) maps İ -> i +
+    combining dot, ß upper -> SS, ﬁ -> FI, trailing Σ -> ς, while
+    utf8proc (DuckDB) does 1:1 mappings (İ -> i, ß upper -> ẞ, ﬁ
+    unchanged, Σ -> σ) — so a dedup content key built on lower()
+    differs between engines on Turkish/German/Greek text (case-mapping
+    fuzz leg, round 11). The Turkish-I problem is the canonical reason
+    data pipelines normalize keys ASCII-only; non-ASCII letters fall to
+    the [^a-z0-9] strip identically on both engines either way."""
+    out = F.translate(
+        text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
     out = F.regexp_replace(out, "[^a-z0-9]+", " ")
     return F.trim(out)
 

@@ -1019,7 +1019,8 @@ def sample_exact_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_tokens) AS total FROM s),
     c AS (
       SELECT source, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source) AS cum
+             SUM(n_tokens) OVER (ORDER BY n_tokens DESC,
+                                 source ASC NULLS LAST) AS cum
       FROM s
     )
     SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1042,9 +1043,14 @@ def corpus_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(X.token_count(F.col("text"))).alias("n_tokens")
     )
     tot = s.agg(F.sum("n_tokens").alias("total"))
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("source")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # tiebreak NULL placement is EXPLICIT on both faces: Spark's asc
+    # default is NULLS FIRST, DuckDB's is NULLS LAST, so a token-count
+    # tie involving the NULL-source group silently reorders the
+    # cumulative sums between engines (case-mapping fuzz leg, round 11
+    # — the leg changed token counts and manufactured exactly that tie)
+    w = Window.orderBy(
+        F.desc("n_tokens"), F.asc_nulls_last("source")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = s.withColumn("cum", F.sum("n_tokens").over(w)).crossJoin(F.broadcast(tot))
     return c.select(
         "source",

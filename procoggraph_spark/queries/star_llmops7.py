@@ -36,10 +36,16 @@ def q(name: str, oracle: str | None = None):
 
 # --- Normalized content dedup ----------------------------------------------
 
+# translate, not lower(): the content key's case fold is ASCII-only by
+# contract — engine lower() diverges on İ/ß/Σ/ligatures (Java full
+# mapping vs utf8proc 1:1; see operators.text.normalize_text)
 _NORM_DEDUP_SQL = """
     WITH n AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             md5(trim(regexp_replace(
+                 translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz'),
+                 '[^a-z0-9]+', ' ', 'g')))
                  AS content_key
       FROM documents
     )

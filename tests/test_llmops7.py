@@ -366,3 +366,85 @@ def test_centroid_drift_detects_planted_shift(spark):
         .collect()[0]["s"]
     )
     assert got == round((3.0**2 * 4) ** 0.5, 6)
+
+
+def test_normalize_text_ascii_case_fold_is_engine_portable(spark):
+    """Case-mapping contract (round-11 fuzz leg): the dedup content key
+    case-folds ASCII ONLY, because full Unicode case mapping is
+    locale-fraught and engine-specific — Java maps İ -> i+combining-dot,
+    ß upper -> SS, ﬁ -> FI, trailing Σ -> ς while utf8proc does 1:1
+    mappings. The Spark key and the DuckDB twin must agree byte-for-byte
+    on exactly the texts where engine lower() does not."""
+    import duckdb
+
+    texts = [
+        (0, "İstanbul ıspanak SİVAS normalized"),
+        (1, "straße ẞeta GROßE footnotes"),
+        (2, "ΣΟΦΟΣ σοφόΣ τέλοΣ paragraph"),
+        (3, "ﬁle ﬂow oﬃce ǅungla ǅENTRY"),
+        (4, "Plain ASCII Mixed CASE 42!"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("k")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT doc_id, trim(regexp_replace("
+            "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+            " 'abcdefghijklmnopqrstuvwxyz'),"
+            " '[^a-z0-9]+', ' ', 'g')) FROM (VALUES "
+            + ", ".join(
+                f"({i}, {'NULL' if t is None else repr(t)})"
+                for i, t in texts
+            )
+            + ") v(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[4] == "plain ascii mixed case 42"
+    # non-ASCII letters fall to the strip on BOTH engines — İ/ß/Σ never
+    # reach the key, so no locale mapping can diverge it
+    assert "stanbul" in got[0] and "ß" not in got[1]
+
+
+def test_pareto_null_source_tie_is_engine_stable(spark, tmp_path):
+    """NULL-tiebreak contract (round-11 case-mapping leg side-find): the
+    Pareto cumulative window tiebreaks on the nullable source column,
+    and Spark's asc default is NULLS FIRST while DuckDB's is NULLS LAST
+    — a token-count tie involving the NULL-source group reorders the
+    cumulative sums unless both faces pin NULLS LAST explicitly."""
+    import duckdb
+
+    from procoggraph_spark.queries import registry
+
+    qs, oracles = registry()
+    sf = str(tmp_path)
+    rows = [
+        (1, "alpha beta gamma", "src1"),   # 3 tokens
+        (2, "one two three", None),        # 3 tokens — TIES with src1
+        (3, "a b", "src2"),                # 2 tokens
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (str(r["source"]), r["n_tokens"], r["cum_share"], r["in_top80"])
+        for r in qs["corpus_pareto_coverage"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        (str(r[0]), int(r[1]), float(r[2]), bool(r[3]))
+        for r in con.execute(oracles["corpus_pareto_coverage"]).fetchall()
+    )
+    assert [(s, n) for s, n, *_ in got] == [(s, n) for s, n, *_ in want]
+    assert got == want

@@ -70,6 +70,15 @@ DEGENERATE = {
     9: "line separator and paragraph",
     14: "zero​width​space one token",
     19: "full　width　ideographic",
+    # locale-divergent case mappings (round-11 leg): the characters
+    # whose upper/lower differ between Java's full Unicode mapping
+    # (Spark) and utf8proc's 1:1 mapping (DuckDB) — Turkish İ/ı, sharp
+    # s, ligatures, Greek final sigma, titlecase digraphs. Any
+    # normalization key built on engine lower()/upper() diverges here.
+    8: "İstanbul ıspanak SİVAS normalized",
+    13: "straße ẞeta GROßE footnotes",
+    18: "ΣΟΦΟΣ σοφόΣ τέλοΣ paragraph",
+    23: "ﬁle ﬂow oﬃce ǅungla ǅENTRY",
 }
 
 
