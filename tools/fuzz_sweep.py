@@ -79,6 +79,13 @@ DEGENERATE = {
     13: "straße ẞeta GROßE footnotes",
     18: "ΣΟΦΟΣ σοφόΣ τέλοΣ paragraph",
     23: "ﬁle ﬂow oﬃce ǅungla ǅENTRY",
+    # exotic codepoints (round-11 leg, final slot): C0 control chars
+    # (NUL/BEL/ESC — decoder garbage that C-string-based engines can
+    # truncate at), astral-plane letters (4-byte UTF-8: mathematical
+    # alphanumerics), and a ZWJ emoji family (one grapheme, many
+    # codepoints — length()/substring must count the same units on
+    # both engines).
+    24: "nul\x00mid bell\x07ring esc\x1bseq 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝒸𝓊𝓇𝓈𝒾𝓋ℯ 👨\u200d👩\u200d👧\u200d👦 family",
 }
 
 
