@@ -56,12 +56,13 @@ def t(
     # timestamp values otherwise collect tz-shifted vs the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), sf_dir, name, widen_on)
-    if name == "embeddings":
-        # the memoized handle embeds an EAGERLY derived dominant-dim
-        # literal (valid_dim) — a rewrite under the same path must
-        # invalidate, unlike the other tables' purely lazy scans
-        key = key + (_src_signature(src),)
+    # memo keyed on the source signature for EVERY table, not just
+    # embeddings' eager dominant-dim literal: the bucketed and staged
+    # load paths both materialize a physical copy, so a mid-session
+    # rewrite under the same path must miss here to re-reach
+    # _bucketed_table's marker check — otherwise the memoized handle
+    # serves the stale catalog/staged layout (round-11 advisory).
+    key = (id(spark), sf_dir, name, widen_on, _src_signature(src))
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
     if widen_on and name != "events":
@@ -221,8 +222,12 @@ def _staged_splittable(path: str) -> str:
     # memo keyed on (path, source signature), not path alone: a source
     # rewritten mid-session must re-stage, or the memo hands back a
     # stale staged copy that the _SOURCE_MTIME marker check below never
-    # gets to see (round-10 advisor finding). One stat per call.
-    memo_key = (path, _src_signature(path))
+    # gets to see (round-10 advisor finding). One stat per call — the
+    # marker mtime below derives from THIS signature, not a second
+    # stat, so a rewrite landing between two stats can't stamp a
+    # marker inconsistent with the memo key (round-11 advisory).
+    sig = _src_signature(path)
+    memo_key = (path, sig)
     if memo_key in _STAGE_MEMO:
         return _STAGE_MEMO[memo_key]
     out = path
@@ -245,7 +250,9 @@ def _staged_splittable(path: str) -> str:
                 digest = hashlib.sha1(path.encode()).hexdigest()[:12]
                 stage = os.path.join(_STAGE_ROOT, digest)
                 marker = os.path.join(stage, "_SOURCE_MTIME")
-                src_mtime = str(os.stat(path).st_mtime_ns)
+                # sig is (mtime_ns, size) here: the staging branch only
+                # runs for regular files (size gate above)
+                src_mtime = str(sig[0])
                 if not (
                     os.path.isfile(marker)
                     and open(marker).read() == src_mtime

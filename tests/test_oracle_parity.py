@@ -152,17 +152,17 @@ def test_shuffle_partition_independence(spark):
 
 def test_driver_window_rotation():
     """The driver's correctness gate samples the first 50 registry keys.
-    Round 11 lands the precomputed rotation (round-10 verdict item 1):
-    the 31 priority rows — 15 sim/emb oracles that gained the
-    _EMB_GATED_CTE in r10, the 11 events-band-migration rows
-    (asof/range/w_frame + the 8 stream_* twins, all r09-certified
-    under the OLD band), the two NULLIF share-guard edits
-    (w1/q5), and the 3 deferred r06 rows — plus a 19-row drain of the
-    r07 batch (p6 first, then alphabetical). After this window no
-    oracle edit from round 10 lacks driver certification. This pin
-    makes any addition or reorder fail HERE, loudly, instead of
-    silently pushing a stale row past the gate; when a future round
-    re-rotates, update deliberately."""
+    Round 12 lands the precomputed rotation (round-11 verdict item 1):
+    the 6 rows re-staled by round-11's own oracle edits (the 5
+    embeddings oracles that gained the NULL-component _EMB_GATED_CTE
+    leg outside the r11 window + j_ref_integrity_check after the
+    NOT EXISTS rewrite), the 9 r07 leftovers deferred from r11, and a
+    35-row alphabetical fill from the 45-row r08 batch (10 named rows
+    defer to r13). After this window no oracle edit from round 11
+    lacks driver certification. This pin makes any addition or
+    reorder fail HERE, loudly, instead of silently pushing a stale
+    row past the gate; when a future round re-rotates, update
+    deliberately."""
     from procoggraph_spark.queries import _PROMOTE
 
     keys = list(QUERIES.keys())

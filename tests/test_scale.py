@@ -362,3 +362,52 @@ def test_staging_gate_is_work_aware(spark, tmp_path):
 
         if staged_text != paths["texty"]:
             shutil.rmtree(staged_text, ignore_errors=True)
+
+
+def test_mid_session_rewrite_invalidates_table_memo(spark, tmp_path):
+    """A source parquet rewritten mid-session must flow through to the
+    next `t()` call — the memo is keyed on the source signature for
+    EVERY table (round-11 advisory), so the bucketed catalog copy and
+    the staged splittable copy both re-verify their _SOURCE_MTIME
+    marker instead of serving the stale physical layout. Exercises the
+    bucketed path (>1 MB + widen_on): v1 data is staged, the file is
+    rewritten in place, and the second load must return v2 values."""
+    import shutil
+
+    from procoggraph_spark.queries.common import bucketed_key, t
+
+    sf_dir = str(tmp_path)
+    d = str(tmp_path / "part.parquet")
+
+    def write(version: int):
+        tmp = str(tmp_path / "_w")
+        # ~1.3 MB of incompressible payload so the bucketed gate opens
+        spark.range(6_000).selectExpr(
+            "id AS p_partkey",
+            f"{version} AS v",
+            "array_join(transform(sequence(0, 49),"
+            " i -> concat('w', pmod(xxhash64(id, i), 1000000))), ' ')"
+            " AS pad",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+
+    try:
+        write(1)
+        df1 = t(spark, sf_dir, "part", widen_on="p_partkey")
+        assert bucketed_key(df1) == "p_partkey", "bucketed path not taken"
+        assert df1.selectExpr("max(v)").first()[0] == 1
+        write(2)
+        df2 = t(spark, sf_dir, "part", widen_on="p_partkey")
+        assert df2.selectExpr("max(v)").first()[0] == 2, (
+            "stale staged copy served after mid-session source rewrite"
+        )
+    finally:
+        import hashlib
+
+        from procoggraph_spark.queries.common import _STAGE_ROOT
+
+        digest = hashlib.sha1(f"{d}|p_partkey".encode()).hexdigest()[:12]
+        shutil.rmtree(
+            os.path.join(_STAGE_ROOT, "bucketed", digest), ignore_errors=True
+        )

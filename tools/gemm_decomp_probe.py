@@ -106,20 +106,33 @@ def main() -> int:
         if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
             continue
         v = variants(spark, sf_dir, via_t)
-        best = {name: float("inf") for name in v}
+        rounds = []
         for name in v:  # warm (stage/memo/JIT) before timing
             v[name]()
         for _ in range(RUNS):
+            times = {}
             for name, fn in v.items():  # interleaved
                 t0 = time.monotonic()
                 fn()
-                best[name] = min(best[name], time.monotonic() - t0)
+                times[name] = time.monotonic() - t0
+            rounds.append(times)
+        # Stage attribution per ROUND, then min of the differences
+        # (round-11 advisory): subtracting per-variant minima taken
+        # independently across interleaved rounds lets a later stage's
+        # best undercut an earlier stage's best under host noise,
+        # yielding negative/misattributed stage times. Within one round
+        # the variants share the same noise regime; clamp at 0 for the
+        # residual floor.
+        def stage_min(a, b):
+            return max(0.0, min(r[b] - r[a] for r in rounds))
+
+        best_full = min(r["full"] for r in rounds)
         stages = {
-            "scan": best["scan"],
-            "arrow_hop": best["arrow"] - best["scan"],
-            "gemm": best["gemm"] - best["arrow"],
-            "topk": best["full"] - best["gemm"],
-            "full": best["full"],
+            "scan": min(r["scan"] for r in rounds),
+            "arrow_hop": stage_min("scan", "arrow"),
+            "gemm": stage_min("arrow", "gemm"),
+            "topk": stage_min("gemm", "full"),
+            "full": best_full,
         }
         out[label] = {k: round(s, 3) for k, s in stages.items()}
     print(json.dumps({"metric": "gemm_topk_decomposition", "stages": out}))

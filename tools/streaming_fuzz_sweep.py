@@ -331,9 +331,23 @@ def sweep(spark) -> int:
                 return
             if ckpt is not None:
                 commits = os.path.join(ckpt, "commits")
-                last = max(
-                    (f for f in os.listdir(commits) if f.isdigit()), key=int
+                numeric = (
+                    [f for f in os.listdir(commits) if f.isdigit()]
+                    if os.path.isdir(commits)
+                    else []
                 )
+                if not numeric:
+                    # a checkpoint with no numeric commit files is a
+                    # harness/path problem, not an engine divergence —
+                    # report it as such instead of letting the broad
+                    # except below mislabel it (round-11 advisory)
+                    print(
+                        f"HARNESS-ERROR {name}: no commit files under "
+                        f"{commits} — redelivery leg skipped"
+                    )
+                    divergent.append(f"{name}(harness:no-commits)")
+                    return
+                last = max(numeric, key=int)
                 os.remove(os.path.join(commits, last))
                 crc = os.path.join(commits, f".{last}.crc")
                 if os.path.exists(crc):  # orphaned checksum sidecar
