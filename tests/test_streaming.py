@@ -998,3 +998,69 @@ def test_read_srm_monitor_keeps_null_segment(spark, tmp_path):
     )
     assert got == want
     assert any(r[0] is None for r in got)
+
+
+def test_dedup_state_tracks_watermark_not_corpus(spark, tmp_path):
+    """State-store bound pin for the representative stateful twin
+    (round-11 verdict item 2; the at-size numbers are in BENCH.md via
+    tools/streaming_state_probe.py): streaming_dedup's state must hold
+    only keys younger than the watermark, NOT every key ever seen.
+    A 20k-event corpus spanning 40 hours drains in 4 time-ordered
+    chunks + a tick batch 2 h past the corpus max; after every drain
+    the state row count stays an order of magnitude below the
+    cumulative input, and after the tick (watermark past everything)
+    it collapses to the tick rows alone."""
+    import json
+
+    from procoggraph_spark.streaming.windows import streaming_dedup
+
+    n, hours = 20_000, 40
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_704_067_200)
+            + (F.col("id") * (hours * 3600) / n).cast("long")
+        ).alias("ts"),
+        F.pmod(F.col("id"), F.lit(500)).alias("user_id"),
+    )
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    # time-ordered arrival: chunk i covers hours [i*10, (i+1)*10)
+    chunks = [
+        ev.filter(
+            (F.col("event_id") >= n * i // 4) & (F.col("event_id") < n * (i + 1) // 4)
+        )
+        for i in range(4)
+    ]
+    tick = ev.limit(25).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_704_067_200 + (hours + 2) * 3600))
+    ).withColumn("event_id", F.col("event_id") + n)
+
+    state_rows = []
+    for chunk in chunks + [tick]:
+        chunk.coalesce(1).write.mode("append").parquet(inbox)
+        q = (
+            streaming_dedup(spark, inbox, ev.schema)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        last = None
+        for p in q.recentProgress:
+            d = json.loads(p) if isinstance(p, str) else json.loads(p.json)
+            if d.get("stateOperators"):
+                last = int(d["stateOperators"][0]["numRowsTotal"])
+        state_rows.append(last)
+
+    # per-batch resting state = the trailing-watermark residue (~1 h of
+    # arrivals = n/hours keys), never the 5k-row chunk or the growing
+    # cumulative corpus; 3x slack absorbs eviction granularity
+    per_hour = n // hours
+    assert all(s is not None for s in state_rows)
+    assert max(state_rows[:-1]) <= 3 * per_hour, state_rows
+    # after the tick the watermark passed every earlier event: state is
+    # exactly the tick's own keys
+    assert state_rows[-1] == 25, state_rows
