@@ -55,6 +55,15 @@ def _wholetext_source(
     and one Arrow batch row in; the parser emits any number of typed
     rows out (UDTF shape). File-level parallelism: Spark assigns files
     to tasks, so a million-file manifest fans out across the cluster.
+
+    Malformed-source dead-letter contract (the reference's own pattern:
+    a failing structure exits 120-127 and becomes a status row,
+    `process_pdb_structure.py:154-163` — it never kills the batch): a
+    file whose parse raises contributes ZERO data rows instead of
+    crashing the whole task (one truncated download in a million-file
+    manifest must not fail the stage). The failing files are served as
+    queryable status rows by ``read_source_status`` over the same
+    parser — route that face to the dead-letter sink.
     """
     files = spark.read.text(paths, wholetext=True).withColumn(
         "path", F.input_file_name()
@@ -65,10 +74,78 @@ def _wholetext_source(
         for pdf in batches:
             out: list[dict] = []
             for path, text in zip(pdf["path"], pdf["value"]):
-                out.extend(parse_one(path, text))
+                try:
+                    out.extend(parse_one(path, text))
+                except Exception:  # noqa: BLE001 — dead-letter, never crash
+                    continue
             yield pd.DataFrame(out, columns=cols)
 
     return files.mapInPandas(run, schema=schema)
+
+
+SOURCE_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def read_source_status(
+    spark: SparkSession, paths: str | list[str], parse_one
+) -> DataFrame:
+    """Per-file parse status face shared by every wholetext source —
+    the dead-letter table for the malformed-source contract: one row
+    per input file with status ``ok`` / ``empty`` / ``parse_error``
+    (+ the exception text). Run it over the same manifest as the data
+    face to audit what the data face silently skipped.
+
+    Built on ``sc.wholeTextFiles``, NOT the DataFrame text source: the
+    file index behind ``spark.read.text`` prunes zero-length files, so
+    a download truncated to nothing would vanish from the audit — the
+    status face must account for EVERY file in the manifest (parser
+    fuzz sweep finding, round 12). A zero-byte file reports ``empty``.
+    """
+    src = paths if isinstance(paths, str) else ",".join(paths)
+    files = spark.createDataFrame(
+        spark.sparkContext.wholeTextFiles(src),
+        schema=T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SOURCE_STATUS_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for path, text in zip(pdf["path"], pdf["value"]):
+                try:
+                    n = len(parse_one(path, text))
+                    out.append(
+                        {
+                            "path": path,
+                            "status": "ok" if n else "empty",
+                            "n_rows": n,
+                            "error": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001
+                    out.append(
+                        {
+                            "path": path,
+                            "status": "parse_error",
+                            "n_rows": 0,
+                            "error": f"{type(e).__name__}: {e}"[:500],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(run, schema=SOURCE_STATUS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -203,21 +280,31 @@ def parse_sifts_xrefs(path: str, text: str) -> list[dict]:
     the InterPro accession kept as ``derived_from``."""
     root = ET.fromstring(text)
     out: list[dict] = []
+    # per-record salvage under the malformed-source contract: an
+    # element missing a required attribute is a malformed RECORD —
+    # skip it and keep the rest of the file (the file-level
+    # dead-letter only fires when the document itself won't parse)
     for entity in root.findall(".//{*}entity"):
-        entity_id = entity.attrib["entityId"]
+        entity_id = entity.attrib.get("entityId")
+        if entity_id is None:
+            continue
         for segment in entity.findall(".//{*}segment"):
             for residue in segment.findall(".//{*}residue"):
-                resnum = residue.attrib["dbResNum"]
+                resnum = residue.attrib.get("dbResNum")
+                if resnum is None:
+                    continue
                 for xref in residue.findall(".//{*}crossRefDb"):
-                    src = xref.attrib["dbSource"]
+                    src = xref.attrib.get("dbSource")
                     if src in _SIFTS_DOMAIN_DBS:
-                        acc, derived = xref.attrib["dbAccessionId"], None
+                        acc, derived = xref.attrib.get("dbAccessionId"), None
                     elif src == "InterPro":
                         ev = xref.attrib.get("dbEvidence", "")
                         if not ev.startswith(("SSF", "G3DSA")):
                             continue
-                        acc, derived = ev, xref.attrib["dbAccessionId"]
+                        acc, derived = ev, xref.attrib.get("dbAccessionId")
                     else:
+                        continue
+                    if acc is None:
                         continue
                     out.append(
                         {
@@ -309,7 +396,9 @@ def parse_sifts_db_versions(path: str, text: str) -> list[dict]:
     out = []
     for db_list in root.findall(".//{*}listDB"):
         for db in db_list:
-            src, ver = db.attrib["dbSource"], db.attrib["dbVersion"]
+            src, ver = db.attrib.get("dbSource"), db.attrib.get("dbVersion")
+            if src is None or ver is None:  # malformed record: skip
+                continue
             names = (
                 ["SCOP2_SuperFamily", "SCOP2_Family"] if src == "SCOP2" else [src]
             )
@@ -348,35 +437,72 @@ def parse_arpeggio_json(path: str, text: str) -> list[dict]:
     dynamic key, which is why this is a parser UDTF rather than
     ``spark.read.json`` with a static schema. Timeout / failure statuses
     yield a single status row (the dead-letter pattern, SURVEY §5.4)."""
-    doc = json.loads(text)
-    status = doc.get("status")
-    pdb_id = next((k for k in doc if k != "status"), None)
-    if status in ("timeout", "arpeggio_failure") or pdb_id is None:
+    def dead(pdb_id, status):
         # full-width row: missing keys would pandas-fill as NaN, which
         # Arrow rejects for the array-typed `contact` column
         return [
             {f.name: None for f in ARPEGGIO_SCHEMA.fields}
-            | {"pdb_id": pdb_id, "status": status or "no_contacts_record"}
+            | {"pdb_id": pdb_id, "status": status}
         ]
+
+    try:
+        doc = json.loads(text)
+    except ValueError:
+        # truncated download / mid-record EOF / non-JSON bytes: the
+        # schema HAS a status column, so this source dead-letters
+        # IN-BAND (same row shape as the tool's own timeout records)
+        return dead(None, "malformed_json")
+    if not isinstance(doc, dict):
+        return dead(None, "malformed_json")
+    status = doc.get("status")
+    pdb_id = next((k for k in doc if k != "status"), None)
+    if status in ("timeout", "arpeggio_failure") or pdb_id is None:
+        return dead(pdb_id, status or "no_contacts_record")
+    contacts = doc[pdb_id]
+    if not isinstance(contacts, list):
+        return dead(pdb_id, "malformed_json")
+
+    def as_long(v):
+        try:
+            return int(v) if v is not None and not isinstance(v, bool) else None
+        except (TypeError, ValueError):
+            return None
+
+    def as_double(v):
+        try:
+            return float(v) if v is not None and not isinstance(v, bool) else None
+        except (TypeError, ValueError):
+            return None
+
+    def as_str(v):
+        return v if isinstance(v, str) else None
+
+    def as_str_list(v):
+        return [str(x) for x in v] if isinstance(v, list) else None
+
     out = []
-    for rec in doc[pdb_id]:
-        bgn, end = rec.get("bgn", {}), rec.get("end", {})
+    for rec in contacts:
+        if not isinstance(rec, dict):  # malformed record: skip, keep file
+            continue
+        bgn, end = rec.get("bgn"), rec.get("end")
+        bgn = bgn if isinstance(bgn, dict) else {}
+        end = end if isinstance(end, dict) else {}
         out.append(
             {
                 "pdb_id": pdb_id,
                 "status": "ok",
-                "bgn_auth_asym_id": bgn.get("auth_asym_id"),
-                "bgn_auth_seq_id": bgn.get("auth_seq_id"),
-                "bgn_auth_atom_id": bgn.get("auth_atom_id"),
-                "end_auth_asym_id": end.get("auth_asym_id"),
-                "end_auth_seq_id": end.get("auth_seq_id"),
-                "end_auth_atom_id": end.get("auth_atom_id"),
-                "contact": rec.get("contact"),
-                "interacting_entities": rec.get("interacting_entities"),
-                "distance": rec.get("distance"),
+                "bgn_auth_asym_id": as_str(bgn.get("auth_asym_id")),
+                "bgn_auth_seq_id": as_long(bgn.get("auth_seq_id")),
+                "bgn_auth_atom_id": as_str(bgn.get("auth_atom_id")),
+                "end_auth_asym_id": as_str(end.get("auth_asym_id")),
+                "end_auth_seq_id": as_long(end.get("auth_seq_id")),
+                "end_auth_atom_id": as_str(end.get("auth_atom_id")),
+                "contact": as_str_list(rec.get("contact")),
+                "interacting_entities": as_str(rec.get("interacting_entities")),
+                "distance": as_double(rec.get("distance")),
             }
         )
-    return out
+    return out or dead(pdb_id, "no_contacts_record")
 
 
 def read_arpeggio_contacts(spark: SparkSession, paths: str | list[str]) -> DataFrame:
@@ -407,6 +533,8 @@ def parse_interpro_xml(path: str, text: str) -> list[dict]:
             "interpro_name": ip.attrib["short_name"],
         }
         for ip in root.findall(".//interpro")
+        # malformed record (missing required attribute): skip, keep file
+        if "id" in ip.attrib and "short_name" in ip.attrib
     ]
 
 

@@ -5,6 +5,7 @@ wholetext→mapInPandas path, asserting typed rows."""
 from __future__ import annotations
 
 import json
+import os
 import textwrap
 
 import pytest
@@ -242,3 +243,92 @@ def test_rd_reactions(spark, files):
         assert r["properties"] == {"EC": "1.1.1.1"}
         assert "V2000" in r["molblock"]
         assert r["smiles"] is None  # RDKit absent in this container
+
+
+# ---------------------------------------------------------------------------
+# malformed-source dead-letter contract (round-12 parser fuzz campaign;
+# full corpus in tools/parser_fuzz_sweep.py — these pin the contract)
+
+
+def test_arpeggio_malformed_json_dead_letters_in_band(spark, tmp_path):
+    """Truncated / non-JSON / type-confused arpeggio payloads must
+    surface as IN-BAND status rows (the schema has a status column —
+    same row shape as the tool's own timeout records), never crash the
+    reader, and never poison the Arrow hop with un-coerced types."""
+    d = tmp_path / "arp"
+    d.mkdir()
+    (d / "trunc.json").write_text('{"status": "complete", "1abc": [{"bg')
+    (d / "notdict.json").write_text("[1, 2, 3]")
+    (d / "types.json").write_text(json.dumps({
+        "2xyz": [{
+            "bgn": "not-a-dict",
+            "end": {"auth_seq_id": "NaN-ish", "auth_atom_id": 9},
+            "contact": "hbond",
+            "interacting_entities": ["INTER"],
+            "distance": "3.2 A",
+        }]
+    }))
+    rows = P.read_arpeggio_contacts(spark, str(d)).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    # two whole-file malformations -> two malformed_json status rows
+    assert len(by_status.get("malformed_json", [])) == 2
+    # the type-confused record still parses: strings/objects in typed
+    # slots degrade to NULL instead of crashing the Arrow conversion
+    ok = by_status["ok"]
+    assert len(ok) == 1 and ok[0]["pdb_id"] == "2xyz"
+    assert ok[0]["bgn_auth_seq_id"] is None
+    assert ok[0]["end_auth_seq_id"] is None
+    assert ok[0]["end_auth_atom_id"] is None  # int in a string slot
+    assert ok[0]["contact"] is None  # string in an array slot
+    assert ok[0]["distance"] is None  # non-numeric string
+
+
+def test_reader_face_survives_malformed_files(spark, tmp_path):
+    """A directory mixing well-formed and broken files: the data face
+    completes (malformed files contribute zero rows — one truncated
+    download in a million-file manifest must not fail the stage) and
+    the status face reports every file, INCLUDING zero-byte ones the
+    DataFrame text source prunes from its file index."""
+    d = tmp_path / "sifts"
+    d.mkdir()
+    (d / "good.xml").write_text(SIFTS_XML)
+    (d / "trunc.xml").write_text(SIFTS_XML[: len(SIFTS_XML) // 3])
+    (d / "empty.xml").write_text("")
+    (d / "garbage.xml").write_text("\x00\x01 not xml <<<")
+
+    rows = P.read_sifts_xrefs(spark, str(d)).collect()
+    assert {r["xref_db"] for r in rows} == {"CATH", "Pfam", "InterPro"}
+    assert all(r["path"].endswith("good.xml") for r in rows)
+
+    status = {
+        os.path.basename(r["path"]): r
+        for r in P.read_source_status(
+            spark, str(d), P.parse_sifts_xrefs
+        ).collect()
+    }
+    assert set(status) == {"good.xml", "trunc.xml", "empty.xml", "garbage.xml"}
+    assert status["good.xml"]["status"] == "ok"
+    assert status["good.xml"]["n_rows"] == len(rows)
+    assert status["trunc.xml"]["status"] == "parse_error"
+    assert status["empty.xml"]["status"] == "parse_error"  # ET: no element
+    assert status["garbage.xml"]["status"] == "parse_error"
+    assert "ParseError" in status["trunc.xml"]["error"]
+
+
+def test_xml_record_salvage_on_stripped_attributes():
+    """An element missing a required attribute is a malformed RECORD:
+    skip it, keep the rest of the file (file-level dead-letter only
+    fires when the document itself won't parse)."""
+    stripped = SIFTS_XML.replace('dbResNum="10"', "").replace(
+        'dbSource="CATH" dbVersion="4.3"', ""
+    )
+    rows = P.parse_sifts_xrefs("f.xml", stripped)
+    # residue 10's xrefs are gone (no dbResNum); residue 11's Pfam stays
+    assert {r["seq_range_chain"] for r in rows} == {"11"}
+    dbs = P.parse_sifts_db_versions("f.xml", stripped)
+    assert {(r["xref_db"], r["xref_db_version"]) for r in dbs} == {
+        ("SCOP2_SuperFamily", "2022"),
+        ("SCOP2_Family", "2022"),
+    }

@@ -9,6 +9,8 @@ Stages (each a subprocess, same interpreter):
   3. fuzz_sweep --regen                  — degenerate-data differential (exit = divergences)
   3b. streaming_fuzz_sweep               — stream faces vs batch twins on the
                                            same dirty corpus (exit = divergences)
+  3c. parser_fuzz_sweep                  — S5-S12 parser dead-letter contract on
+                                           truncated/broken inputs (exit = crashes)
   4. empty_input_sweep                   — zero-row robustness (exit = raw crashes)
   5. empty_input_sweep --nulls           — NULL-payload robustness
   6. partition_invariance_sweep          — results identical under an adversarial
@@ -57,6 +59,7 @@ def stages(
     out += [
         ("fuzz", [py, "tools/fuzz_sweep.py", "--regen"], {}),
         ("streamfuzz", [py, "tools/streaming_fuzz_sweep.py"], {}),
+        ("parserfuzz", [py, "tools/parser_fuzz_sweep.py"], {}),
         ("empty", [py, "tools/empty_input_sweep.py"], {}),
         ("nulls", [py, "tools/empty_input_sweep.py", "--nulls"], {}),
         ("pinv", [py, "tools/partition_invariance_sweep.py"], {}),
