@@ -329,14 +329,26 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, ROUND(sqrt(SUM(cv * cv)), 6) AS centroid_norm
       FROM c GROUP BY label
     ),
+    carr AS (SELECT label, list(cv ORDER BY dim) AS c_arr FROM c GROUP BY label),
     dist AS (
       -- d2 rounded to 6 decimals BEFORE the medoid rank so the
       -- tie-break key is identical across engines (raw float sums are
       -- summation-order-dependent; near-equal distances could
-      -- otherwise rank differently in Spark vs DuckDB)
-      SELECT d.vec_id, d.label,
-             ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS d2
-      FROM d JOIN c USING (label, dim) GROUP BY d.vec_id, d.label
+      -- otherwise rank differently in Spark vs DuckDB).
+      -- Per-ROW fold over the broadcast centroid array, mirroring the
+      -- Spark zip_with plan (the emb_outlier_zscore discipline): the
+      -- earlier unnest + GROUP BY vec_id regroup CONFLATED replayed
+      -- ids — two same-id rows summed BOTH payloads' deviations into
+      -- one doubled d2, so the engines elected different medoids once
+      -- a duplicated id became the borderline argmin (flatline fuzz,
+      -- round 12). Row identity, not key identity, carries distance.
+      SELECT e.vec_id, e.label,
+             ROUND(list_sum(list_transform(
+                 generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c_arr[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c_arr[i]))), 6)
+                 AS d2
+      FROM e JOIN carr USING (label)
     ),
     med AS (
       SELECT label, vec_id AS medoid_vec_id,

@@ -194,3 +194,51 @@ def test_emb_gate_sql_twin_protects_inner_product(spark, tmp_path):
             assert [round(float(x), 6) for x in spark_side[k]] == [
                 round(float(x), 6) for x in duck_side[k]
             ]
+
+
+def test_medoid_row_identity_under_replayed_ids(spark, tmp_path):
+    """Row-identity contract (flatline fuzz, round 12): distance is a
+    property of the physical ROW, not the id key. A replayed vec_id —
+    two rows, perturbed payloads — must NOT have its two deviation
+    sums conflated into one doubled d2 (the old oracle's unnest +
+    GROUP BY vec_id did exactly that, electing a different medoid per
+    engine once the duplicated id became the borderline argmin). The
+    closest ROW wins even when its id is duplicated."""
+    import os
+
+    from procoggraph_spark.queries import registry
+
+    # label 7 centroid: dim0 = (2+2.4+2.3+0)/4 = 1.675, dims 1-3 = 2.
+    # Per-row d2: id1-row-a 0.1056 (argmin), id1-row-b 0.5256, id2
+    # 0.3906, id3 2.8056. Conflated by id, id1 sums to 0.6312 and
+    # LOSES to id2 — exactly the old oracle's wrong election.
+    rows = [
+        (1, [2.0, 2.0, 2.0, 2.0], 7),
+        (1, [2.4, 2.0, 2.0, 2.0], 7),   # replay, perturbed re-encode
+        (2, [2.3, 2.0, 2.0, 2.0], 7),
+        (3, [0.0, 2.0, 2.0, 2.0], 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    qs, osql = registry()
+    got = {r["label"]: r for r in qs["emb_centroid_medoid"](spark, sf).collect()}
+    assert got[7]["medoid_vec_id"] == 1
+    assert got[7]["n_vectors"] == 4  # both replay rows count
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r for r in con.execute(osql["emb_centroid_medoid"]).fetchall()}
+    assert oracle[7][3] == 1, "oracle conflated the replayed id's rows"
+    srow = got[7]
+    assert (srow["n_vectors"], float(srow["centroid_norm"]),
+            srow["medoid_vec_id"], float(srow["medoid_dist"])) == (
+        oracle[7][1], float(oracle[7][2]), oracle[7][3], float(oracle[7][4]))

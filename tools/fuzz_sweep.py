@@ -139,6 +139,41 @@ def build_corpus(spark):
                 )
                 .otherwise(F.col("source")),
             )
+        if t == "documents":
+            # flatline leg (round 12): a feed that emits the SAME
+            # document 80 times — identical text, source, and length.
+            # Degenerate distributions are where denominators die
+            # (IQR=0 robust scale, zero-width quantile bins, stddev=0
+            # z-scores — ANSI Spark RAISES on /0 where DuckDB NULLs)
+            # and where ties storm every ranking (row_number over
+            # exactly-equal lengths/sims must tie-break on id, not on
+            # partition luck). Also an 80-member exact-dup cluster for
+            # the dedup family's hot-bucket guards.
+            flat = (F.col("doc_id") >= 400) & (F.col("doc_id") < 480)
+            df = (
+                df.withColumn(
+                    "text",
+                    F.when(
+                        flat,
+                        F.lit(
+                            "flatline corpus body with steady tokens "
+                            "repeated across the whole feed block"
+                        ),
+                    ).otherwise(F.col("text")),
+                )
+                .withColumn(
+                    "source",
+                    F.when(flat, F.lit("flatline_feed")).otherwise(
+                        F.col("source")
+                    ),
+                )
+                .withColumn(
+                    "n_chars",
+                    F.when(
+                        flat, F.lit(42).cast(df.schema["n_chars"].dataType)
+                    ).otherwise(F.col("n_chars")),
+                )
+            )
         if t == "events":
             # dirty telemetry: anonymous events (NULL user_id), events
             # with no value, and events with an unknown/missing type —
@@ -191,6 +226,18 @@ def build_corpus(spark):
                         F.lit(""),
                     )
                     .otherwise(F.col("event_type")),
+                )
+                .withColumn(
+                    "value",
+                    # flatline leg (round 12): a metered feed stuck at
+                    # one reading — constant values make window stddevs
+                    # exactly 0 and percent/ratio denominators
+                    # degenerate; ANSI Spark raises where DuckDB NULLs,
+                    # so every z/share expression needs its guard
+                    F.when(
+                        (F.col("event_id") >= 2000) & (F.col("event_id") < 2500),
+                        F.lit(7.25),
+                    ).otherwise(F.col("value")),
                 )
                 .withColumn(
                     "ts",
@@ -460,6 +507,29 @@ def build_corpus(spark):
                 )
                 .otherwise(F.col("o_totalprice")),
             )
+        if t == "orders":
+            # flatline leg (round 12): a block of orders all priced the
+            # same — mass ties for best-per-group/ntile/quantile ranks
+            # (tie-break must ride ids on both engines), single-bucket
+            # histograms, and zero-variance aggregates
+            df = df.withColumn(
+                "o_totalprice",
+                F.when(
+                    (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2600),
+                    F.lit(1000.0),
+                ).otherwise(F.col("o_totalprice")),
+            )
+        if t == "lineitem":
+            # flatline quantities: stddev_samp = 0 within the block's
+            # groups; single-row groups stay NULL — the 0-vs-NULL
+            # stddev split must read identically on both engines
+            df = df.withColumn(
+                "l_quantity",
+                F.when(
+                    (F.col("l_orderkey") >= 2000) & (F.col("l_orderkey") < 2400),
+                    F.lit(5.0),
+                ).otherwise(F.col("l_quantity")),
+            )
         if t == "customer":
             df = df.withColumn(
                 "c_name",
@@ -603,6 +673,16 @@ def build_corpus(spark):
                         "embedding",
                         lambda x, i: F.lit(None).cast("float"),
                     ),
+                )
+                # flatline leg (round 12): 40 IDENTICAL vectors — every
+                # pairwise sim in the block is EXACTLY equal, so top-k /
+                # knn / medoid / diversity rankings face a tie storm
+                # that only an id tie-break resolves identically across
+                # engines; distances of exactly 0 probe the diversity /
+                # dedup thresholds' closed/open boundary choices
+                .when(
+                    (F.col("vec_id") >= 400) & (F.col("vec_id") < 440),
+                    F.array(*[F.lit(0.5).cast("float") for _ in range(dim)]),
                 )
                 .otherwise(F.col("embedding")),
             )
