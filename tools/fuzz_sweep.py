@@ -174,6 +174,43 @@ def build_corpus(spark):
                     ).otherwise(F.col("n_chars")),
                 )
             )
+        if t == "documents":
+            # giant-document / token-bomb leg (round 12): real crawls
+            # contain MB-scale pages, minified blobs with NO whitespace
+            # (one giant token), and spam pages repeating one phrase
+            # thousands of times. The text family (single-tokenize,
+            # zip_with shingles, bigram LM, minhash, repetition/
+            # boilerplate detectors) must stay BOUNDED (no quadratic
+            # blowup — the O(tokens^2) capture class) and
+            # engine-identical on all three shapes.
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") == 480,
+                    # ~60 KB of varied tokens (8k words, cycling vocab)
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(7999)),
+                            lambda i: F.concat(
+                                F.lit("tok"),
+                                F.pmod(i * 2654435761, F.lit(997)).cast("string"),
+                            ),
+                        ),
+                        " ",
+                    ),
+                )
+                .when(
+                    F.col("doc_id") == 481,
+                    # one 50 KB token: a minified blob, no whitespace
+                    F.repeat(F.lit("deadbeef"), 6250),
+                )
+                .when(
+                    F.col("doc_id") == 482,
+                    # spam bomb: ONE phrase repeated 8000 times
+                    F.repeat(F.lit("buy cheap now "), 8000),
+                )
+                .otherwise(F.col("text")),
+            )
         if t == "events":
             # dirty telemetry: anonymous events (NULL user_id), events
             # with no value, and events with an unknown/missing type —
