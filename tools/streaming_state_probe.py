@@ -123,11 +123,24 @@ def probe_stateful(spark, events, work: str, results: dict) -> int:
     )
 
     failures = 0
+    from procoggraph_spark.streaming.windows import stateful_user_totals
+
     for name, build, mode in (
         (
             "dedup",
             lambda inbox: streaming_dedup(spark, inbox, events.schema),
             "append",
+        ),
+        (
+            # the KEY-bounded (not watermark-bounded) state class:
+            # per-user running totals keep one state row per DISTINCT
+            # user forever — state must track the user population,
+            # never the event count
+            "user_totals",
+            lambda inbox: stateful_user_totals(
+                _events_stream(spark, inbox, events.schema)
+            ),
+            "update",
         ),
         (
             "session",
@@ -148,18 +161,32 @@ def probe_stateful(spark, events, work: str, results: dict) -> int:
             per_batch.append(_state_rows(_drain(build(inbox), ckpt, mode)))
         resting = per_batch[-1]["state_rows"]
         peak = max(b["state_rows"] or 0 for b in per_batch)
-        ok = (
-            resting is not None
-            and resting < 0.02 * n_total
-            and peak < 2 * (n_total // N_CHUNKS) + 1000
-        )
-        results[name] = {
-            "per_batch": per_batch,
-            "resting_state_rows": resting,
-            "peak_state_rows": peak,
-            "corpus_rows": n_total,
-            "bound_ok": ok,
-        }
+        if name == "user_totals":
+            # key-bounded state: exactly one row per distinct user ever
+            # seen — the population bound, independent of event count
+            n_users = events.select("user_id").distinct().count()
+            ok = resting is not None and resting <= n_users
+            results[name] = {
+                "per_batch": per_batch,
+                "resting_state_rows": resting,
+                "peak_state_rows": peak,
+                "distinct_users_bound": n_users,
+                "corpus_rows": n_total,
+                "bound_ok": ok,
+            }
+        else:
+            ok = (
+                resting is not None
+                and resting < 0.02 * n_total
+                and peak < 2 * (n_total // N_CHUNKS) + 1000
+            )
+            results[name] = {
+                "per_batch": per_batch,
+                "resting_state_rows": resting,
+                "peak_state_rows": peak,
+                "corpus_rows": n_total,
+                "bound_ok": ok,
+            }
         failures += 0 if ok else 1
     return failures
 
