@@ -23,6 +23,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
 
+def let(bound: Column, body) -> Column:
+    """Single-evaluation let-binding for column expressions.
+
+    Catalyst inlines aliased columns into every reference site (filter
+    pushdown, project collapse), and higher-order functions never enter
+    whole-stage codegen, so its subexpression elimination cannot help
+    either: an expression referenced k times is EVALUATED k times per
+    row, interpreted. A lambda argument, by contrast, is a bound
+    variable — ``transform`` evaluates ``bound`` once per row and every
+    reference inside ``body`` reads the bound value. NULL-transparent:
+    ``array(NULL)`` is ``[NULL]``, so ``body`` sees NULL exactly as
+    inline composition would. Measured on the curation gate (quality +
+    repetition + lang-ID): ~30 tokenize/fold evaluations per row
+    collapse to one tokenize + one fold, value-identical."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization: split on runs of whitespace, no empty
     tokens. ``trim`` strips only spaces, so a document starting with a
@@ -53,30 +70,48 @@ def punct_ratio(text: Column) -> Column:
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    ws = tokens(text)
+def _stopword_ratio_of(ws: Column, stopwords: tuple[str, ...]) -> Column:
+    """stopword_ratio over an already-bound token array."""
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
     return n_stop / F.greatest(F.size(ws), F.lit(1))
 
 
-def mean_token_len(text: Column) -> Column:
-    ws = tokens(text)
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return let(tokens(text), lambda ws: _stopword_ratio_of(ws, stopwords))
+
+
+def _mean_token_len_of(ws: Column) -> Column:
+    """mean_token_len over an already-bound token array."""
     total = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
     return total / F.greatest(F.size(ws), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    return let(tokens(text), _mean_token_len_of)
+
+
+def _quality_score_of(text: Column, ws: Column) -> Column:
+    """quality_score with the token array bound once (``ws``); the
+    mean-token-length scalar is additionally let-bound because the band
+    check references it twice."""
+    len_ok = F.when(F.length(text) >= 100, 1.0).otherwise(F.length(text) / 100.0)
+    punct_ok = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_ok = F.least(_stopword_ratio_of(ws, STOPWORDS_EN) * 5.0, F.lit(1.0))
+    mtl_ok = let(
+        _mean_token_len_of(ws),
+        lambda m: F.when((m >= 3.0) & (m <= 12.0), 1.0).otherwise(0.5),
+    )
+    return F.round((len_ok + punct_ok + stop_ok + mtl_ok) / 4.0, 6)
 
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: long-enough, low punctuation,
     some stopwords, sane mean token length. Mirrors the shape of common
     C4/Gopher-style document filters (public heuristics), kept simple and
-    SQL-replicable."""
-    len_ok = F.when(F.length(text) >= 100, 1.0).otherwise(F.length(text) / 100.0)
-    punct_ok = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
-    stop_ok = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
-    mtl = mean_token_len(text)
-    mtl_ok = F.when((mtl >= 3.0) & (mtl <= 12.0), 1.0).otherwise(0.5)
-    return F.round((len_ok + punct_ok + stop_ok + mtl_ok) / 4.0, 6)
+    SQL-replicable. The token array is let-bound so the whole composite
+    tokenizes once per row (was: once per sub-metric reference)."""
+    return let(tokens(text), lambda ws: _quality_score_of(text, ws))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -89,18 +124,12 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
-def predict_lang(text: Column) -> Column:
-    """Argmax language by marker-word hits; deterministic tiebreak on
-    language code ascending; 'und' when no marker hits at all.
-
-    Single pass over ONE tokenization: a struct-accumulator aggregate
-    counts every language's marker hits together, where the per-language
-    ``lang_scores`` filters re-evaluate the token split once per
-    language (measured 0.90 s -> 0.28 s per 5 k docs, value-identical;
-    ``isin`` compiles to a hash-set probe per token). Counts are
-    identical to ``lang_scores`` — the langid-confusion oracle replays
-    the same per-language hit counting in SQL."""
-    ws = tokens(text)
+def _predict_lang_of(ws: Column) -> Column:
+    """predict_lang over an already-bound token array: the marker-count
+    fold runs ONCE (its finish lambda binds the count struct, and an
+    inner let binds the argmax), where field-by-field access to an
+    inline ``aggregate`` re-ran the whole fold per reference — ~35
+    copies in the composed curation gate's physical plan."""
     langs = sorted(LANG_MARKERS)  # tiebreak: first lang in asc order wins
     zero = F.struct(*[F.lit(0).alias(lg) for lg in langs])
 
@@ -114,15 +143,39 @@ def predict_lang(text: Column) -> Column:
             ]
         )
 
-    counts = F.aggregate(ws, zero, step)
-    best = counts[langs[0]]
-    for lg in langs[1:]:
-        best = F.greatest(best, counts[lg])
-    pred = F.lit("und")
-    # build reverse so earlier langs take precedence on ties
-    for lg in reversed(langs):
-        pred = F.when(counts[lg] == best, lg).otherwise(pred)
-    return F.when(best > 0, pred).otherwise("und")
+    def finish(counts):
+        best = counts[langs[0]]
+        for lg in langs[1:]:
+            best = F.greatest(best, counts[lg])
+
+        def pick(b):
+            pred = F.lit("und")
+            # build reverse so earlier langs take precedence on ties
+            for lg in reversed(langs):
+                pred = F.when(counts[lg] == b, lg).otherwise(pred)
+            return F.when(b > 0, pred).otherwise("und")
+
+        return let(best, pick)
+
+    # NULL token array (NULL text): the inline form compared NULL counts
+    # field-by-field — every `when` missed and the tiebreak chain fell
+    # through to 'und'. aggregate() short-circuits NULL input past the
+    # finish lambda, so restate that fall-through with a coalesce.
+    return F.coalesce(F.aggregate(ws, zero, step, finish), F.lit("und"))
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax language by marker-word hits; deterministic tiebreak on
+    language code ascending; 'und' when no marker hits at all.
+
+    Single pass over ONE tokenization AND one fold: the token split is
+    let-bound, the struct-accumulator aggregate counts every language's
+    marker hits together, and the argmax/tiebreak run inside the fold's
+    finish lambda over the bound count struct (``isin`` compiles to a
+    hash-set probe per token). Counts are identical to ``lang_scores`` —
+    the langid-confusion oracle replays the same per-language hit
+    counting in SQL."""
+    return let(tokens(text), _predict_lang_of)
 
 
 def positional_fingerprint(text: Column, max_chars: int = 64) -> Column:
@@ -172,12 +225,10 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repeated_ngram_ratio(text: Column, n: int = 2) -> Column:
-    """Fraction of word n-grams that are repeats of an earlier n-gram in
-    the same document — the Gopher-style intra-document repetition
-    signal (high values flag boilerplate/spam). JVM-side: n-grams via
-    transform over the token array, distinct via array_distinct."""
-    ws = tokens(text)
+def _repeated_ngram_ratio_of(ws: Column, n: int) -> Column:
+    """repeated_ngram_ratio over an already-bound token array; the gram
+    array is additionally let-bound (referenced by total, distinct and
+    the guard — four sites)."""
     k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     # zip_with over row-level slices, NOT transform with a lambda that
     # references ws: a captured outer expression is re-evaluated PER
@@ -190,11 +241,24 @@ def repeated_ngram_ratio(text: Column, n: int = 2) -> Column:
         grams = F.zip_with(
             grams, F.slice(ws, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
         )
-    n_total = F.size(grams)
-    n_unique = F.size(F.array_distinct(grams))
-    return F.when(n_total <= 0, 0.0).otherwise(
-        F.round((n_total - n_unique) / n_total, 6)
-    )
+
+    def ratio(g):
+        n_total = F.size(g)
+        n_unique = F.size(F.array_distinct(g))
+        return F.when(n_total <= 0, 0.0).otherwise(
+            F.round((n_total - n_unique) / n_total, 6)
+        )
+
+    return let(grams, ratio)
+
+
+def repeated_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document — the Gopher-style intra-document repetition
+    signal (high values flag boilerplate/spam). JVM-side: n-grams via
+    zip_with over let-bound token-array slices, distinct via
+    array_distinct; one tokenize per row."""
+    return let(tokens(text), lambda ws: _repeated_ngram_ratio_of(ws, n))
 
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -220,13 +284,20 @@ def corpus_keep_decision(
     """The composed curation gate: quality score ≥ threshold AND
     repetition below threshold AND predicted language allowed. One
     boolean per doc, all JVM-side — the decision column a 100 TB corpus
-    filter partitions on."""
-    lang_ok = predict_lang(text).isin(*langs)
-    return (
-        (quality_score(text) >= min_quality)
-        & (repeated_ngram_ratio(text) <= max_repetition)
-        & lang_ok
-    )
+    filter partitions on. The token array is let-bound across all three
+    legs, so the gate tokenizes once per row and runs each fold once
+    (the naive composition evaluated ~30 tokenize/fold copies per row,
+    interpreted — higher-order functions never reach codegen CSE)."""
+
+    def body(ws):
+        lang_ok = _predict_lang_of(ws).isin(*langs)
+        return (
+            (_quality_score_of(text, ws) >= min_quality)
+            & (_repeated_ngram_ratio_of(ws, 2) <= max_repetition)
+            & lang_ok
+        )
+
+    return let(tokens(text), body)
 
 
 def tfidf_top_terms(
