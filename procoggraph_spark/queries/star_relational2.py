@@ -736,16 +736,32 @@ def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 5% of exact (deterministic for fixed data — HLL++ has no
     RNG), which the oracle replays as a constant TRUE next to the exact
     count. A drifting estimator turns the row red instead of being
-    permanently unverifiable."""
-    l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    permanently unverifiable.
+
+    Shape: dedup (group, key) FIRST, then one plain aggregation.
+    Mixing COUNT(DISTINCT) with the HLL in a single agg makes the
+    distinct-rewrite keep a partial_approx_count_distinct buffer PER
+    (returnflag, orderkey) FINE-GRAINED GROUP — ~150k live ~12 KB HLL
+    sketches (rsd 0.01 ⇒ 2^14 registers) ≈ 2 GB of aggregation state,
+    measured 13.3 s at sf0.1 vs 0.79 s for this form (17×), and the
+    same blowup scales with the key count at 100 TB. The HLL is a set
+    sketch (register max), so inserting each distinct value once
+    yields bit-identical registers and an identical estimate; COUNT
+    over the deduped rows is exactly COUNT(DISTINCT) — verified
+    value-identical at sf0.001/0.01/0.1. The orderkey-bucketed layout
+    makes the dedup exchange-free (distribution on the bucket key
+    satisfies the (flag, key) clustering); the only Exchange left
+    moves the 3-row per-flag partials."""
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
+    d = l.select("l_returnflag", "l_orderkey").distinct()
+    return d.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("exact_orders"),
         (
             F.abs(
                 F.approx_count_distinct("l_orderkey", 0.01)
-                - F.countDistinct("l_orderkey")
+                - F.count("l_orderkey")
             )
-            <= 0.05 * F.countDistinct("l_orderkey")
+            <= 0.05 * F.count("l_orderkey")
         ).alias("approx_within_tol"),
     )
 

@@ -765,3 +765,27 @@ def test_u7_single_exchange_no_python_pruned_scan(spark):
     assert "MapInPandas" not in p
     # column pruning: p_partkey / p_name / p_retailprice never read
     assert "p_partkey" not in p and "p_retailprice" not in p
+
+
+def test_a3_hll_above_dedup_not_per_fine_group(spark):
+    """A3 approx tier: the HLL must aggregate the PRE-DEDUPLICATED
+    (group, key) rows, never ride the distinct-rewrite's Expand — that
+    form keeps a partial_approx_count_distinct buffer per (returnflag,
+    orderkey) fine-grained group (~12 KB of registers EACH at rsd 0.01;
+    measured 13.3 s vs 0.79 s at sf0.1, and the state scales with the
+    key count at 100 TB). Pin: exactly one aggregation carries the
+    approx function, its grouping is the flag alone, and the fine-
+    grained (flag, key) aggregate below it carries NO aggregate
+    functions (a pure dedup)."""
+    df = QUERIES["a3_approx_count_distinct"](spark, SF_ORACLE)
+    p = plan(spark, df)
+    import re
+
+    # every partial_approx_count_distinct node groups by the flag only
+    for m in re.finditer(r"\((\d+)\) HashAggregate", p):
+        node = p[m.start():p.find("\n\n", m.start())]
+        if "partial_approx_count_distinct" in node:
+            keys = re.search(r"Keys \[(\d+)\]", node)
+            assert keys and keys.group(1) == "1", node
+    assert "Expand" not in p  # no distinct-agg rewrite
+    assert "partial_approx_count_distinct" in p
