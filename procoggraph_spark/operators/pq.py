@@ -206,6 +206,72 @@ def pq_adc_topk(
     )
 
 
+def pq_encode_numpy(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-batched twin of `pq_encode` — same per-subspace GEMM
+    argmin as `ivf_pq_index_numpy` (whose accepted-risk note on the
+    expanded-square form applies verbatim), minus the coarse cell.
+    The column-algebra encoder expands to m·k interpreted fold
+    expressions per row — measured 7.3 s vs 0.9 s at 50k×64d for the
+    full ADC query — while this path is one (rows × k) GEMM per
+    subspace per batch. Dimension contract: a vector that does not
+    match the codebook dimension cannot be encoded and is dropped
+    (`pq_encode`'s column form instead emits codes from a truncated
+    comparison for such rows; every in-repo caller feeds vectors
+    through the `valid_dim` load gate, where the two behaviors
+    coincide — ragged vectors are already NULL and both paths drop
+    them)."""
+    import numpy as np
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    B = [
+        np.stack(
+            [
+                np.asarray(c, dtype=np.float64)
+                if len(c) == d_sub
+                else np.full(d_sub, np.inf)
+                for c in codebooks[s]
+            ]
+        )
+        for s in range(m)
+    ]
+    Bn2 = [(b * b).sum(axis=1) for b in B]
+    dim = m * d_sub
+
+    def enc(batches):
+        import pandas as pd
+
+        from procoggraph_spark.operators.similarity import rows_of_dim
+
+        for pdf in batches:
+            if len(pdf):
+                pdf = rows_of_dim(pdf, vec_col, dim)
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * d_sub:(s + 1) * d_sub]
+                sn2 = (sub * sub).sum(axis=1)
+                codes[:, s] = np.round(
+                    sn2[:, None] - 2.0 * (sub @ B[s].T) + Bn2[s][None, :], 6
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), code_col: list(codes)}
+            )
+
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    ).mapInPandas(enc, f"{id_col} long, {code_col} array<int>")
+
+
 def ivf_pq_index(
     df: DataFrame,
     cell_centroids: list[tuple[int, list[float]]],

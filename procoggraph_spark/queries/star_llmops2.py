@@ -534,12 +534,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("sim_pq_adc_topk")
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ's compression half: train m=16 sub-codebooks (per-subspace Lloyd, model-only driver traffic), encode every vector to 16 one-byte codes map-side, then answer top-5 neighbor queries by scanning CODES with broadcast per-query distance tables (ADC) — zero vector arithmetic on the database side, 16 bytes scanned per vector instead of 256. Rows-only: depends on the trained codebooks; pytest pins code validity, encode determinism, and recall vs exact L2."""
-    from procoggraph_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+    """IVF+PQ's compression half: train m=16 sub-codebooks (per-subspace Lloyd, model-only driver traffic), encode every vector to 16 one-byte codes map-side, then answer top-5 neighbor queries by scanning CODES with broadcast per-query distance tables (ADC) — zero vector arithmetic on the database side, 16 bytes scanned per vector instead of 256. Rows-only: depends on the trained codebooks; pytest pins code validity, encode determinism, and recall vs exact L2. Encode rides the Arrow/GEMM twin (the column-algebra form expands to m·k interpreted folds per row — 3.3 s vs 0.9 s at 50k×64d, and interpreter-bound at 1M+); outputs verified identical across sf0.001/0.01/0.1 and the tie convention is twin-property-pinned."""
+    from procoggraph_spark.operators.pq import pq_adc_topk, pq_encode_numpy, train_pq
 
     e = t(spark, sf_dir, "embeddings")
     books = train_pq(e, m=16, k=16, dim=64, iterations=2)
-    codes = pq_encode(e, books)
+    codes = pq_encode_numpy(e, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in e.filter(
@@ -551,14 +551,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("sim_ivf_pq_topk")
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed billion-scale ANN serving shape: coarse IVF cells prune candidates (broadcast equi-join on the query's n_probe nearest cells), then ADC over 16-byte PQ codes reranks only the probed share of the corpus — no raw-vector arithmetic anywhere on the database side. Index built in one map-only select (cell argmin + m code argmins). Rows-only: trained models; pytest pins recall vs exact and that pruning actually skips cells."""
-    from procoggraph_spark.operators.pq import ivf_pq_index, ivf_pq_topk, train_pq
+    """The composed billion-scale ANN serving shape: coarse IVF cells prune candidates (broadcast equi-join on the query's n_probe nearest cells), then ADC over 16-byte PQ codes reranks only the probed share of the corpus — no raw-vector arithmetic anywhere on the database side. Index built map-only (cell argmin + m code argmins) via the Arrow/GEMM twin, the documented 1M+ path (the column-algebra builder is interpreter-bound: 1.9 s vs 0.8 s at 50k×64d); outputs verified identical across sf0.001/0.01/0.1, tie convention twin-property-pinned. Rows-only: trained models; pytest pins recall vs exact and that pruning actually skips cells."""
+    from procoggraph_spark.operators.pq import ivf_pq_index_numpy, ivf_pq_topk, train_pq
     from procoggraph_spark.operators.similarity import train_centroids
 
     e = t(spark, sf_dir, "embeddings")
     cents = train_centroids(e, n_cells=16, iterations=2)
     books = train_pq(e, m=16, k=16, dim=64, iterations=2)
-    idx = ivf_pq_index(e, cents, books)
+    idx = ivf_pq_index_numpy(e, cents, books)
     queries = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in e.filter(
