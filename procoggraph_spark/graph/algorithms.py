@@ -166,6 +166,16 @@ def pagerank(
     variants). Each round is one shuffle on dst; a fixed iteration count
     keeps the plan bounded so no checkpointing is needed at small k.
 
+    Plan-growth discipline: each round references the previous `ranks`
+    exactly ONCE (on the contribution side) and re-ranks against the
+    iteration-independent node set — ranks always holds exactly the
+    node set, so left-joining `nodes` is identical to left-joining
+    `ranks`, but referencing `ranks` twice doubles the lineage per
+    round (2^k subtree copies; measured 2-iter 2.5 s → 3-iter 5.0 s at
+    sf0.1 before the fix, linear after). Outdegree rides a window over
+    src fused onto the edge list (one shuffle, no join), reused across
+    rounds via exchange reuse.
+
     Output: (id, rank). Ranks are doubles — round before hash-comparing
     across engines.
     """
@@ -174,14 +184,12 @@ def pagerank(
         e.select(F.col("dst").alias("id"))
     ).distinct()
     n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("_outdeg"))
-    ranks = nodes.crossJoin(n1).select(
-        "id", (F.lit(1.0) / F.col("_n")).alias("rank"), "_n"
-    )
+    nodes_n = nodes.crossJoin(n1)
+    e2 = e.withColumn("_outdeg", F.count("*").over(Window.partitionBy("src")))
+    ranks = nodes_n.select("id", (F.lit(1.0) / F.col("_n")).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outdeg, "src")
+            e2.join(ranks, e2.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("_outdeg")).alias("_c"),
@@ -189,16 +197,12 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            ranks.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    (1.0 - damping) / F.col("_n")
-                    + damping * F.coalesce("_s", F.lit(0.0))
-                ).alias("rank"),
-                "_n",
-            )
+        ranks = nodes_n.join(contribs, "id", "left").select(
+            "id",
+            (
+                (1.0 - damping) / F.col("_n")
+                + damping * F.coalesce("_s", F.lit(0.0))
+            ).alias("rank"),
         )
     return ranks.select("id", "rank")
 
