@@ -1072,11 +1072,18 @@ def substring_ngram_pairs(
     pairs with the count of shared distinct k-grams.
 
     Scale shape: per-document DISTINCT k-gram explode (stride 1 — L-k+1
-    grams per doc, deduped inside the row before the shuffle), a
-    document-frequency guard that drops grams present in > ``max_df``
-    docs (boilerplate/hot-gram quadratic blow-up absorbed at the gram
-    grain, same discipline as the word-shingle operators), then the
-    banded self-equi-join on the gram key — never an all-pairs compare.
+    grams per doc, deduped inside the row before the shuffle), then ONE
+    gram-keyed aggregation collecting the gram's doc-id SET — the
+    collect_set absorbs the cross-row dedup (a replayed doc_id's gram
+    set is the union over its rows — dirty-keys fuzz) AND the
+    document-frequency guard (grams in > ``max_df`` docs are
+    boilerplate/hot-gram quadratic blow-up, absorbed at the gram grain,
+    same discipline as the word-shingle operators). Ordered pairs then
+    expand IN-ROW from each surviving gram's sorted id set (≤
+    max_df·(max_df-1)/2 per gram, bounded) — no gram-keyed self-join at
+    all. Two shuffles total where the join form took five passes over
+    the gram table (distinct, df-guard agg, guard join, self-join,
+    pair agg) plus a checkpoint materialization.
     """
     t_ = F.col(text_col)
     n = t_.isNotNull().cast("int") * (F.length(t_) - F.lit(k - 1))
@@ -1086,28 +1093,28 @@ def substring_ngram_pairs(
             F.transform(F.sequence(F.lit(1), n), lambda i: t_.substr(i, F.lit(k)))
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # the gram table feeds the df-guard agg AND both sides of the pair
-    # self-join — without a checkpoint the substring explode re-executes
-    # up to 4x (self-joins re-run shared lineage); same discipline as
-    # the containment shingle table
-    # distinct across rows, not just within (same set-algebra contract
-    # as _exploded_shingles(sets=True)): a replayed doc_id's gram SET is
-    # the union over its rows, so shared-gram counts stay true set
-    # intersections under duplicate ids (dirty-keys fuzz)
-    g = (
-        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    g = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+    # size >= 2: single-doc grams produce no pairs (the old guard kept
+    # them through the join where they died anyway)
+    sets = (
+        g.groupBy("_g")
+        .agg(F.collect_set("_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_df))
     )
-    ok = g.groupBy("_g").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= max_df
+    ids = F.sort_array(F.col("_ids"))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    gg = g.join(ok.select("_g"), "_g")
-    a = gg.select(F.col("_id").alias("id_a"), "_g")
-    b = gg.select(F.col("_id").alias("id_b"), "_g")
     return (
-        a.join(b, "_g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        sets.select(F.explode(pairs).alias("_p"))
+        .groupBy(
+            F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")
+        )
         .agg(F.count("*").alias("n_shared"))
     )
