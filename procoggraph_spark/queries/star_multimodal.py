@@ -378,9 +378,13 @@ def mm_feature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted pair against a pandas recomputation."""
     from procoggraph_spark.operators import dedup as D
 
+    # the feature frame feeds both signature tables (each self-joined —
+    # map-only lineage re-executes per join side) and both rerank
+    # sides: six executions of the Python feature stage without a
+    # checkpoint; materialize the model-sized frame once
     feats = M.attach_fake_features(
         _assets(spark, sf_dir).filter(F.col("asset_id") < 100)
-    )
+    ).localCheckpoint(eager=False)
     cands = []
     for off in (0, 64):
         sigs = feats.select(
