@@ -556,11 +556,13 @@ def basket_pairs(
 ) -> DataFrame:
     """Market-basket co-occurrence: one basket-keyed aggregation
     collapses each basket to its distinct item set (collect_set dedups
-    map-side), within-basket pairs (item_a < item_b) then explode
-    INLINE — k-choose-2 rows per basket with k bounded by basket size
-    (TPC-H: <= 7 lines/order) — and a second bounded agg counts pair
-    support. Two exchanges total; no self-join ever materializes, and
-    nothing goes all-pairs across baskets."""
+    map-side), within-basket pairs (item_a < item_b) then expand IN-ROW
+    from the sorted item set — exactly k-choose-2 rows per basket (the
+    double-explode form emitted k² and filtered half away), k bounded
+    by basket size (TPC-H: <= 7 lines/order) — and a second bounded agg
+    counts pair support. Two exchanges total (zero on the basket agg
+    when the input rides the basket-bucketed layout); no self-join ever
+    materializes, and nothing goes all-pairs across baskets."""
     per_basket = df.groupBy(F.col(basket_col).alias("_b")).agg(
         F.collect_set(F.col(item_col)).alias("_items")
     )
@@ -569,11 +571,21 @@ def basket_pairs(
     n_baskets = df.agg(
         F.count_distinct(F.col(basket_col)).alias("_n_baskets")
     )
+    items = F.sort_array(F.col("_items"))
+    combos = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        per_basket.select(F.explode("_items").alias("item_a"), "_items")
-        .select("item_a", F.explode("_items").alias("item_b"))
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        per_basket.select(F.explode(combos).alias("_p"))
+        .groupBy(
+            F.col("_p.a").alias("item_a"), F.col("_p.b").alias("item_b")
+        )
         .agg(F.count("*").alias("support"))
     )
     return (

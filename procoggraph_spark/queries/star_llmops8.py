@@ -474,7 +474,11 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     item pairs (basket-keyed equi-join, fanout bounded by basket size),
     support counts + share, deterministic top-20. The association-
     mining primitive behind recommendation candidates."""
-    return A.basket_pairs(t(spark, sf_dir, "lineitem"), top_k=20)
+    # basket-bucketed layout: the per-basket collect_set plans
+    # exchange-free on l_orderkey
+    return A.basket_pairs(
+        t(spark, sf_dir, "lineitem", widen_on="l_orderkey"), top_k=20
+    )
 
 
 # --- Repurchase cadence ----------------------------------------------------
