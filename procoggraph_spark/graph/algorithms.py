@@ -166,45 +166,74 @@ def pagerank(
     variants). Each round is one shuffle on dst; a fixed iteration count
     keeps the plan bounded so no checkpointing is needed at small k.
 
-    Plan-growth discipline: each round references the previous `ranks`
-    exactly ONCE (on the contribution side) and re-ranks against the
-    iteration-independent node set — ranks always holds exactly the
-    node set, so left-joining `nodes` is identical to left-joining
-    `ranks`, but referencing `ranks` twice doubles the lineage per
-    round (2^k subtree copies; measured 2-iter 2.5 s → 3-iter 5.0 s at
-    sf0.1 before the fix, linear after). Outdegree rides a window over
-    src fused onto the edge list (one shuffle, no join), reused across
-    rounds via exchange reuse.
+    Plan-growth discipline (three cumulative rounds of it):
+
+    - Each round references the previous state exactly ONCE — a second
+      reference doubles the lineage per round (2^k subtree copies;
+      measured 2-iter 2.5 s → 3-iter 5.0 s at sf0.1 before the fix).
+    - The iteration-invariant frames are materialized ONCE with a lazy
+      localCheckpoint (the repo's iterative-lineage discipline): the
+      outdegree-carrying edge list feeds every round and the node set
+      the final re-rank, so without it the edge-derivation subtree
+      (typically a join+distinct in the caller) re-executes ~2k+1
+      times per action.
+    - The per-round re-rank JOIN is algebraically folded into the next
+      round's contribution join: rank_i(v) = (1-d)/n + d·coalesce(S_i,
+      0) is a pure function of the contribution sums, so each round is
+      ONE left join of the edge list against the previous sums plus
+      one groupBy — and because the outdegree window already hash-
+      partitions+sorts the edge list on src while the previous groupBy
+      partitions the sums on id, that join plans with NO new Exchange:
+      one shuffle per iteration (the per-dst sum), the theoretical
+      minimum for power iteration. Only the FINAL round joins the node
+      set, giving contribution-less vertices their teleport rank — the
+      identical doubles per edge/group as the join-per-round form
+      (same operations, same operands).
 
     Output: (id, rank). Ranks are doubles — round before hash-comparing
     across engines.
     """
     e = edges.select("src", "dst")
-    nodes = e.select(F.col("src").alias("id")).union(
-        e.select(F.col("dst").alias("id"))
+    e2 = e.withColumn(
+        "_outdeg", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=False)
+    nodes = e2.select(F.col("src").alias("id")).union(
+        e2.select(F.col("dst").alias("id"))
     ).distinct()
     n1 = F.broadcast(nodes.agg(F.count("*").alias("_n")))
-    nodes_n = nodes.crossJoin(n1)
-    e2 = e.withColumn("_outdeg", F.count("*").over(Window.partitionBy("src")))
-    ranks = nodes_n.select("id", (F.lit(1.0) / F.col("_n")).alias("rank"))
-    for _ in range(iterations):
+    nodes_n = nodes.crossJoin(n1).localCheckpoint(eager=False)
+    if iterations <= 0:
+        return nodes_n.select("id", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    e3 = e2.crossJoin(n1)
+    # round 1: every vertex holds the uniform seed rank 1/n
+    contribs = (
+        e3.select(
+            F.col("dst").alias("id"),
+            ((F.lit(1.0) / F.col("_n")) / F.col("_outdeg")).alias("_c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    for _ in range(iterations - 1):
+        prev_rank = (1.0 - damping) / F.col("_n") + damping * F.coalesce(
+            "_s", F.lit(0.0)
+        )
         contribs = (
-            e2.join(ranks, e2.src == ranks.id)
+            e3.join(contribs, e3.src == contribs.id, "left")
             .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("_outdeg")).alias("_c"),
+                F.col("dst").alias("_dst"),
+                (prev_rank / F.col("_outdeg")).alias("_c"),
             )
-            .groupBy("id")
+            .groupBy(F.col("_dst").alias("id"))
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = nodes_n.join(contribs, "id", "left").select(
-            "id",
-            (
-                (1.0 - damping) / F.col("_n")
-                + damping * F.coalesce("_s", F.lit(0.0))
-            ).alias("rank"),
-        )
-    return ranks.select("id", "rank")
+    return nodes_n.join(contribs, "id", "left").select(
+        "id",
+        (
+            (1.0 - damping) / F.col("_n")
+            + damping * F.coalesce("_s", F.lit(0.0))
+        ).alias("rank"),
+    )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -216,6 +245,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     join is an equi-join; no cross product, so candidate work scales
     with Σ deg², not |V|²). Output: (id, n_triangles), vertices in ≥1
     triangle only; integers, so exact across engines.
+
+    The canonical edge list feeds all three join legs, so it is
+    materialized once (lazy localCheckpoint — the iterative-lineage
+    discipline): a self-join re-executes shared lineage per side, and
+    the caller's edge derivation is typically itself a join+distinct.
+    Corners expand in-row (explode of the 3-array) instead of a 3-way
+    union of the triangle frame, which re-executed the two-join
+    triangle enumeration three times — same multiset, one pass.
     """
     e = (
         edges.select(
@@ -223,6 +260,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -235,10 +273,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
         )
     )
-    corners = (
-        tri.select(F.col("x").alias("id"))
-        .union(tri.select(F.col("y").alias("id")))
-        .union(tri.select(F.col("z").alias("id")))
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
     )
     return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
 
