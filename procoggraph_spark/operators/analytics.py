@@ -123,6 +123,7 @@ def funnel_conversion(
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_ts0"))
+        .localCheckpoint(eager=False)  # two consumers — see loop note
     )
     counts = [cur.agg(F.count("*").alias("n1"))]
     prev_ts = "_ts0"
@@ -141,6 +142,13 @@ def funnel_conversion(
             .filter(qual)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"_ts{i}"))
+            # each step frame has two consumers (its own count + the
+            # next step's join) — the lazy checkpoint keeps step i's
+            # lineage from re-running inside every later step, so the
+            # events scan count is linear in the step count, not
+            # quadratic (the iterative-lineage discipline the graph
+            # algorithms use)
+            .localCheckpoint(eager=False)
         )
         prev_ts = f"_ts{i}"
         counts.append(cur.agg(F.count("*").alias(f"n{i + 1}")))
@@ -257,6 +265,13 @@ def gate_sensitivity(
     ).agg(
         F.count("*").alias("n"), F.sum(size_col).cast("long").alias("chars")
     )
+    # totals via agg + crossJoin is the RIGHT form here, measured: both
+    # consumers sit directly above one canonical Exchange, so Spark's
+    # exchange reuse already serves them from a single corpus scan
+    # (before-plan: ReusedExchange, 1 scan node), and the windowed
+    # rewrite tried in round 12 (sentinel bucket + unpartitioned
+    # window) was consistently ~30% SLOWER (best-of-8 0.241 vs
+    # 0.310 s) for zero scan savings — reverted.
     tot = b.agg(F.sum("n").alias("n_total"), F.sum("chars").alias("c_total"))
     g = spark.range(1, n_steps + 1).select(F.col("id").alias("tstep"))
     return (
@@ -284,12 +299,20 @@ def gate_sensitivity(
 def class_weights(df: DataFrame, *, class_col: str = "lang") -> DataFrame:
     """Inverse-frequency sample weights per class: the sklearn
     'balanced' weight n_total / (n_classes * n_c) and the softer
-    sqrt(n_total / n_c) variant. One bounded class agg; totals
-    broadcast back."""
+    sqrt(n_total / n_c) variant. One bounded class agg; totals via an
+    unpartitioned window over the class rows (NOT c.agg + crossJoin,
+    whose broadcast subquery re-runs the corpus scan+agg a second time
+    per execution — one scan, not two; the single-partition exchange
+    moves only the class rows)."""
     c = df.groupBy(class_col).agg(F.count("*").alias("n_docs"))
-    tot = c.agg(F.sum("n_docs").alias("n_total"), F.count("*").alias("n_classes"))
+    wall = Window.partitionBy()
     return (
-        c.crossJoin(F.broadcast(tot))
+        c.select(
+            class_col,
+            "n_docs",
+            F.sum("n_docs").over(wall).alias("n_total"),
+            F.count(F.lit(1)).over(wall).alias("n_classes"),
+        )
         .select(
             class_col,
             "n_docs",
@@ -658,11 +681,17 @@ def user_activity_pareto(
         .over(Window.orderBy(F.desc("n"), user_col))
         .alias("decile"),
     )
-    tot = tiled.agg(F.sum("n").alias("_tot"))
+    # the grand total is the sum of the decile sums — ride an
+    # unpartitioned window over the bounded decile rows instead of
+    # tiled.agg + crossJoin, whose broadcast subquery re-ran the
+    # per-user aggregation AND the global ntile sort a second time per
+    # execution
     by_dec = (
         tiled.groupBy("decile")
         .agg(F.count("*").alias("n_users"), F.sum("n").alias("n_events"))
-        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_tot", F.sum("n_events").over(Window.partitionBy())
+        )
     )
     wcum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
@@ -783,9 +812,16 @@ def last_touch_attribution(
             ).alias("_vc"),
         )
     )
-    tot = hits.agg(F.sum("n_conversions").alias("_t"))
+    # Global total via an unpartitioned window over the grouped frame
+    # (bounded: one row per event type), NOT hits.agg + crossJoin —
+    # the broadcast-subquery form re-runs the events-wide lag-window +
+    # groupBy lineage a second time per execution (no plan-level CSE
+    # across the broadcast). The single-partition exchange this window
+    # adds moves only the handful of grouped rows.
     return (
-        hits.crossJoin(F.broadcast(tot))
+        hits.withColumn(
+            "_t", F.sum("n_conversions").over(Window.partitionBy())
+        )
         .select(
             "touch_type",
             "n_conversions",

@@ -573,15 +573,23 @@ def benchmark_contamination(
         )
         .distinct()
     )
-    totals = c_sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        c_sh.join(F.broadcast(b_sh), "_sh")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    # ONE corpus pass: a LEFT broadcast probe tags each shingle with a
+    # hit marker and a single per-doc aggregation counts both totals
+    # and hits (count of the non-NULL marker). The former two-consumer
+    # form (totals agg + inner-join agg, joined back) re-ran the
+    # corpus tokenize+shingle explode twice per execution and paid an
+    # extra doc-keyed join. Shingles are distinct per doc and the
+    # benchmark set is distinct, so the left probe never duplicates a
+    # row and count(_hit) == the inner-join count exactly.
+    probe = c_sh.join(
+        F.broadcast(b_sh.withColumn("_hit", F.lit(1))), "_sh", "left"
     )
     return (
-        totals.join(hits, "_id", "left")
-        .na.fill(0, ["n_contaminated"])
+        probe.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
         .select(
             F.col("_id").alias(id_col),
             "n_shingles",

@@ -134,12 +134,17 @@ def dim_covariance_topk(
     expression. |q| <= ~quant and the cross product stays < 2^63 for
     corpora to ~1e6 rows at quant=1e6 (documented bound).
 
-    Shape: posexplode to the (row, dim) grain, self-join on the row id
-    with j > i — the standard Gram-matrix shuffle, O(n * d^2 / 2) rows
-    with d bounded (64 here). At 100 TB the same sums come off a
-    per-partition NumPy outer-product accumulation (mapInPandas, one
-    d x d matrix per partition, then a d^2-row merge); the join form is
-    the engine-portable twin the oracle can replay.
+    Shape: per-partition integer Gram-matrix accumulation — components
+    quantize JVM-side (so the rounding rule is the engine's HALF_UP,
+    identical to the oracle's), then one mapInPandas pass folds each
+    partition into a single d x d int64 outer-product matrix plus the
+    per-dim sums and the row count, and only the d^2-row partials
+    shuffle to a final merge. Integer sums are associative, so the
+    merged sums are bit-identical to the posexplode self-join form the
+    oracle replays (O(n * d^2 / 2) joined rows) at any partitioning.
+    The partial table is lazily localCheckpoint-ed: it has three
+    consumers (cross sums, dim sums, row count) and the Python stage
+    must run once per execution, not three times.
     """
     # population boundary: a vector with a NaN/Inf component has no
     # integer quantization (round(NaN*quant) ANSI-crashes the cast) and
@@ -156,31 +161,72 @@ def dim_covariance_topk(
         F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
         <= F.lit(comp_bound)
     )
-    q = emb.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.round(x.cast("double") * quant).cast("long"),
+    qv = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * quant).cast("long"),
+        ).alias("_q")
+    )
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        outer = None
+        dsum = None
+        nrows = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["_q"].tolist(), dtype=np.int64)
+            if outer is None:
+                d = V.shape[1]
+                outer = np.zeros((d, d), dtype=np.int64)
+                dsum = np.zeros(d, dtype=np.int64)
+            outer += V.T @ V
+            dsum += V.sum(axis=0)
+            nrows += len(V)
+        if outer is None:
+            yield pd.DataFrame({"i": [], "j": [], "s": []}).astype(
+                {"i": "int32", "j": "int32", "s": "int64"}
             )
-        ).alias("_dim", "_q"),
-    )
-    n = emb.count()
-    sums = q.groupBy("_dim").agg(F.sum("_q").alias("_s"))
-    left = q.select("_id", F.col("_dim").alias("i"), F.col("_q").alias("_qi"))
-    right = q.select("_id", F.col("_dim").alias("j"), F.col("_q").alias("_qj"))
-    cross = (
-        left.join(right, "_id")
-        .filter(F.col("i") < F.col("j"))
+            return
+        d = outer.shape[0]
+        iu, ju = np.triu_indices(d, k=1)
+        yield pd.DataFrame(
+            {
+                # sentinel rows: j == -1 carries the per-dim sums,
+                # (-1, -1) the row count — one Python pass emits all
+                # three merge-able partial kinds
+                "i": np.concatenate([iu, np.arange(d), [-1]]).astype("int32"),
+                "j": np.concatenate(
+                    [ju, np.full(d, -1), [-1]]
+                ).astype("int32"),
+                "s": np.concatenate([outer[iu, ju], dsum, [nrows]]),
+            }
+        )
+
+    part = (
+        qv.mapInPandas(gram_partials, "i int, j int, s long")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("_qi") * F.col("_qj")).alias("_sij"))
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)
     )
-    si = sums.select(F.col("_dim").alias("i"), F.col("_s").alias("_si"))
-    sj = sums.select(F.col("_dim").alias("j"), F.col("_s").alias("_sj"))
+    cross = part.filter((F.col("i") >= 0) & (F.col("j") >= 0)).select(
+        "i", "j", F.col("s").alias("_sij")
+    )
+    si = part.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i"), F.col("s").alias("_si")
+    )
+    sj = si.select(F.col("i").alias("j"), F.col("_si").alias("_sj"))
+    nrow = part.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("_n")
+    )
     qd = float(quant)
     cov = (
         cross.join(si, "i")
         .join(sj, "j")
+        .crossJoin(F.broadcast(nrow))
         .select(
             "i",
             "j",
@@ -189,9 +235,9 @@ def dim_covariance_topk(
                     F.col("_sij").cast("double") / qd / qd
                     - (F.col("_si").cast("double") / qd)
                     * (F.col("_sj").cast("double") / qd)
-                    / n
+                    / F.col("_n")
                 )
-                / n,
+                / F.col("_n"),
                 6,
             ).alias("cov"),
         )

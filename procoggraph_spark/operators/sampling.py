@@ -109,8 +109,14 @@ def weighted_mix(
         .groupBy(source_col, "_w")
         .agg(F.count("*").alias("_n"))
     )
-    scale = F.broadcast(counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_scale")))
-    frac = counts.crossJoin(scale).select(
+    # the binding-source scale factor rides an unpartitioned window
+    # over the bounded per-source rows, NOT counts.agg + crossJoin —
+    # the broadcast-subquery form re-ran the corpus scan+agg a second
+    # time per execution
+    frac = counts.withColumn(
+        "_scale",
+        F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy()),
+    ).select(
         source_col,
         (F.col("_scale") * F.col("_w") / F.col("_n")).alias("_keep_frac"),
     )

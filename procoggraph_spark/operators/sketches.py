@@ -21,7 +21,7 @@ boilerplate terms without a vocabulary-sized exact aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from procoggraph_spark.operators.text import positional_fingerprint
@@ -271,15 +271,17 @@ def psi_drift(
             F.sum(F.when(F.col("_snap") != 0, 1).otherwise(0)).alias("n_b"),
         )
     )
-    tot = b.agg(
-        F.sum("n_a").alias("_ta"),
-        F.sum("n_b").alias("_tb"),
-        F.count("*").alias("_k"),
-    )
+    # snapshot totals via an unpartitioned window over the bounded
+    # bucket rows, NOT b.agg + crossJoin: the broadcast-subquery form
+    # re-ran the corpus scan+aggregation a second time per execution —
+    # one scan, not two
+    wall = Window.partitionBy()
     p_a = (F.col("n_a") + 1) / (F.col("_ta") + F.col("_k")).cast("double")
     p_b = (F.col("n_b") + 1) / (F.col("_tb") + F.col("_k")).cast("double")
     return (
-        b.crossJoin(F.broadcast(tot))
+        b.withColumn("_ta", F.sum("n_a").over(wall))
+        .withColumn("_tb", F.sum("n_b").over(wall))
+        .withColumn("_k", F.count(F.lit(1)).over(wall))
         .select(
             "bucket",
             "n_a",

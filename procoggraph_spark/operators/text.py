@@ -323,7 +323,17 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # The TF table is lazily localCheckpoint-ed because it has two
+    # consumers (the document-frequency rollup and the scoring join)
+    # and Spark does not CSE the subplan across them — without the
+    # checkpoint the corpus tokenize-explode-aggregate runs TWICE per
+    # execution. The cached frame is (doc, distinct-term)-grained —
+    # far smaller than the token stream it replaces a second pass over.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     # df(term) = number of documents containing the term; TF rows are
     # already distinct per (doc, term), so a plain count suffices.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -363,8 +373,19 @@ def unigram_logprob(
     Entirely JVM-side arithmetic.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = tok.agg(F.count("*").alias("total"))
+    # The frequency table is lazily localCheckpoint-ed and the corpus
+    # token total derived from it (Σ cnt == COUNT(*) over the token
+    # stream exactly): without this, `total` and the probe join each
+    # re-run the corpus tokenize-explode (no plan-level CSE across the
+    # broadcast subquery), i.e. THREE full tokenize passes per run
+    # instead of the two the algorithm needs (one to build the LM, one
+    # to score against it). The cached frame is vocabulary-sized.
+    tf = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = tf.agg(F.sum("cnt").alias("total"))
     return (
         tok.join(tf, "term")
         .crossJoin(F.broadcast(total))
@@ -570,8 +591,21 @@ def dsir_logratio(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tok_t = target.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    tf_r = tok.groupBy("term").agg(F.count("*").alias("c_raw"))
-    tf_t = tok_t.groupBy("term").agg(F.count("*").alias("c_tgt"))
+    # Both frequency tables are lazily localCheckpoint-ed: each has two
+    # consumers (the totals row and the scoring joins) and without the
+    # checkpoint each consumer re-runs its corpus tokenize-explode —
+    # five tokenize passes per run instead of the three the algorithm
+    # needs. Both cached frames are vocabulary-sized.
+    tf_r = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c_raw"))
+        .localCheckpoint(eager=False)
+    )
+    tf_t = (
+        tok_t.groupBy("term")
+        .agg(F.count("*").alias("c_tgt"))
+        .localCheckpoint(eager=False)
+    )
     totals = (
         tf_r.join(tf_t, "term", "left")
         .agg(

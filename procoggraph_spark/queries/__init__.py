@@ -196,6 +196,39 @@ def registry():
 # (one scandir, ~1 ms) does that. Bounded by registry size.
 _PLAN_MEMO: dict = {}
 
+# Queries whose plan embeds a LAZY localCheckpoint of a DATA-derived
+# intermediate (not driver-collected model state): the checkpoint
+# materializes on the frame's first action and later actions on the
+# SAME object serve the persisted blocks instead of recomputing from
+# parquet. Serving such a frame from _PLAN_MEMO would make a repeated
+# timed run (bench best-of-N, probe loops) skip real work — measured
+# numbers would reflect cached intermediates, not the query. These
+# names rebuild on every call, so each run gets a fresh checkpoint RDD
+# and recomputes end to end; the checkpoint still deduplicates the
+# multi-consumer lineage WITHIN each single execution, which is its
+# whole point. (Eager build-time state — trained centroids, BPE
+# merges, fixpoint iterations — stays memoized: that is plan/prepare
+# cost, paid outside every timed region, same as bench.py treats plan
+# construction.)
+_FRESH_EACH_CALL = frozenset({
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "text_tfidf_top_terms",
+    "curation_dsir_selection",
+    "curation_perplexity_buckets",
+    "curation_quality_drift",
+    "curation_source_overlap",
+    "dedup_embedding_cosine",
+    "emb_dim_covariance",
+    "events_funnel_conversion",
+    "sketch_hll_distinct",
+    "mm_feature_neardup",
+    "dedup_containment",
+    "text_decontaminate_bloom",
+    "graph_pagerank",
+    "graph_triangle_count",
+})
+
 
 def _dir_signature(sf_dir):
     import os
@@ -211,6 +244,9 @@ def _dir_signature(sf_dir):
 
 def _plan_cached(name, fn):
     import functools
+
+    if name in _FRESH_EACH_CALL:
+        return fn
 
     @functools.wraps(fn)
     def run(spark, sf_dir):

@@ -1042,7 +1042,6 @@ def corpus_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy("source").agg(
         F.sum(X.token_count(F.col("text"))).alias("n_tokens")
     )
-    tot = s.agg(F.sum("n_tokens").alias("total"))
     # tiebreak NULL placement is EXPLICIT on both faces: Spark's asc
     # default is NULLS FIRST, DuckDB's is NULLS LAST, so a token-count
     # tie involving the NULL-source group silently reorders the
@@ -1051,7 +1050,13 @@ def corpus_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(
         F.desc("n_tokens"), F.asc_nulls_last("source")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = s.withColumn("cum", F.sum("n_tokens").over(w)).crossJoin(F.broadcast(tot))
+    # the grand total rides an unpartitioned window over the bounded
+    # source rows (same single partition the cumulative window already
+    # established), NOT s.agg + crossJoin — the broadcast-subquery form
+    # re-ran the corpus-wide tokenize+agg a second time per execution
+    c = s.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "total", F.sum("n_tokens").over(Window.partitionBy())
+    )
     return c.select(
         "source",
         "n_tokens",

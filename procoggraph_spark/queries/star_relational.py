@@ -287,8 +287,16 @@ def q4_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cutoff (inner), All = keep orders with no qualifying line (left).
 
 def _best_any_all(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    l = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 50000)
+    # orderkey-bucketed reads: the join, the best-mode window, and the
+    # countDistinct partial dedup (keys (priority, orderkey) — clustered
+    # by the orderkey bucketing) all run exchange-free; the only
+    # remaining exchange moves priority-grain rows.
+    o = t(spark, sf_dir, "orders", widen_on="o_orderkey").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey").filter(
+        F.col("l_extendedprice") > 50000
+    )
     if mode == "best":
         w = Window.partitionBy("l_orderkey")
         l = l.withColumn("max_price", F.max("l_extendedprice").over(w)).filter(
@@ -558,16 +566,19 @@ def q13_compare_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
 
-    def suppliers_of(brand: str):
-        return (
-            j.filter(F.col("p_brand") == brand)
-            .agg(F.collect_set("l_suppkey").alias("s"))
-            .select(F.col("s"))
+    # BOTH brand sets off ONE scan: conditional collect_set drops the
+    # non-matching (NULL) values exactly like the per-brand filter did,
+    # and a single global agg replaces two aggregate subqueries crossed
+    # together (which scanned the fact table twice)
+    def set_of(brand: str):
+        return F.collect_set(
+            F.when(F.col("p_brand") == brand, F.col("l_suppkey"))
         )
 
-    a = suppliers_of("Brand#1").withColumnRenamed("s", "a")
-    b = suppliers_of("Brand#2").withColumnRenamed("s", "b")
-    return a.crossJoin(b).select(
+    ab = j.filter(F.col("p_brand").isin("Brand#1", "Brand#2")).agg(
+        set_of("Brand#1").alias("a"), set_of("Brand#2").alias("b")
+    )
+    return ab.select(
         F.size(F.array_intersect("a", "b")).cast("long").alias("n_shared"),
         F.size(F.array_except("a", "b")).cast("long").alias("n_only_a"),
         F.size(F.array_except("b", "a")).cast("long").alias("n_only_b"),
@@ -586,7 +597,11 @@ def q13_compare_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_topk_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 dashboard shape: global top-k entities by count with deterministic tie-break."""
-    l = t(spark, sf_dir, "lineitem")
+    # orderkey-bucketed read: the countDistinct dedup keys
+    # (l_partkey, l_orderkey) are clustered by the bucketing, so the
+    # dedup aggregate runs exchange-free and only partkey-grain partial
+    # counts shuffle.
+    l = t(spark, sf_dir, "lineitem", widen_on="l_orderkey")
     return (
         l.groupBy("l_partkey")
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))

@@ -621,7 +621,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         searchable(t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    corpus = base.unionByName(_emb_twins(base))
+    # three consumers (signature table + both rerank sides) and the
+    # union references the gated scan twice — six parquet scans of the
+    # gate lineage per execution without a checkpoint; the frame is
+    # a few hundred rows
+    corpus = base.unionByName(_emb_twins(base)).localCheckpoint(eager=False)
     sigs = corpus.select(
         "vec_id",
         hyperplane_signature(F.col("v"), n_planes=64, dim=64).alias("simhash"),

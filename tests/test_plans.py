@@ -569,12 +569,18 @@ def test_basket_pairs_equi_join_no_cartesian(spark):
 
 def test_gate_sensitivity_bounded_grid_broadcasts(spark):
     """The threshold sweep collapses the corpus to one bounded bucket
-    agg; the grid x histogram join and totals are broadcast — exactly
-    one fact-sized exchange in the whole plan."""
+    agg; the grid x histogram join and totals are broadcast, and the
+    totals' second consumer rides exchange reuse — the corpus is read
+    exactly once (round-12 measurement: the windowed-totals rewrite
+    was slower for zero scan savings, so THIS is the pinned shape)."""
     df = QUERIES["curation_gate_sensitivity"](spark, SF_ORACLE)
     p = plan(spark, df)
     assert p.count("BroadcastExchange") >= 2  # totals row + histogram
     assert "CartesianProduct" not in p
+    # (exchange reuse collapses the two consumers to one physical scan
+    # under the bench session policy at sf0.1 — the captured
+    # plans/r12 artifact — but is regime-dependent, so it is not
+    # asserted here at sf0.001)
 
 
 def test_table_profile_single_pass(spark):
@@ -693,15 +699,24 @@ def test_weekly_streaks_window_per_user(spark):
 
 
 def test_dim_covariance_equi_join_exact_sums(spark):
-    """The Gram shuffle is an equi-join on the row id (never a
-    cartesian), covariance sums are integer (exact, partitioning-
-    independent), and the final top-20 window runs on the bounded d^2
-    grain."""
+    """The covariance sums come off the per-partition integer Gram
+    accumulation (one MapInPandas pass, d^2-row partials, lazily
+    checkpointed so the Python stage runs once per execution for its
+    three consumers) — never the O(n*d^2) posexplode self-join, never a
+    cartesian; the final top-20 window runs on the bounded d^2 grain.
+    The checkpoint makes the upstream a LogicalRDD leaf in the final
+    plan, so the Python-stage shape is pinned on the operator's
+    pre-checkpoint lineage via the partials frame itself."""
     df = QUERIES["emb_dim_covariance"](spark, SF_ORACLE)
     p = plan(spark, df)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
-    assert "Generate" in p  # posexplode to (row, dim)
+    assert "Generate" not in p  # the posexplode join form is gone
+    # the bounded-grain merge reads the checkpointed partials, not a
+    # parquet rescan — the corpus is touched only inside the (hidden)
+    # checkpoint lineage, exactly once
+    assert "Scan parquet" not in p
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p
 
 
 def test_hash_buckets_hashes_vocabulary_grain(spark):
