@@ -632,7 +632,13 @@ def dsir_logratio(
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg("_lr"), 6).alias("avg_log_ratio"),
+        # + 0.0 canonicalizes the zero's SIGN (IEEE: -0.0 + 0.0 = +0.0,
+        # identity elsewhere): a doc whose log-ratios cancel averages
+        # to ±epsilon depending on float summation order, and
+        # round(...) then emits -0.0 on one engine and +0.0 on the
+        # other (live sf0.1 divergence, doc 3533) — the oracle carries
+        # the same normalization
+        (F.round(F.avg("_lr"), 6) + F.lit(0.0)).alias("avg_log_ratio"),
     )
 
 

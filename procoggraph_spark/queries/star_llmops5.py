@@ -308,10 +308,13 @@ _DSIR_SQL = """
       FROM tf_r LEFT JOIN tf_t USING (term)
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
+           -- + 0.0 canonicalizes the zero's sign, same as the Spark
+           -- face (a cancelling doc averages to ±epsilon by summation
+           -- order; ROUND then emits -0.0 vs +0.0 across engines)
            ROUND(AVG(
              ln((COALESCE(c_tgt, 0) + 1) * 1.0 / (n_tgt + vocab))
              - ln((c_raw + 1) * 1.0 / (n_raw + vocab))
-           ), 6) AS avg_log_ratio
+           ), 6) + 0.0 AS avg_log_ratio
     FROM tok
     JOIN tf_r USING (term)
     LEFT JOIN tf_t USING (term)

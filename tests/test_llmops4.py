@@ -205,6 +205,27 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     assert all(math.isfinite(v) for v in by.values())
 
 
+def test_dsir_zero_sign_canonical(spark):
+    """A doc whose token log-ratios cancel must report +0.0, never
+    -0.0: the average lands at ±epsilon by float summation order and
+    round() preserves the sign of zero, which diverged between engines
+    (live sf0.1 finding, round 12). The +0.0 canonicalization pins the
+    sign on both faces."""
+    import math as m
+
+    from procoggraph_spark.operators.text import dsir_logratio
+
+    # one doc, target == raw corpus: every term's smoothed target and
+    # raw probabilities are identical, so each _lr is exactly 0.0 and
+    # the average is a zero whose sign must come out positive
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = dsir_logratio(df, df, id_col="doc_id", text_col="text").collect()
+    v = out[0]["avg_log_ratio"]
+    assert v == 0.0 and not m.copysign(1.0, v) < 0
+
+
 def _rand_pad(seed: int, n: int = 42) -> str:
     """Per-doc independent letter pad — no 40-char run can repeat across
     docs (periodic digit pads DO collide cyclically; measured)."""
