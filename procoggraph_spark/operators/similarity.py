@@ -1313,17 +1313,32 @@ def rocchio_expand_topk(
         corpus, queries, id_col=id_col, vec_col=vec_col, k=feedback
     ).select("query_id", "neighbor_id")
 
-    qcomp = corpus.select(
-        F.col(id_col).alias("_fid"),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.round(x.cast("double") * quant).cast("long"),
-            )
-        ).alias("_dim", "_q"),
+    # join FIRST, explode AFTER (guide §3.3): the feedback set is
+    # queries × feedback rows, so broadcasting it onto the corpus scan
+    # picks out just the feedback vectors map-side, and only those
+    # explode into (query, dim) components. The previous form exploded
+    # the FULL corpus (|corpus| × dim rows) and joined that to the
+    # tiny feedback set — at sf0.1 the planner even chose to broadcast
+    # the exploded corpus, a shape that cannot survive corpus scale.
+    # Row-identical: join-then-explode == explode-then-join on the
+    # same equi-key, including under replayed corpus ids.
+    fbv = F.broadcast(first).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_fv"),
+        ),
+        "neighbor_id",
     )
     cent = (
-        first.join(qcomp, first.neighbor_id == qcomp._fid)
+        fbv.select(
+            "query_id",
+            F.posexplode(
+                F.transform(
+                    F.col("_fv"),
+                    lambda x: F.round(x.cast("double") * quant).cast("long"),
+                )
+            ).alias("_dim", "_q"),
+        )
         .groupBy("query_id", "_dim")
         .agg(F.sum("_q").alias("_s"))
         .groupBy("query_id")
