@@ -784,14 +784,22 @@ def strip_boilerplate(
     a groupBy (map-side partial combine, skew-safe: a viral passage in
     millions of docs partially aggregates on every mapper) — NOT a
     count window over the passage key, which would materialize that
-    passage's entire posting list in one window partition. The price is
-    that Spark evaluates the explode subplan twice (no plan-level CSE
-    across the self-join) — cheap column algebra, the right side of the
-    trade at corpus scale. Tagging joins only the rows whose shingle
-    survived the frequency cut; the fold itself is map-side column
-    algebra after an id-keyed join back to the docs.
+    passage's entire posting list in one window partition. Tagging
+    joins only the rows whose shingle survived the frequency cut; the
+    fold itself is map-side column algebra after an id-keyed join back
+    to the docs.
+
+    The distinct shingle table has TWO sibling consumers (the hot-set
+    aggregation and the tagging join side) and Spark does no plan-level
+    CSE across them, so without intervention the corpus scan + explode
+    + (_id, _sh) distinct executes twice per run. A lazy localCheckpoint
+    materializes it once — the `containment_pairs` trade: one
+    shingle-table materialization to executor-local storage against a
+    second full-corpus explode + distinct exchange.
     """
-    sh = _exploded_shingles(df, id_col=id_col, text_col=text_col, n=window, sets=True)
+    sh = _exploded_shingles(
+        df, id_col=id_col, text_col=text_col, n=window, sets=True
+    ).localCheckpoint(eager=False)
     hot = (
         sh.groupBy("_sh")
         .agg(F.count("*").alias("_df"))

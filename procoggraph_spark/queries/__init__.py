@@ -224,6 +224,7 @@ _FRESH_EACH_CALL = frozenset({
     "sketch_hll_distinct",
     "mm_feature_neardup",
     "dedup_containment",
+    "dedup_strip_boilerplate",
     "text_decontaminate_bloom",
     "graph_pagerank",
     "graph_triangle_count",
