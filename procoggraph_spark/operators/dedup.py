@@ -870,28 +870,36 @@ def bloom_decontaminate(
         c_sh, "_sh", bits, n_bits=n_bits, n_hashes=n_hashes, flag_col="_hit"
     )
     # Fan-out discipline (no plan-level CSE, same hazard fixed in
-    # bigram_logprob): the probe chain — the expensive part — evaluates
-    # exactly ONCE, into the localCheckpoint-ed candidate set (which is
-    # Bloom-pruned small, the operator's whole premise); the per-doc
-    # totals come from the probe-FREE shingle explode, and both count
-    # aggregations read the cheap checkpointed candidates. Interleaved
-    # A/B: this single-probe shape beats both the naive three-branch
-    # fan-out and a stats-over-probed variant at sf0.1 (3.2 vs
-    # 5.5/3.6 s) AND the 10× probe (0.90 vs 1.3/2.0 s).
-    totals = c_sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    cand = probed.filter(F.col("_hit")).select("_id", "_sh").localCheckpoint(
-        eager=False
+    # bigram_logprob): the corpus shingle explode + distinct + probe —
+    # the expensive chain — evaluates exactly ONCE, into a single
+    # doc-grain aggregation that carries the per-doc totals, the
+    # candidate count AND the (Bloom-pruned small, the operator's
+    # whole premise) candidate shingle lists. The exact-verify leg
+    # re-expands only those lists, so the corpus is never re-scanned:
+    # one pass where the previous totals-leg/candidate-leg split paid
+    # two. The lazy localCheckpoint covers the frame's two consumers
+    # (exact leg + final join). collect_list skips the NULLs the
+    # non-hit branch produces, so _cands is exactly the hit shingles;
+    # per-doc shingles are distinct by construction, so exploding the
+    # lists replays the candidate multiset bit-for-bit.
+    stats = (
+        probed.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("_hit"), True)).alias("n_candidates"),
+            F.collect_list(F.when(F.col("_hit"), F.col("_sh"))).alias("_cands"),
+        )
+        .localCheckpoint(eager=False)
     )
-    n_cand = cand.groupBy("_id").agg(F.count("*").alias("n_candidates"))
     exact = (
-        cand.join(b_sh, "_sh")
+        stats.select("_id", F.explode("_cands").alias("_sh"))
+        .join(b_sh, "_sh")
         .groupBy("_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
     return (
-        totals.join(n_cand, "_id", "left")
-        .join(exact, "_id", "left")
-        .na.fill(0, ["n_candidates", "n_contaminated"])
+        stats.join(exact, "_id", "left")
+        .na.fill(0, ["n_contaminated"])
         .select(
             F.col("_id").alias(id_col),
             "n_shingles",
