@@ -68,6 +68,41 @@ def cms_build(
     ).agg(F.count("*").alias("cnt"))
 
 
+def cms_build_counts(
+    df: DataFrame,
+    key_col: str,
+    count_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """`cms_build` from pre-aggregated ``(key, count)`` rows: each cell
+    sums the counts of the keys hashing into it, which is exactly the
+    COUNT over the expanded multiset — the sketch is bit-identical to
+    ``cms_build`` over the raw stream. Use when a consumer already
+    materializes the key-grain frequency table (e.g. the heavy-hitters
+    query, whose probe side needs every distinct key anyway): the
+    explode fans out ``depth×`` the VOCABULARY, not the corpus."""
+    h = positional_fingerprint(F.col(key_col))
+    cells = df.select(
+        F.col(count_col).alias("_c"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        _bucket(h, r, width).cast("long").alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+    return cells.groupBy(
+        F.col("c.row_id").alias("row_id"), F.col("c.bucket").alias("bucket")
+    ).agg(F.sum("_c").alias("cnt"))
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -380,8 +380,21 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     tok = d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
-    sketch = K.cms_build(tok, "term", depth=4, width=64)
-    est = K.cms_estimate(sketch, tok, "term", depth=4, width=64)
+    # The probe side needs every distinct term anyway, so the corpus
+    # tokenizes ONCE into the vocabulary-grain frequency table and the
+    # sketch derives from it (cell = SUM of term counts — bit-identical
+    # to counting raw occurrences); previously build and probe each ran
+    # their own corpus tokenize+explode pass. The two consumers' partial
+    # aggregates differ (sum-fanout vs distinct), so exchange reuse
+    # cannot fire — the vocabulary-sized table is lazily checkpointed
+    # to make the corpus pass run once per execution.
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = K.cms_build_counts(vocab, "term", "_tf", depth=4, width=64)
+    est = K.cms_estimate(sketch, vocab, "term", depth=4, width=64)
     top = est.orderBy(F.desc("est_count"), F.asc("term")).limit(10)
     w = Window.orderBy(F.desc("est_count"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w))
