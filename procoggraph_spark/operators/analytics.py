@@ -976,15 +976,29 @@ def dau_stickiness(
     day = F.date_trunc("day", F.col(ts_col))
     grid = events.select(F.col(user_col).alias("_u"), day.alias("_d")).distinct()
     days = grid.select(F.col("_d").alias("day")).distinct()
-    # ONE lookback join yields both counts: rows with _d == day are
-    # exactly that day's actives, so DAU is a conditional distinct on
-    # the same join output — no separate DAU branch re-scanning events
+    # ONE lookback pass yields both counts: each (user, day) grid row
+    # contributes to the trailing-7 window of days d..d+6, so a 7-wide
+    # sequence explode + equi-join on the observed-days list replaces
+    # the between-predicate join the planner could only run as a
+    # BroadcastNestedLoopJoin (|days| x |grid| predicate evaluations —
+    # quadratic-ish compute a 100 TB grid cannot pay; the explode is a
+    # flat 7x fanout into a map-side-combining aggregation). The
+    # observed-days equi-join keeps the output day set identical, and
+    # rows with _d == day are exactly that day's actives, so DAU stays
+    # a conditional distinct on the same join output.
     return (
-        days.join(
-            grid,
-            (F.col("_d") <= F.col("day"))
-            & (F.col("_d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        grid.select(
+            "_u",
+            "_d",
+            F.explode(
+                F.sequence(
+                    F.col("_d"),
+                    F.col("_d") + F.expr("INTERVAL 6 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
         )
+        .join(F.broadcast(days), "day")
         .groupBy("day")
         .agg(
             F.countDistinct(
