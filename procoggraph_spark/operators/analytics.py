@@ -923,7 +923,16 @@ def cohort_ltv(
             "long"
         )
     mon = F.date_trunc("month", F.col(date_col))
-    first = orders.groupBy(cust_col).agg(F.min(mon).alias("cohort_month"))
+    # the first-order table has TWO consumers (the cohort join and the
+    # cohort-size rollup) and the planner does not reuse its exchange
+    # across them, so without intervention the orders scan + customer
+    # shuffle runs twice; one lazy localCheckpoint materializes the
+    # customer-grain frame once per execution
+    first = (
+        orders.groupBy(cust_col)
+        .agg(F.min(mon).alias("cohort_month"))
+        .localCheckpoint(eager=False)
+    )
     sized = first.groupBy("cohort_month").agg(
         F.count("*").alias("cohort_size")
     )
