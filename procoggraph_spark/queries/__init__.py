@@ -225,6 +225,8 @@ _FRESH_EACH_CALL = frozenset({
     "sketch_cms_heavy_hitters",
     "sketch_hll_distinct",
     "mm_feature_neardup",
+    "chain_ec_rollup",
+    "hier_topology_walk",
     "dedup_containment",
     "dedup_strip_boilerplate",
     "text_decontaminate_bloom",

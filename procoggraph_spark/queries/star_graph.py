@@ -221,7 +221,7 @@ def chain_ec_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("p_partkey").cast("string").alias("domain_accession"),
         F.split("p_type", " ").alias("ecList"),
-    )
+    ).localCheckpoint(eager=False)  # two builder consumers, one scan
     pcs = build_protein_chain_nodes(cc)
     edges = build_chain_edges(cc, pcs)
     chains = pcs.select("pdbEntry", "pdbProteinChain").distinct()
@@ -293,6 +293,10 @@ def hier_topology_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p_size").cast("string"),
             ).alias("groupAccession"),
         )
+        # the builder fans this frame out into every hierarchy level's
+        # node/edge derivation (5 part scans in the final plan without
+        # intervention); materialize the projection once per execution
+        .localCheckpoint(eager=False)
     )
     parts = F.split("groupAccession", r"\.")
     names = (
