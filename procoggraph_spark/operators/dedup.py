@@ -376,9 +376,16 @@ def simhash(
     """SimHash: sign-sum of per-token hash bits → one 64-bit fingerprint
     per document. Near-dups are pairs within small Hamming distance.
 
-    Pure column algebra: explode tokens → per-bit ±1 votes via bit
-    extraction of xxhash64(token) → sum per (id, bit) is avoided by
-    summing vote arrays with `aggregate` at the id level.
+    Pure column algebra, explode-free: each row folds its OWN token
+    array into a ``bits``-long vote-sum vector at scan speed (token
+    hash let-bound so the per-token fingerprint evaluates once, not
+    ``bits`` times — higher-order lambdas are interpreted, outside
+    codegen subexpression elimination), and the id-level aggregation
+    merges the per-row vectors. Integer vote sums are associative and
+    order-free, so fingerprints are bit-identical to the exploded
+    (token-grain) formulation — which shuffled a ``bits``-element vote
+    array PER TOKEN to the id key; this shape shuffles one vector per
+    row.
 
     ``portable=True`` swaps xxhash64 for the repo's portable-arithmetic
     discipline (positional token fingerprint + the CMS affine mixers,
@@ -391,12 +398,9 @@ def simhash(
     # documents and gives them a well-defined fingerprint the SQL twin
     # (which filters) never builds — plain explode, so a document with
     # NO tokens drops out of the fingerprint table on both engines
+    from procoggraph_spark.operators.text import let as _let
     from procoggraph_spark.operators.text import tokens as _tokens
 
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_tokens(F.col(text_col))).alias("_tok"),
-    )
     if portable:
         from procoggraph_spark.operators.sketches import (
             _ADD_STEP,
@@ -406,33 +410,58 @@ def simhash(
         )
         from procoggraph_spark.operators.text import positional_fingerprint
 
-        h = positional_fingerprint(F.col("_tok"))
-        votes = F.array(
-            *[
-                F.when(
-                    (h * F.lit(_MULT_BASE + i * _MULT_STEP) + F.lit(i * _ADD_STEP))
-                    % F.lit(_MOD)
-                    < F.lit(_MOD // 2),
-                    1,
-                ).otherwise(-1)
-                for i in range(bits)
-            ]
-        )
+        def vote_arr(tok: Column) -> Column:
+            return _let(
+                positional_fingerprint(tok),
+                lambda h: F.array(
+                    *[
+                        F.when(
+                            (
+                                h * F.lit(_MULT_BASE + i * _MULT_STEP)
+                                + F.lit(i * _ADD_STEP)
+                            )
+                            % F.lit(_MOD)
+                            < F.lit(_MOD // 2),
+                            1,
+                        ).otherwise(-1)
+                        for i in range(bits)
+                    ]
+                ),
+            )
+
     else:
-        h = F.xxhash64(F.col("_tok"))
-        votes = F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for i in range(bits)
-            ]
-        )
+
+        def vote_arr(tok: Column) -> Column:
+            return _let(
+                F.xxhash64(tok),
+                lambda h: F.array(
+                    *[
+                        F.when(
+                            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                        ).otherwise(-1)
+                        for i in range(bits)
+                    ]
+                ),
+            )
+
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    row_sums = F.aggregate(
+        _tokens(F.col(text_col)),
+        zeros,
+        lambda acc, tok: F.zip_with(acc, vote_arr(tok), lambda a, b: a + b),
+    )
     summed = (
-        toks.withColumn("_v", votes)
+        # token-less rows contribute nothing (the explode dropped them;
+        # the row-fold would emit an all-zero vector and fabricate a
+        # fingerprint for all-token-less docs) — filter reproduces the
+        # explode's domain exactly
+        df.filter(F.size(_tokens(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("_id"), row_sums.alias("_v"))
         .groupBy("_id")
         .agg(
             F.aggregate(
                 F.collect_list("_v"),
-                F.array_repeat(F.lit(0).cast("long"), bits),
+                zeros,
                 lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
             ).alias("_sums")
         )
