@@ -33,25 +33,30 @@ def target_encode(
 
     Exactness: sums run as long-cents (exact, partitioning-independent)
     and convert to double once, so the encoding is bit-reproducible.
-    Scale shape: one hash agg to category grain + a broadcast 1-row
-    global aggregate — never a per-row window.
+    Scale shape: ONE hash agg to category grain; the global mean
+    derives from the bounded category-grain partials via an
+    unpartitioned window (integer cent sums are associative, so the
+    re-summed global is bit-identical to a second full scan's
+    aggregate) — the single-partition exchange moves only the bounded
+    category rows, and the source is never scanned twice. Never a
+    per-row window.
     """
     per = df.groupBy(category_col).agg(
         F.count("*").alias("n"),
-        (F.sum(cents(F.col(target_col), 2)) / 100.0).alias("_s"),
+        F.sum(cents(F.col(target_col), 2)).alias("_sc"),
     )
-    g = df.agg(
-        (F.sum(cents(F.col(target_col), 2)) / 100.0).alias("_gs"),
-        F.count("*").alias("_gn"),
+    wall = Window.partitionBy()
+    per = per.withColumn("_gsc", F.sum("_sc").over(wall)).withColumn(
+        "_gn", F.sum("n").over(wall)
     )
-    gmean = F.col("_gs") / F.col("_gn")
-    return per.join(F.broadcast(g)).select(
+    gmean = (F.col("_gsc") / 100.0) / F.col("_gn")
+    s = F.col("_sc") / 100.0
+    return per.select(
         category_col,
         F.col("n").cast("long").alias(f"n_{category_col}"),
-        F.round(F.col("_s") / F.col("n"), 6).alias("cat_mean"),
+        F.round(s / F.col("n"), 6).alias("cat_mean"),
         F.round(
-            (F.col("_s") + F.lit(smoothing) * gmean)
-            / (F.col("n") + F.lit(smoothing)),
+            (s + F.lit(smoothing) * gmean) / (F.col("n") + F.lit(smoothing)),
             6,
         ).alias("encoded"),
     )

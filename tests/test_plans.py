@@ -505,13 +505,17 @@ def test_rag_pipeline_no_python_one_plan(spark):
     assert "Generate" in p  # the chunker
 
 
-def test_target_encode_broadcasts_global_only(spark):
-    """feat_target_encode: category-grain hash agg + a broadcast 1-row
-    global aggregate — no per-row window, no cartesian beyond the
-    single-row broadcast join."""
+def test_target_encode_single_scan_windowed_totals(spark):
+    """feat_target_encode: ONE source scan into the category-grain hash
+    agg; the global mean derives from the bounded category partials via
+    an unpartitioned window (exact integer cent sums), so there is no
+    second scan, no join, and the only window runs over category rows
+    — never the source rows."""
     df = QUERIES["feat_target_encode"](spark, SF_ORACLE)
     p = plan(spark, df)
-    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert p.count("Scan parquet") <= 2  # one node: tree + detail
+    assert "Window" in p
+    assert "Join" not in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
 
