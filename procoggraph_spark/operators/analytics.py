@@ -847,36 +847,47 @@ def time_to_conversion(
     ``start_type`` event to their first ``goal_type`` event at-or-after
     it (the activation-lag table behind "median time to convert").
 
-    One filtered conditional aggregation per user (first start, then
-    min goal-ts gated on ts >= first start needs the start first — so:
-    per-user first-start agg, join back, one more filtered agg), all on
-    the user key; per-user state is two timestamps. Users with a start
-    but no subsequent goal keep a NULL latency (converted = false) —
-    dropping them would bias the latency distribution. Epoch math on
-    whole seconds keeps the output integer-exact across engines.
+    One pass, no join: the start/goal events shuffle ONCE on the user
+    key, a window computes the user's first start, and the same
+    partitioning carries the gated goal minimum (the aggregation keys
+    on the user, so no second exchange). The previous first-start-agg
+    ⋈ goals shape fanned every user's goal events through the join and
+    re-shuffled both sides — super-linear wall-clock at the 10× probe
+    (0.31 → 3.80 s for 10× data); this shape is one linear pass over
+    the two event types. Per-user state is two timestamps. Users with
+    a start but no subsequent goal keep a NULL latency
+    (converted = false) — dropping them would bias the latency
+    distribution. Epoch math on whole seconds keeps the output
+    integer-exact across engines.
+
+    Contract corners preserved from the join form: a user whose start
+    events all carry NULL timestamps still appears (NULL start_ep, not
+    converted) — presence means HAS a start event, not has a usable
+    one; and NULL-user rows never convert (the old equi-join's
+    NULL == NULL never matched), so the goal gate excludes the NULL
+    user key explicitly.
     """
     # NTZ-robust epoch seconds (see sessionize): cast through TIMESTAMP
     ep = F.col(ts_col).cast("timestamp").cast("long")
-    first_start = (
-        events.filter(F.col(type_col) == start_type)
-        .groupBy(user_col)
-        .agg(F.min(ep).alias("start_ep"))
+    w = Window.partitionBy(user_col)
+    is_start = F.col(type_col) == start_type
+    ev = events.filter(
+        (F.col(type_col) == start_type) | (F.col(type_col) == goal_type)
+    ).select(F.col(user_col), is_start.alias("_is_start"), ep.alias("_ep"))
+    g = (
+        ev.withColumn("start_ep", F.min(F.when(F.col("_is_start"), F.col("_ep"))).over(w))
+        .withColumn("_has_start", F.max(F.when(F.col("_is_start"), F.lit(True))).over(w))
+        .filter(F.col("_has_start"))
     )
-    goals = events.filter(F.col(type_col) == goal_type).select(
-        F.col(user_col).alias("_gu"), ep.alias("goal_ep")
-    )
-    # the >= gate lives in the JOIN clause: a post-join filter would
-    # drop users whose only goal events PRECEDE their first start,
-    # violating the keep-non-converters contract
-    conv = (
-        first_start.join(
-            goals,
-            (F.col(user_col) == F.col("_gu"))
-            & (F.col("goal_ep") >= F.col("start_ep")),
-            "left",
-        )
-        .groupBy(user_col, "start_ep")
-        .agg(F.min("goal_ep").alias("goal_ep"))
+    conv = g.groupBy(user_col, "start_ep").agg(
+        F.min(
+            F.when(
+                ~F.col("_is_start")
+                & F.col(user_col).isNotNull()
+                & (F.col("_ep") >= F.col("start_ep")),
+                F.col("_ep"),
+            )
+        ).alias("goal_ep")
     )
     return conv.select(
         F.col(user_col),

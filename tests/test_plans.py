@@ -650,12 +650,18 @@ def test_mmr_no_cartesian_no_python(spark):
     assert specs and all("query_id" in s for s in specs)
 
 
-def test_time_to_conversion_aggs_on_user_key(spark):
-    """Conversion lag is two filtered aggs + one user-keyed left join —
-    no window function, no cartesian."""
+def test_time_to_conversion_single_pass_on_user_key(spark):
+    """Conversion lag is ONE pass over the start/goal events: a single
+    user-keyed exchange feeds the first-start window, and the gated
+    goal aggregation rides the same partitioning — no join (the old
+    first-start ⋈ goals shape fanned every user's goal events through
+    the join; super-linear at the 10× probe), no cartesian, and the
+    window partitions by user (bounded per-user state), never
+    unpartitioned."""
     df = QUERIES["events_time_to_conversion"](spark, SF_ORACLE)
     p = plan(spark, df)
-    assert "Window" not in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # one node: tree+detail
     assert "CartesianProduct" not in p
 
 
