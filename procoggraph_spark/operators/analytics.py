@@ -871,9 +871,19 @@ def time_to_conversion(
     ep = F.col(ts_col).cast("timestamp").cast("long")
     w = Window.partitionBy(user_col)
     is_start = F.col(type_col) == start_type
-    ev = events.filter(
-        (F.col(type_col) == start_type) | (F.col(type_col) == goal_type)
-    ).select(F.col(user_col), is_start.alias("_is_start"), ep.alias("_ep"))
+    # goal candidacy is gated on the GOAL type explicitly, not on
+    # ~_is_start: the two are equivalent when start_type != goal_type
+    # (every filtered row is exactly one of the two), but a dual-typed
+    # config (start_type == goal_type) must keep the join-form
+    # semantics — the first start satisfies the goal (latency 0,
+    # converted) — which ~_is_start silently broke
+    is_goal = F.col(type_col) == goal_type
+    ev = events.filter(is_start | is_goal).select(
+        F.col(user_col),
+        is_start.alias("_is_start"),
+        is_goal.alias("_is_goal"),
+        ep.alias("_ep"),
+    )
     g = (
         ev.withColumn("start_ep", F.min(F.when(F.col("_is_start"), F.col("_ep"))).over(w))
         .withColumn("_has_start", F.max(F.when(F.col("_is_start"), F.lit(True))).over(w))
@@ -882,7 +892,7 @@ def time_to_conversion(
     conv = g.groupBy(user_col, "start_ep").agg(
         F.min(
             F.when(
-                ~F.col("_is_start")
+                F.col("_is_goal")
                 & F.col(user_col).isNotNull()
                 & (F.col("_ep") >= F.col("start_ep")),
                 F.col("_ep"),

@@ -445,26 +445,40 @@ def simhash(
             )
 
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
-    row_sums = F.aggregate(
+    # ONE tokenize per row: the token count and the vote fold ride the
+    # same let-bound array inside a single struct expression. A
+    # pre-group `filter(size(tokens) > 0)` would tokenize twice — the
+    # filter condition is deterministic, so Catalyst pushes it below
+    # any Project that aliases the array, re-inlining the split — so
+    # the token-less-row guard moves AFTER the per-doc aggregation:
+    # an empty token array folds to the zero vector (the sum identity)
+    # and a NULL array (NULL text) yields a NULL vote vector that
+    # collect_list drops, so per-doc sums are bit-identical to the
+    # filtered form; a doc appears iff it has >= 1 token on any row,
+    # exactly the exploded formulation's domain.
+    row_struct = _let(
         _tokens(F.col(text_col)),
-        zeros,
-        lambda acc, tok: F.zip_with(acc, vote_arr(tok), lambda a, b: a + b),
+        lambda tk: F.struct(
+            F.greatest(F.size(tk), F.lit(0)).alias("n"),
+            F.aggregate(
+                tk,
+                zeros,
+                lambda acc, tok: F.zip_with(acc, vote_arr(tok), lambda a, b: a + b),
+            ).alias("v"),
+        ),
     )
     summed = (
-        # token-less rows contribute nothing (the explode dropped them;
-        # the row-fold would emit an all-zero vector and fabricate a
-        # fingerprint for all-token-less docs) — filter reproduces the
-        # explode's domain exactly
-        df.filter(F.size(_tokens(F.col(text_col))) > 0)
-        .select(F.col(id_col).alias("_id"), row_sums.alias("_v"))
+        df.select(F.col(id_col).alias("_id"), row_struct.alias("_r"))
         .groupBy("_id")
         .agg(
+            F.sum("_r.n").alias("_ntok"),
             F.aggregate(
-                F.collect_list("_v"),
+                F.collect_list("_r.v"),
                 zeros,
                 lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-            ).alias("_sums")
+            ).alias("_sums"),
         )
+        .filter(F.col("_ntok") > 0)
     )
     # bit i of the fingerprint = sign of sums[i]; powers precomputed as
     # literals (shiftleft needs a static shift; bit 63 is the sign bit)

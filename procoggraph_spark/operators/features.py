@@ -33,22 +33,25 @@ def target_encode(
 
     Exactness: sums run as long-cents (exact, partitioning-independent)
     and convert to double once, so the encoding is bit-reproducible.
-    Scale shape: ONE hash agg to category grain; the global mean
-    derives from the bounded category-grain partials via an
-    unpartitioned window (integer cent sums are associative, so the
-    re-summed global is bit-identical to a second full scan's
-    aggregate) — the single-partition exchange moves only the bounded
-    category rows, and the source is never scanned twice. Never a
-    per-row window.
+    Scale shape: ONE hash agg to category grain (the category table is
+    lazily localCheckpoint-ed so the source is never scanned twice —
+    fault-tolerance trade documented at queries/common.py); the global
+    mean is a 1-row tree-reduced aggregate over the category partials
+    (integer cent sums are associative, so the re-summed global is
+    bit-identical to a second full scan's aggregate), broadcast back
+    onto the category rows. Target encoding is routinely applied to
+    HIGH-cardinality categoricals, so no step may funnel the category
+    table through one partition: an unpartitioned window would; the
+    1-row aggregate reduces map-side. Never a per-row window.
     """
     per = df.groupBy(category_col).agg(
         F.count("*").alias("n"),
         F.sum(cents(F.col(target_col), 2)).alias("_sc"),
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("_sc").alias("_gsc"), F.sum("n").alias("_gn")
     )
-    wall = Window.partitionBy()
-    per = per.withColumn("_gsc", F.sum("_sc").over(wall)).withColumn(
-        "_gn", F.sum("n").over(wall)
-    )
+    per = per.crossJoin(F.broadcast(tot))
     gmean = (F.col("_gsc") / 100.0) / F.col("_gn")
     s = F.col("_sc") / 100.0
     return per.select(

@@ -221,6 +221,7 @@ _FRESH_EACH_CALL = frozenset({
     "dedup_embedding_cosine",
     "emb_dim_covariance",
     "events_funnel_conversion",
+    "feat_target_encode",
     "orders_cohort_ltv",
     "sketch_cms_heavy_hitters",
     "sketch_hll_distinct",

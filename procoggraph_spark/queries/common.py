@@ -8,6 +8,25 @@ Determinism discipline (the driver hash-compares Spark vs DuckDB):
 - Every computed column is aliased identically in the Spark plan and the
   oracle SQL.
 - Top-k queries always order by a unique tiebreak key.
+
+Lazy ``localCheckpoint(eager=False)`` discipline (central note — the
+r12 advisory asked for this trade to be stated once, not per call
+site): frames with MULTIPLE consumers in one plan (shared frequency
+tables, builder inputs, first-order tables, model-sized feature
+frames) are lazily localCheckpoint-ed so the shared lineage executes
+once per query run instead of once per consumer — Catalyst has no
+plan-level CSE across broadcast subqueries or sibling aggregates.
+The trade: a localCheckpoint truncates lineage into UNREPLICATED
+executor-local blocks, so losing an executor mid-query makes that
+query's run unrecoverable (it must be resubmitted from the parquet
+inputs; no data is at risk). That is the right default for this
+engine's interactive/serving queries, where a retry is cheap and the
+2x-6x lineage dedup is paid on every run. Deployments that need
+mid-query fault tolerance on long batch runs should swap the call
+sites to ``persist(StorageLevel.MEMORY_AND_DISK)`` (recomputable
+lineage, same single-evaluation effect) or reliable ``checkpoint()``
+with a checkpoint dir — the operators' correctness does not depend on
+which of the three materializers is used.
 """
 
 from __future__ import annotations

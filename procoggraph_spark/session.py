@@ -151,7 +151,11 @@ def apply_adaptive_policy(
     base = int(cpus) if cpus.isdigit() else 32
     if total < interactive_bytes:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        target = max(4, min(base, total // (2 << 20)))
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+        if env.isdigit() and int(env) > 0:
+            target = int(env)  # site override wins outright
+        else:
+            target = max(4, min(base, total // (2 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
         spark.conf.unset("spark.sql.files.minPartitionNum")
         return False
@@ -162,6 +166,18 @@ def apply_adaptive_policy(
     else:
         spark.conf.unset("spark.sql.files.minPartitionNum")
     return True
+
+
+def formatted_plan(df, mode: str = "formatted") -> str:
+    """Rendered physical plan for plan assertions and audits — the same
+    JVM entry point pyspark's own ``DataFrame.explain()`` prints
+    through (``PythonSQLUtils.explainString`` resolves the mode string
+    and renders the query execution). Centralized here so the one
+    PySpark-internal touchpoint has exactly one fix site across tools
+    and tests if a version changes it."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
 
 
 def register_sql_functions(spark: SparkSession) -> None:

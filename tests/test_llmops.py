@@ -49,6 +49,26 @@ def test_simhash_near_pairs(docs):
     assert (3, 4) not in pairs
 
 
+def test_simhash_single_tokenize_and_tokenless_domain(docs):
+    # r13: tokenization must run ONCE per row — the old pre-group
+    # filter(size(tokens) > 0) re-inlined the split into the pushed
+    # filter condition, tokenizing every document twice
+    fp = D.simhash(docs)
+    p = fp._sc._jvm.PythonSQLUtils.explainString(
+        fp._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("split(trim") == 1
+    # the post-agg token-count guard keeps the exploded formulation's
+    # domain: whitespace-only and NULL docs produce no fingerprint,
+    # multi-row ids with one token-bearing row keep theirs
+    extra = docs.sparkSession.createDataFrame(
+        [(90, "   \t\n  "), (91, None), (92, ""), (93, "tok"), (93, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in D.simhash(extra).collect()}
+    assert out == {93}
+
+
 def test_exact_dedup(docs):
     out = D.exact_dedup(docs, key_cols=["text"], id_col="doc_id")
     dups = {r["canonical_doc_id"]: r["n_copies"] for r in out.collect()}

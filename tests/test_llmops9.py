@@ -116,6 +116,19 @@ def test_time_to_conversion_same_instant_counts(spark):
     assert out["converted"] and out["secs_to_convert"] == 0
 
 
+def test_time_to_conversion_dual_typed_config(spark):
+    # start_type == goal_type (r12-advice corner): the single-pass form
+    # must keep the old join semantics — the first start event itself
+    # satisfies the goal gate (ep >= start_ep), so the user converts at
+    # latency 0; a gate on ~_is_start would make such configs never
+    # convert
+    rows = [(0, _ts(1), 1, "view"), (1, _ts(3), 1, "view")]
+    out = time_to_conversion(
+        _events(spark, rows), start_type="view", goal_type="view"
+    ).collect()[0]
+    assert out["converted"] and out["secs_to_convert"] == 0
+
+
 # --- cohort LTV ------------------------------------------------------------
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from procoggraph_spark.queries import registry
+from procoggraph_spark.session import formatted_plan
 from tests.conftest import SF_ORACLE
 
 # Plan assertions must inspect a FRESH build: a DataFrame served from
@@ -22,9 +23,7 @@ QUERIES = {n: getattr(f, "__wrapped__", f) for n, f in QUERIES.items()}
 
 
 def plan(spark, df, mode: str = "formatted") -> str:
-    return spark._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+    return formatted_plan(df, mode)
 
 
 def test_a1_filter_pushdown_and_single_shuffle(spark):
@@ -505,17 +504,19 @@ def test_rag_pipeline_no_python_one_plan(spark):
     assert "Generate" in p  # the chunker
 
 
-def test_target_encode_single_scan_windowed_totals(spark):
+def test_target_encode_single_scan_broadcast_global(spark):
     """feat_target_encode: ONE source scan into the category-grain hash
-    agg; the global mean derives from the bounded category partials via
-    an unpartitioned window (exact integer cent sums), so there is no
-    second scan, no join, and the only window runs over category rows
-    — never the source rows."""
+    agg (lazily checkpointed — both consumers read the same RDD); the
+    global mean is a 1-row tree-reduced aggregate over the category
+    partials, broadcast back. Target encoding targets HIGH-cardinality
+    categoricals, so nothing may funnel the category table through a
+    single partition: no unpartitioned window, no source re-scan
+    (r12-advice item)."""
     df = QUERIES["feat_target_encode"](spark, SF_ORACLE)
     p = plan(spark, df)
-    assert p.count("Scan parquet") <= 2  # one node: tree + detail
-    assert "Window" in p
-    assert "Join" not in p
+    assert "Scan parquet" not in p  # the one scan sits in the checkpoint
+    assert "Window" not in p  # no single-partition pass over categories
+    assert "BroadcastExchange" in p  # 1-row global attached by broadcast
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
 

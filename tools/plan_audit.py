@@ -29,7 +29,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from procoggraph_spark.queries import registry  # noqa: E402
-from procoggraph_spark.session import apply_adaptive_policy, get_spark  # noqa: E402
+from procoggraph_spark.session import (  # noqa: E402
+    apply_adaptive_policy,
+    formatted_plan,
+    get_spark,
+)
 
 HEADLINE = [
     "a1_pricing_summary",
@@ -56,12 +60,6 @@ _PY_NODES = (
 )
 
 
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,7 +74,7 @@ def main() -> None:
         os.makedirs(outdir, exist_ok=True)
         for name in names:
             df = qs[name](spark, sf_dir)
-            text = _formatted(df)
+            text = formatted_plan(df)
             path = os.path.join(outdir, f"{name}_{tag}.txt")
             with open(path, "w") as fh:
                 fh.write(text)
@@ -90,7 +88,7 @@ def main() -> None:
     for name in sorted(qs):
         try:
             df = qs[name](spark, sf_dir)
-            plan = _formatted(df)
+            plan = formatted_plan(df)
         except Exception as e:  # construction failure IS a finding
             print(f"{name}\tERR\t\t\t\t\t{type(e).__name__}: {e}")
             bad += 1

@@ -16,11 +16,16 @@ from __future__ import annotations
 import os
 import re
 import sys
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from procoggraph_spark.queries import registry  # noqa: E402
-from procoggraph_spark.session import apply_adaptive_policy, get_spark  # noqa: E402
+from procoggraph_spark.session import (  # noqa: E402
+    apply_adaptive_policy,
+    formatted_plan,
+    get_spark,
+)
 
 
 def main() -> None:
@@ -31,17 +36,13 @@ def main() -> None:
     for name in sorted(qs):
         try:
             df = qs[name](spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = formatted_plan(df)
         except Exception as e:  # noqa: BLE001
             print(f"{name}\tERR\t{type(e).__name__}: {e}")
             continue
         locs = re.findall(r"Location: \S+ \[[^\]]*?([a-z_0-9]+)\.parquet", plan)
         # bucketed catalog tables list their table dir instead
         locs += re.findall(r"Location: \S+ \[[^\]]*bucketed/([a-z_0-9]+)", plan)
-        from collections import Counter
-
         c = Counter(locs)
         multi = {t: n for t, n in c.items() if n > 1}
         bnlj = plan.count("BroadcastNestedLoopJoin")
